@@ -1,0 +1,84 @@
+"""u8 row-id bitmap codec + ClickHouse LIKE -> regex conversion.
+
+Semantics-matched (byte-level goldens in tests/test_bitmap.py) to
+/root/reference/src/search/utils/convert_utils.rs:
+* bitmaps are LSB-first byte bitsets keyed by row_id (bit ``row_id % 8``
+  of byte ``row_id // 8``), sized to the max row_id;
+* LIKE conversion: ``%`` -> ``.*``, ``_`` -> ``.``, backslash escapes
+  ``\\%``/``\\_``/``\\\\``, and regex-special chars are quoted.
+
+Implemented fresh in numpy (vectorized) — used at the API edge only;
+inside the engine row-id sets stay DataFrames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_REGEX_SPECIAL = set(".+*?^$()[]{}|")
+
+
+def like_to_regex(like_pattern: str) -> str:
+    """ClickHouse LIKE pattern -> regex (full behavioral parity)."""
+    out: list[str] = []
+    escape = False
+    for c in like_pattern:
+        if c == "\\" and not escape:
+            escape = True
+        elif c == "\\" and escape:
+            out.append("\\\\")
+            escape = False
+        elif c == "%" and not escape:
+            out.append(".*")
+        elif c == "_" and not escape:
+            out.append(".")
+        elif c in ("%", "_") and escape:
+            out.append(c)
+            escape = False
+        else:
+            if c in _REGEX_SPECIAL:
+                out.append("\\")
+            out.append(c)
+            escape = False
+    return "".join(out)
+
+
+def row_ids_to_u8_bitmap(row_ids) -> bytes:
+    """Sorted-or-not row id iterable -> LSB-first byte bitset."""
+    arr = np.asarray(list(row_ids) if not isinstance(row_ids, np.ndarray) else row_ids,
+                     dtype=np.int64)
+    if arr.size == 0:
+        return b""
+    size = int(arr.max()) // 8 + 1
+    bitmap = np.zeros(size, dtype=np.uint8)
+    np.bitwise_or.at(bitmap, arr // 8, (1 << (arr % 8)).astype(np.uint8))
+    return bitmap.tobytes()
+
+
+def u8_bitmap_to_row_ids(bitmap: bytes | bytearray | np.ndarray) -> np.ndarray:
+    """LSB-first byte bitset -> sorted row id array."""
+    arr = np.frombuffer(bytes(bitmap), dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = np.unpackbits(arr, bitorder="little")
+    return np.nonzero(bits)[0].astype(np.int64)
+
+
+def is_row_id_exist(row_id: int, bitmap: bytes) -> bool:
+    idx = row_id // 8
+    if idx >= len(bitmap):
+        return False
+    return bool(bitmap[idx] & (1 << (row_id % 8)))
+
+
+def mask_for_row_ids(row_ids: np.ndarray, bitmap: bytes) -> np.ndarray:
+    """Vectorized alive-bitmap membership test for an int64 row-id array."""
+    if len(bitmap) == 0:
+        return np.zeros(row_ids.shape, dtype=bool)
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+    idx = row_ids // 8
+    in_range = idx < bm.size
+    out = np.zeros(row_ids.shape, dtype=bool)
+    safe = np.where(in_range, idx, 0)
+    out[in_range] = (bm[safe[in_range]] >> (row_ids[in_range] % 8).astype(np.uint8)) & 1 == 1
+    return out

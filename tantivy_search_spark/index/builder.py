@@ -1,0 +1,411 @@
+"""Index build pipeline (reference operators B1-B9, SURVEY.md §2.1).
+
+Spark-first design — one tokenize pass, two shuffles total:
+
+  stage docs     docs table: doc_id + metadata + sha256(content) — pure
+                 JVM expressions (F.sha2), no Python.
+  stage segments ``groupBy(part_id).applyInPandas``: per doc-range part,
+                 tokenize (Arrow batch), count tf, build sorted
+                 delta-encoded posting blocks with skip pointers and
+                 block-max metadata.  The reference's in-RAM segment build
+                 (2 threads x 64 MB heap) becomes one grouped-map task per
+                 part.  part_id = doc_id // rows_per_part, so the mapping
+                 is deterministic and resumable.
+  stage merge    ``groupBy(col, term, shard).applyInPandas``: concatenate
+                 part-local runs (disjoint sorted doc ranges) into merged
+                 posting rows; shard = part_id // parts_per_shard bounds
+                 group memory and doubles as the skew salt for hot terms
+                 ("if"/"return"); rows are further split into ``sub`` rows
+                 at max_postings_per_sub.  Output partitioned by
+                 bucket = crc32(term) % n_buckets for file pruning.
+  stage stats    global term dictionary (col, term, df) — a map-side
+                 combinable sum over merged rows.
+
+Every stage writes a manifest under _checkpoints/ with per-part lineage
+(doc range, rows, tokens, wall secs, docs/sec); a restarted build skips
+chunks whose manifests exist (fault-injection test in
+tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tantivy_search_spark.config import IndexConfig
+from tantivy_search_spark.fieldnorm import fieldnorm_to_id
+from tantivy_search_spark.index import layout
+from tantivy_search_spark.index.layout import (
+    CHECKPOINTS_DIR,
+    DOCS_DIR,
+    POSTINGS_DIR,
+    SEGMENTS_DIR,
+    STATS_DIR,
+    IndexMeta,
+    encode_blocks,
+)
+from tantivy_search_spark.udfs import term_doc_tf, tokenize_series
+
+_CRC_EXPR = "crc32(encode({col}, 'utf-8')) % {n}"
+
+
+def bucket_col(term_col: str, n_buckets: int):
+    """JVM-side crc32 bucket — must agree with layout.term_bucket (zlib.crc32)."""
+    return (F.crc32(F.encode(F.col(term_col), "utf-8")) % n_buckets).cast("int")
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic, scalable global doc_id assignment.
+
+    Equivalent semantics to ``row_number() over (order by <order_cols>)``
+    but without a single-partition window: range-repartition on the sort
+    key, count rows per partition (cheap column-pruned job), then add the
+    exclusive-prefix-sum offset inside a mapInPandas pass.
+    """
+    spark = df.sparkSession
+    p = num_parts or max(spark.sparkContext.defaultParallelism, 8)
+    parted = df.repartitionByRange(p, *order_cols).sortWithinPartitions(*order_cols)
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in
+              parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = "doc_id long, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        base = b_offsets.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf.insert(0, "doc_id", np.arange(base + seen, base + seen + n,
+                                              dtype=np.int64))
+            seen += n
+            yield pdf
+
+    return parted.mapInPandas(add_ids, out_schema)
+
+
+def _segment_builder(cfg_json: str):
+    """Grouped-map fn: one doc-range part -> posting fragment rows."""
+    cfg = IndexConfig.from_meta_json(cfg_json)
+    bs = cfg.block_size
+    pps = cfg.parts_per_shard
+    nb = cfg.n_buckets
+
+    def build_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = int(pdf["part_id"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        rows: dict[str, list] = {k: [] for k in (
+            "part_id", "bucket", "col", "term", "shard", "sub", "df",
+            "block_first", "block_last", "block_max_tf", "block_min_norm",
+            "deltas", "tfs", "norms", "sum_tf")}
+
+        for col in cfg.columns:
+            toks = tokenize_series(pdf[col], cfg.tokenizer_config(col))
+            terms, t_docs, t_tfs, doclens = term_doc_tf(toks, doc_ids)
+            if terms.size == 0:
+                continue
+            norm_ids = fieldnorm_to_id(doclens)  # u8 per doc, aligned w/ doc_ids
+            doc_pos = np.searchsorted(doc_ids, t_docs)
+            t_norms = norm_ids[doc_pos]
+            # term boundaries in the (term, doc)-sorted triples
+            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            bounds = np.concatenate(([0], change, [terms.size]))
+            import zlib
+            for i in range(bounds.size - 1):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                term = terms[s]
+                enc = encode_blocks(t_docs[s:e], t_tfs[s:e], t_norms[s:e], bs)
+                rows["part_id"].append(part_id)
+                rows["bucket"].append(zlib.crc32(term.encode("utf-8")) % nb)
+                rows["col"].append(col)
+                rows["term"].append(term)
+                rows["shard"].append(part_id // pps)
+                rows["sub"].append(0)
+                rows["df"].append(enc["df"])
+                rows["block_first"].append(enc["block_first"])
+                rows["block_last"].append(enc["block_last"])
+                rows["block_max_tf"].append(enc["block_max_tf"])
+                rows["block_min_norm"].append(enc["block_min_norm"])
+                rows["deltas"].append(enc["deltas"])
+                rows["tfs"].append(enc["tfs"])
+                rows["norms"].append(enc["norms"])
+                rows["sum_tf"].append(int(t_tfs[s:e].sum()))
+        return pd.DataFrame(rows)
+
+    return build_part
+
+
+def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
+    """Grouped-map fn: all fragments of (col, term, shard) -> merged rows.
+
+    Parts inside a shard cover consecutive doc ranges, so decoded runs
+    concatenate into one sorted list; re-encoded with uniform blocks and
+    split into ``sub`` rows so no single parquet cell grows unbounded.
+    """
+    cfg = IndexConfig.from_meta_json(cfg_json)
+    bs = cfg.block_size
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("part_id")
+        col = pdf["col"].iloc[0]
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        docs = []
+        tfs = []
+        norms = []
+        for r in pdf.itertuples(index=False):
+            d, t, m = layout.decode_blocks(
+                r.block_first, r.deltas, r.tfs, r.norms, bs
+            )
+            docs.append(d)
+            tfs.append(t)
+            norms.append(m)
+        doc_ids = np.concatenate(docs)
+        tf = np.concatenate(tfs)
+        nm = np.concatenate(norms)
+        out: dict[str, list] = {k: [] for k in (
+            "bucket", "col", "term", "shard", "sub", "df", "block_first",
+            "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
+            "norms")}
+        nsubs = (doc_ids.size + max_postings_per_sub - 1) // max_postings_per_sub
+        for sub in range(nsubs):
+            s = sub * max_postings_per_sub
+            e = min(s + max_postings_per_sub, doc_ids.size)
+            enc = encode_blocks(doc_ids[s:e], tf[s:e], nm[s:e], bs)
+            out["bucket"].append(bucket)
+            out["col"].append(col)
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["sub"].append(sub)
+            out["df"].append(enc["df"])
+            out["block_first"].append(enc["block_first"])
+            out["block_last"].append(enc["block_last"])
+            out["block_max_tf"].append(enc["block_max_tf"])
+            out["block_min_norm"].append(enc["block_min_norm"])
+            out["deltas"].append(enc["deltas"])
+            out["tfs"].append(enc["tfs"])
+            out["norms"].append(enc["norms"])
+        return pd.DataFrame(out)
+
+    return merge_group
+
+
+class IndexBuilder:
+    """Reference B1/B2 ``create_index*`` + B4/B5 build/commit + B8 merge."""
+
+    def __init__(self, spark: SparkSession, index_path: str, config: IndexConfig,
+                 rows_per_part: int = 250_000):
+        self.spark = spark
+        self.index_path = index_path
+        self.config = config
+        self.rows_per_part = rows_per_part
+
+    # -- checkpoint helpers -------------------------------------------------
+    def _ckpt_path(self, name: str) -> str:
+        return os.path.join(self.index_path, CHECKPOINTS_DIR, f"{name}.json")
+
+    def _ckpt_done(self, name: str) -> dict | None:
+        p = self._ckpt_path(name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def _ckpt_write(self, name: str, payload: dict) -> None:
+        os.makedirs(os.path.dirname(self._ckpt_path(name)), exist_ok=True)
+        tmp = self._ckpt_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._ckpt_path(name))
+
+    # -- build --------------------------------------------------------------
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str | None = None,
+        order_cols: list[str] | None = None,
+        overwrite: bool = False,
+        n_chunks: int = 1,
+    ) -> IndexMeta:
+        """Build the full index; resumable at chunk granularity."""
+        t_all = time.time()
+        if overwrite and os.path.exists(self.index_path):
+            shutil.rmtree(self.index_path)
+        os.makedirs(self.index_path, exist_ok=True)
+
+        if id_col is None:
+            # stage assigned ids to disk: doc_ids must be stable across a
+            # killed-and-restarted build for chunk-level resume
+            staged_path = os.path.join(self.index_path, "_staged")
+            if self._ckpt_done("staged") is None:
+                assign_doc_ids(df, order_cols or self.config.columns).write.mode(
+                    "overwrite"
+                ).parquet(staged_path)
+                self._ckpt_write("staged", {"done": True})
+            df = self.spark.read.parquet(staged_path)
+        elif id_col != "doc_id":
+            df = df.withColumnRenamed(id_col, "doc_id")
+        src = df.withColumn(
+            "part_id", (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int")
+        )
+
+        metrics: dict = {"stages": {}}
+
+        # ---- docs table (sha256 audit column, JVM-only expressions) -------
+        docs_ck = self._ckpt_done("docs")
+        if docs_ck is None:
+            t0 = time.time()
+            sha_cols = [
+                F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
+                for c in self.config.columns
+            ]
+            keep = [c for c in src.columns if c != "part_id"] if self.config.store_doc \
+                else [c for c in src.columns
+                      if c not in self.config.columns and c != "part_id"]
+            src.select(*keep, *sha_cols).write.mode("overwrite").parquet(
+                os.path.join(self.index_path, DOCS_DIR)
+            )
+            n_docs = self.spark.read.parquet(
+                os.path.join(self.index_path, DOCS_DIR)).count()
+            docs_ck = {"total_docs": n_docs, "secs": time.time() - t0,
+                       "docs_per_sec": n_docs / max(time.time() - t0, 1e-9)}
+            self._ckpt_write("docs", docs_ck)
+        total_docs = docs_ck["total_docs"]
+        metrics["stages"]["docs"] = docs_ck
+
+        num_parts = max(1, -(-total_docs // self.rows_per_part))
+
+        # ---- segments stage (chunked for resumability) ---------------------
+        chunk_bounds = np.linspace(0, num_parts, n_chunks + 1).astype(int)
+        cfg_json = self.config.to_json()
+        seg_path = os.path.join(self.index_path, SEGMENTS_DIR)
+        seg_metrics = []
+        for ci in range(n_chunks):
+            lo, hi = int(chunk_bounds[ci]), int(chunk_bounds[ci + 1])
+            if lo == hi:
+                continue
+            name = f"segments_chunk{ci}"
+            ck = self._ckpt_done(name)
+            if ck is not None:
+                seg_metrics.append(ck)
+                continue
+            t0 = time.time()
+            chunk_df = src.where(
+                (F.col("doc_id") >= lo * self.rows_per_part)
+                & (F.col("doc_id") < hi * self.rows_per_part)
+            ).select("part_id", "doc_id", *self.config.columns)
+            frags = chunk_df.groupBy("part_id").applyInPandas(
+                _segment_builder(cfg_json), layout.SEGMENTS_SCHEMA
+            )
+            frags.write.mode("overwrite").parquet(
+                os.path.join(seg_path, f"chunk={ci}")
+            )
+            # lineage: per-part doc ranges + token mass from the fragments
+            lineage = [
+                {"part_id": r["part_id"], "terms": r["terms"],
+                 "postings": r["postings"], "tokens": r["tokens"]}
+                for r in self.spark.read.parquet(
+                    os.path.join(seg_path, f"chunk={ci}")
+                ).groupBy("part_id").agg(
+                    F.count("*").alias("terms"),
+                    F.sum("df").alias("postings"),
+                    F.sum("sum_tf").alias("tokens"),
+                ).collect()
+            ]
+            secs = time.time() - t0
+            chunk_docs = min(hi * self.rows_per_part, total_docs) - lo * self.rows_per_part
+            ck = {"chunk": ci, "parts": [lo, hi], "secs": secs,
+                  "docs": chunk_docs, "docs_per_sec": chunk_docs / max(secs, 1e-9),
+                  "lineage": lineage}
+            self._ckpt_write(name, ck)
+            seg_metrics.append(ck)
+        metrics["stages"]["segments"] = {
+            "chunks": seg_metrics,
+            "secs": sum(c["secs"] for c in seg_metrics),
+            "docs_per_sec": total_docs / max(sum(c["secs"] for c in seg_metrics), 1e-9),
+        }
+
+        # ---- merge stage ----------------------------------------------------
+        merge_ck = self._ckpt_done("merge")
+        if merge_ck is None:
+            t0 = time.time()
+            segs = self.spark.read.parquet(os.path.join(seg_path, "chunk=*"))
+            merged = segs.groupBy("col", "term", "shard").applyInPandas(
+                _merger(cfg_json), layout.POSTINGS_SCHEMA
+            )
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.index_path, POSTINGS_DIR)
+            )
+            secs = time.time() - t0
+            merge_ck = {"secs": secs,
+                        "docs_per_sec": total_docs / max(secs, 1e-9)}
+            self._ckpt_write("merge", merge_ck)
+        metrics["stages"]["merge"] = merge_ck
+
+        # ---- stats stage ------------------------------------------------------
+        stats_ck = self._ckpt_done("stats")
+        if stats_ck is None:
+            t0 = time.time()
+            postings = self.spark.read.parquet(
+                os.path.join(self.index_path, POSTINGS_DIR))
+            postings.groupBy("col", "term").agg(
+                F.sum("df").alias("df"),
+                F.first("bucket").alias("bucket"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.index_path, STATS_DIR))
+            stats_ck = {"secs": time.time() - t0}
+            self._ckpt_write("stats", stats_ck)
+        metrics["stages"]["stats"] = stats_ck
+
+        # ---- meta ----------------------------------------------------------
+        total_tokens = {c: 0 for c in self.config.columns}
+        # token totals come from chunk lineage (col-level split not retained
+        # per part; recompute per col from segments for exactness)
+        segs = self.spark.read.parquet(os.path.join(seg_path, "chunk=*"))
+        for r in segs.groupBy("col").agg(F.sum("sum_tf").alias("n")).collect():
+            total_tokens[r["col"]] = int(r["n"])
+        part_ranges = [
+            [int(r["part_id"]), int(r["first"]), int(r["last"]), int(r["rows"])]
+            for r in self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
+            .withColumn("part_id",
+                        (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
+            .groupBy("part_id").agg(
+                F.min("doc_id").alias("first"), F.max("doc_id").alias("last"),
+                F.count("*").alias("rows")).collect()
+        ]
+        metrics["total_secs"] = time.time() - t_all
+        metrics["docs_per_sec"] = total_docs / max(metrics["total_secs"], 1e-9)
+        meta = IndexMeta(
+            config_json=cfg_json,
+            num_parts=num_parts,
+            total_docs=total_docs,
+            total_tokens=total_tokens,
+            part_ranges=sorted(part_ranges),
+            build_metrics=metrics,
+        )
+        meta.save(self.index_path)
+        return meta

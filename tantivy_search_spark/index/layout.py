@@ -1,0 +1,184 @@
+"""On-disk index layout + posting-block codec.
+
+Index directory (parquet today; the layout is Iceberg-compatible — every
+table is a directory of parquet files with a stable schema and a
+partition column usable as an Iceberg identity partition):
+
+    <index_path>/
+      _index_meta.json                 # config + global stats + lineage
+      docs/                            # doc_id, metadata, content sha256
+      segments/part_group=<g>/         # stage-1 per-partition posting fragments
+      postings/bucket=<b>/             # merged postings, term-hash bucketed
+      stats/                           # (col, term, df) global term dictionary
+      tombstones/                      # deleted doc_ids
+      _checkpoints/                    # per-stage/per-part-group manifests
+
+Posting rows (both fragment and merged) hold delta-encoded docID blocks
+of <= block_size postings with skip pointers (block_first/block_last) and
+block-max metadata (block_max_tf, block_min_norm) — the structure the
+reference relies on for block-max WAND pruning (SURVEY.md §4), rebuilt
+here as numpy-encoded binary columns.
+
+Invariant: a block never spans two build parts, and doc_ids are assigned
+contiguously per part, so within-block deltas always fit uint32 even at
+10^12-doc scale, and merged per-term lists are concatenations of
+non-overlapping sorted runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import types as T
+
+META_FILE = "_index_meta.json"
+DOCS_DIR = "docs"
+SEGMENTS_DIR = "segments"
+POSTINGS_DIR = "postings"
+STATS_DIR = "stats"
+TOMBSTONES_DIR = "tombstones"
+CHECKPOINTS_DIR = "_checkpoints"
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Stable term -> file bucket (crc32 — identical on driver & executors)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+#: posting fragment/merged schema (`sub` splits oversized shard rows;
+#: doc ranges of subs of one (term, shard) are disjoint & ordered)
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("col", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("sub", T.IntegerType(), False),
+        T.StructField("df", T.LongType(), False),  # postings in this row
+        T.StructField("block_first", T.ArrayType(T.LongType()), False),
+        T.StructField("block_last", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_min_norm", T.ArrayType(T.IntegerType()), False),
+        T.StructField("deltas", T.BinaryType(), False),  # uint32, per-block cumsum
+        T.StructField("tfs", T.BinaryType(), False),  # uint32
+        T.StructField("norms", T.BinaryType(), False),  # uint8 fieldnorm ids
+    ]
+)
+
+SEGMENTS_SCHEMA = T.StructType(
+    [T.StructField("part_id", T.IntegerType(), False)]
+    + POSTINGS_SCHEMA.fields
+    + [T.StructField("sum_tf", T.LongType(), False)]  # raw token mass of this row
+)
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("col", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray, block_size: int
+) -> dict:
+    """Sorted doc_ids (+ parallel tfs, fieldnorm ids) -> block-coded row parts.
+
+    deltas[i] = doc_ids[i] - doc_ids[i-1] within a block, first element of
+    each block relative to block_first (i.e. 0).
+    """
+    n = doc_ids.shape[0]
+    nb = (n + block_size - 1) // block_size
+    starts = np.arange(nb) * block_size
+    ends = np.minimum(starts + block_size, n)
+    d = np.diff(doc_ids)
+    if n > 1 and int(d.max(initial=0)) >= 2**32:
+        # the per-part contiguity invariant guarantees this never fires
+        raise ValueError("doc_id gap overflows uint32 delta (block spans parts?)")
+    deltas = np.empty(n, dtype=np.uint32)
+    deltas[1:] = d
+    deltas[starts] = 0
+    return {
+        "df": int(n),
+        "block_first": doc_ids[starts].astype(np.int64),
+        "block_last": doc_ids[ends - 1].astype(np.int64),
+        "block_max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+        "block_min_norm": np.minimum.reduceat(norms, starts).astype(np.int32),
+        "deltas": deltas.tobytes(),
+        "tfs": tfs.astype(np.uint32).tobytes(),
+        "norms": norms.astype(np.uint8).tobytes(),
+    }
+
+
+def decode_blocks(
+    block_first, deltas: bytes, tfs: bytes, norms: bytes, block_size: int,
+    keep_blocks: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of encode_blocks -> (doc_ids int64, tfs int64, norms uint8).
+
+    ``keep_blocks`` (bool per block) decodes a subset — the skip-pointer
+    path used by WAND / range pruning.
+    """
+    dl = np.frombuffer(deltas, dtype=np.uint32)
+    tf = np.frombuffer(tfs, dtype=np.uint32)
+    nm = np.frombuffer(norms, dtype=np.uint8)
+    n = dl.shape[0]
+    first = np.asarray(block_first, dtype=np.int64)
+    nb = first.shape[0]
+    starts = np.arange(nb, dtype=np.int64) * block_size
+
+    if keep_blocks is not None and not keep_blocks.all():
+        sel = np.nonzero(keep_blocks)[0]
+        if sel.size == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.uint8),
+            )
+        parts_doc, parts_tf, parts_nm = [], [], []
+        for b in sel:  # few selected blocks; each decode is vectorized
+            s, e = starts[b], min(starts[b] + block_size, n)
+            parts_doc.append(first[b] + np.cumsum(dl[s:e].astype(np.int64)))
+            parts_tf.append(tf[s:e].astype(np.int64))
+            parts_nm.append(nm[s:e])
+        return (
+            np.concatenate(parts_doc),
+            np.concatenate(parts_tf),
+            np.concatenate(parts_nm),
+        )
+
+    # full vectorized decode:
+    # doc_id[i] = first[blk] + (csum[i] - csum[start(blk)]); delta at each
+    # block start is 0, so csum differences are within-block prefix sums.
+    csum = np.cumsum(dl.astype(np.int64))
+    lengths = np.diff(np.append(starts, n))
+    block_of = np.repeat(np.arange(nb), lengths)
+    base = first - csum[starts]
+    doc_ids = csum + base[block_of]
+    return doc_ids, tf.astype(np.int64), nm
+
+
+@dataclass
+class IndexMeta:
+    config_json: str
+    num_parts: int = 0
+    total_docs: int = 0
+    total_tokens: dict | None = None  # col -> raw token count
+    part_ranges: list | None = None  # [(part_id, first_doc, last_doc, rows)]
+    build_metrics: dict | None = None
+
+    def save(self, index_path: str) -> None:
+        with open(os.path.join(index_path, META_FILE), "w") as f:
+            json.dump(self.__dict__, f, indent=1)
+
+    @classmethod
+    def load(cls, index_path: str) -> "IndexMeta":
+        with open(os.path.join(index_path, META_FILE)) as f:
+            return cls(**json.load(f))

@@ -1,0 +1,419 @@
+"""Query engine: BM25 top-k + bitmap family over the persisted index.
+
+Operator parity map (SURVEY.md §2.3/§2.4):
+
+* ``bm25_search``            — Q6/Q7 standard + NLQ top-k with optional
+                               alive-bitmap filter (Q8) and injected
+                               global Statistics (Q9).
+* ``query_term_bitmap``      — Q1 (token OR-set of the analyzed term)
+* ``query_terms_bitmap``     — Q2
+* ``query_sentence_bitmap``  — Q3
+* ``regex_term_bitmap``      — Q4 (ClickHouse LIKE over the term dict)
+* ``get_doc_freq`` / ``get_total_num_docs`` / ``get_total_num_tokens`` /
+  ``get_indexed_doc_counts`` — Q10-Q13
+* ``delete_row_ids``         — B6 (tombstones; all queries exclude them)
+
+Physical plan of a BM25 query (all heavy lifting JVM-side):
+
+  postings parquet --bucket partition pruning + term isin pushdown-->
+  candidate rows --mapInPandas numpy decode+score (Arrow batches)-->
+  (doc_id, atom, score) --hash agg partial/final per doc (codegen)-->
+  boolean-tree Column eval --> TakeOrderedAndProject top-k
+
+The decode UDF receives broadcast global stats (idf/avgdl inputs), the
+alive bitmap and the tombstone set — the Spark analog of the reference's
+``update_multi_parts_statistics`` injection, which is what makes
+per-partition scores equal to single-index scores.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tantivy_search_spark import bm25
+from tantivy_search_spark.bitmap import (
+    like_to_regex,
+    mask_for_row_ids,
+    row_ids_to_u8_bitmap,
+)
+from tantivy_search_spark.config import IndexConfig
+from tantivy_search_spark.fieldnorm import FIELD_NORMS_TABLE
+from tantivy_search_spark.index import layout
+from tantivy_search_spark.index.layout import (
+    DOCS_DIR,
+    POSTINGS_DIR,
+    STATS_DIR,
+    TOMBSTONES_DIR,
+    IndexMeta,
+    term_bucket,
+)
+from tantivy_search_spark.search import querytree as qt
+
+
+@dataclass
+class Statistics:
+    """Reference ``Statistics`` FFI struct (src/lib.rs:46-50): externally
+    injected global stats for distributed-correct BM25."""
+
+    docs_freq: list = dc_field(default_factory=list)  # [(term, col, df)]
+    total_num_tokens: dict = dc_field(default_factory=dict)  # col -> tokens
+    total_num_docs: int = 0
+
+    @classmethod
+    def merge(cls, parts: list["Statistics"]) -> "Statistics":
+        """Sum-by-key merge, mirroring the reference's multi-part test
+        (src/common/test_util.rs:492-513)."""
+        df_map: dict[tuple[str, str], int] = {}
+        tok: dict[str, int] = {}
+        n = 0
+        for p in parts:
+            for term, col, df in p.docs_freq:
+                df_map[(term, col)] = df_map.get((term, col), 0) + df
+            for col, t in p.total_num_tokens.items():
+                tok[col] = tok.get(col, 0) + t
+            n += p.total_num_docs
+        return cls(
+            docs_freq=[(t, c, d) for (t, c), d in df_map.items()],
+            total_num_tokens=tok,
+            total_num_docs=n,
+        )
+
+
+class SearchIndex:
+    """Reader over one index directory (reference Q14 load_index_reader)."""
+
+    def __init__(self, spark: SparkSession, index_path: str):
+        self.spark = spark
+        self.index_path = index_path
+        self.meta = IndexMeta.load(index_path)
+        self.config = IndexConfig.from_meta_json(self.meta.config_json)
+        self._postings = spark.read.parquet(os.path.join(index_path, POSTINGS_DIR))
+        self._stats = spark.read.parquet(os.path.join(index_path, STATS_DIR))
+        self._tombstones: np.ndarray | None = None  # lazy
+
+    # ------------------------------------------------------------------ utils
+    def reload(self) -> None:
+        self._tombstones = None
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
+
+    def _tombstone_array(self) -> np.ndarray:
+        if self._tombstones is None:
+            path = os.path.join(self.index_path, TOMBSTONES_DIR)
+            if os.path.exists(path):
+                rows = self.spark.read.parquet(path).select("doc_id").collect()
+                self._tombstones = np.unique(
+                    np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                )
+            else:
+                self._tombstones = np.empty(0, dtype=np.int64)
+        return self._tombstones
+
+    def _analyzers(self) -> dict:
+        return {c: self.config.analyzer(c) for c in self.config.columns}
+
+    def _candidate_postings(self, atoms: list[tuple[str | None, str]]) -> DataFrame:
+        terms = sorted({t for _, t in atoms})
+        buckets = sorted({term_bucket(t, self.config.n_buckets) for t in terms})
+        cols = sorted({c for c, _ in atoms if c is not None})
+        cond = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        if cols and not any(c is None for c, _ in atoms):
+            cond = cond & F.col("col").isin(cols)
+        return self._postings.where(cond)
+
+    # ---------------------------------------------------------------- stats
+    def local_statistics(self, tokens_by_col: dict[str, list[str]]) -> Statistics:
+        """This index's contribution to merged global stats (reference
+        get_doc_freq + get_total_num_tokens + get_total_num_docs)."""
+        pairs = [(c, t) for c, toks in tokens_by_col.items() for t in toks]
+        docs_freq = []
+        if pairs:
+            terms = sorted({t for _, t in pairs})
+            rows = self._stats.where(F.col("term").isin(terms)).collect()
+            want = set(pairs)
+            for r in rows:
+                if (r["col"], r["term"]) in want:
+                    docs_freq.append((r["term"], r["col"], int(r["df"])))
+        return Statistics(
+            docs_freq=docs_freq,
+            total_num_tokens=dict(self.meta.total_tokens or {}),
+            total_num_docs=self.meta.total_docs,
+        )
+
+    def get_doc_freq(self, sentence: str) -> list[tuple[str, str, int]]:
+        toks = {c: self._analyzers()[c](sentence) for c in self.config.columns}
+        return self.local_statistics(toks).docs_freq
+
+    def get_total_num_docs(self) -> int:
+        return self.meta.total_docs
+
+    def get_total_num_tokens(self, col: str | None = None):
+        tok = self.meta.total_tokens or {}
+        return tok if col is None else int(tok.get(col, 0))
+
+    def get_indexed_doc_counts(self) -> int:
+        return self.meta.total_docs - int(self._tombstone_array().size)
+
+    # ---------------------------------------------------------------- deletes
+    def delete_row_ids(self, row_ids: list[int]) -> bool:
+        """B6: tombstone docs; they disappear from every query after this
+        'commit' (non-existent ids tolerated, like the reference)."""
+        pdf = pd.DataFrame({"doc_id": np.asarray(sorted(set(row_ids)), dtype=np.int64)})
+        self.spark.createDataFrame(pdf).write.mode("append").parquet(
+            os.path.join(self.index_path, TOMBSTONES_DIR)
+        )
+        self.reload()
+        return True
+
+    # ---------------------------------------------------------------- scoring
+    def _scored_atoms_df(
+        self,
+        atoms: list[tuple[str | None, str]],
+        stats: Statistics | None,
+        alive_bitmap: bytes | None,
+    ) -> DataFrame:
+        """Candidates -> (doc_id, atom, score) via vectorized decode UDF."""
+        cfg = self.config
+        k1, b = cfg.k1, cfg.b
+        block_size = cfg.block_size
+
+        # global stats for idf/avgdl: injected (Q9) or this index's own
+        local = self.local_statistics(
+            {c: [t for col, t in atoms if col in (None, c)] for c in cfg.columns}
+        )
+        use = stats if stats is not None and stats.docs_freq else local
+        n_docs = use.total_num_docs or 1
+        df_map = {(c, t): d for (t, c, d) in use.docs_freq}
+        if stats is not None and stats.docs_freq:
+            # fall back to local df for terms absent from the injection
+            for (t, c, d) in local.docs_freq:
+                df_map.setdefault((c, t), d)
+        avgdl = {
+            c: (use.total_num_tokens.get(c, 0) / n_docs) if n_docs else 1.0
+            for c in cfg.columns
+        }
+
+        # atom subscription: concrete (col, term) -> [atom ids]
+        subs: dict[tuple[str, str], list[int]] = {}
+        for i, (col, term) in enumerate(atoms):
+            targets = [col] if col is not None else cfg.columns
+            for c in targets:
+                subs.setdefault((c, term), []).append(i)
+
+        idf_map = {
+            (c, t): float(bm25.idf(df_map.get((c, t), 0), n_docs))
+            for (c, t) in subs
+        }
+        tomb = self._tombstone_array()
+        sc = self.spark.sparkContext
+        b_subs = sc.broadcast(subs)
+        b_idf = sc.broadcast(idf_map)
+        b_avgdl = sc.broadcast(avgdl)
+        b_tomb = sc.broadcast(tomb)
+        b_alive = sc.broadcast(alive_bitmap)
+        norm_table = FIELD_NORMS_TABLE  # tiny, ships in closure
+
+        def decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs_doc, outs_atom, outs_score = [], [], []
+                for r in pdf.itertuples(index=False):
+                    key = (r.col, r.term)
+                    atom_ids = b_subs.value.get(key)
+                    if not atom_ids:
+                        continue
+                    doc_ids, tfs, norm_ids = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, block_size
+                    )
+                    mask = np.ones(doc_ids.shape[0], dtype=bool)
+                    tombs = b_tomb.value
+                    if tombs.size:
+                        mask &= ~np.isin(doc_ids, tombs, assume_unique=False)
+                    if b_alive.value is not None:
+                        mask &= mask_for_row_ids(doc_ids, b_alive.value)
+                    if not mask.all():
+                        doc_ids, tfs, norm_ids = doc_ids[mask], tfs[mask], norm_ids[mask]
+                    if doc_ids.size == 0:
+                        continue
+                    norm_d = bm25.doc_norm(
+                        norm_table[norm_ids], b_avgdl.value.get(r.col, 1.0), k1, b
+                    )
+                    scores = bm25.term_score(
+                        tfs, b_idf.value[key], norm_d, k1
+                    )
+                    for a in atom_ids:
+                        outs_doc.append(doc_ids)
+                        outs_atom.append(np.full(doc_ids.shape[0], a, dtype=np.int32))
+                        outs_score.append(scores)
+                if outs_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(outs_doc),
+                            "atom": np.concatenate(outs_atom),
+                            "score": np.concatenate(outs_score),
+                        }
+                    )
+
+        cand = self._candidate_postings(atoms)
+        return cand.mapInPandas(decode_score, "doc_id long, atom int, score double")
+
+    def bm25_search(
+        self,
+        sentence: str,
+        column_names: list[str] | None = None,
+        top_k: int = 10,
+        operator_or: bool = False,
+        alive_bitmap: bytes | None = None,
+        enable_nlq: bool = False,
+        statistics: Statistics | None = None,
+        with_docs: bool = False,
+        limit: bool = True,
+    ) -> DataFrame:
+        """Top-k BM25. Returns DataFrame(row_id long, score double) ordered
+        by (score desc, row_id asc) — the reference RowIdWithScore total
+        order (src/lib.rs:248-266)."""
+        cols = [c for c in (column_names or self.config.columns)
+                if c in self.config.columns]
+        analyzers = self._analyzers()
+        if enable_nlq:
+            tree = qt.parse_nlq(
+                sentence, cols, analyzers, conjunction_by_default=not operator_or
+            )
+        else:
+            tokens_by_col = {c: analyzers[c](sentence) for c in cols}
+            tree = qt.standard_query_tree(tokens_by_col, operator_or)
+
+        empty = self.spark.createDataFrame([], "row_id long, score double")
+        if tree is None:
+            return empty
+        atoms = qt.collect_atoms(tree)
+        if not atoms:
+            return empty
+        atom_index = {a: i for i, a in enumerate(atoms)}
+
+        scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
+        aggs = []
+        for i in range(len(atoms)):
+            hit = F.when(F.col("atom") == i, F.lit(1))
+            aggs.append(F.max(hit).alias(f"m{i}"))
+            aggs.append(
+                F.sum(F.when(F.col("atom") == i, F.col("score"))).alias(f"s{i}")
+            )
+        per_doc = scored.groupBy("doc_id").agg(*aggs)
+        matched, score = qt.compile_tree(tree, atom_index)
+        out = (
+            per_doc.where(matched)
+            .select(F.col("doc_id").alias("row_id"), score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("row_id"))
+        )
+        if limit:
+            out = out.limit(top_k)
+        if with_docs:
+            out = out.join(self.docs.withColumnRenamed("doc_id", "row_id"),
+                           "row_id", "left").orderBy(F.desc("score"), F.asc("row_id"))
+        return out
+
+    # ---------------------------------------------------------------- bitmaps
+    def _doc_ids_for_terms(self, col: str, tokens: list[str]) -> DataFrame:
+        """TermSetQuery semantics: OR of tokens -> distinct doc ids
+        (tombstones excluded)."""
+        if not tokens:
+            return self.spark.createDataFrame([], "row_id long")
+        uniq = sorted(set(tokens))
+        buckets = sorted({term_bucket(t, self.config.n_buckets) for t in uniq})
+        cand = self._postings.where(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(uniq)
+            & (F.col("col") == col)
+        )
+        block_size = self.config.block_size
+        tomb = self._tombstone_array()
+        b_tomb = self.spark.sparkContext.broadcast(tomb)
+
+        def decode_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    doc_ids, _, _ = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, block_size
+                    )
+                    tombs = b_tomb.value
+                    if tombs.size:
+                        doc_ids = doc_ids[~np.isin(doc_ids, tombs)]
+                    outs.append(doc_ids)
+                if outs:
+                    yield pd.DataFrame({"row_id": np.concatenate(outs)})
+
+        return cand.mapInPandas(decode_ids, "row_id long").distinct()
+
+    def query_term_bitmap_df(self, col: str, term: str) -> DataFrame:
+        return self._doc_ids_for_terms(col, self.config.analyzer(col)(term))
+
+    def query_term_bitmap(self, col: str, term: str) -> bytes:
+        return self._collect_bitmap(self.query_term_bitmap_df(col, term))
+
+    def query_terms_bitmap_df(self, col: str, terms: list[str]) -> DataFrame:
+        an = self.config.analyzer(col)
+        toks = [t for term in terms for t in an(term)]
+        return self._doc_ids_for_terms(col, toks)
+
+    def query_terms_bitmap(self, col: str, terms: list[str]) -> bytes:
+        return self._collect_bitmap(self.query_terms_bitmap_df(col, terms))
+
+    def query_sentence_bitmap_df(self, col: str, sentence: str) -> DataFrame:
+        return self._doc_ids_for_terms(col, self.config.analyzer(col)(sentence))
+
+    def query_sentence_bitmap(self, col: str, sentence: str) -> bytes:
+        return self._collect_bitmap(self.query_sentence_bitmap_df(col, sentence))
+
+    def regex_term_bitmap_df(self, col: str, like_pattern: str) -> DataFrame:
+        """Q4: LIKE -> regex over the term dictionary, then posting union.
+
+        The pattern is lowercased iff the column's chain lowercases
+        (reference api_regex_term_bitmap.rs:28-40); RegexQuery matches the
+        WHOLE term, hence the ^$ anchors."""
+        pat = like_to_regex(like_pattern)
+        if self.config.lowercases(col):
+            pat = pat.lower()
+        matching = (
+            self._stats.where((F.col("col") == col)
+                              & F.col("term").rlike(f"^(?:{pat})$"))
+            .select("term")
+        )
+        cand = self._postings.where(F.col("col") == col).join(
+            F.broadcast(matching), "term", "left_semi"
+        )
+        block_size = self.config.block_size
+        tomb = self._tombstone_array()
+        b_tomb = self.spark.sparkContext.broadcast(tomb)
+
+        def decode_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    doc_ids, _, _ = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, block_size
+                    )
+                    tombs = b_tomb.value
+                    if tombs.size:
+                        doc_ids = doc_ids[~np.isin(doc_ids, tombs)]
+                    outs.append(doc_ids)
+                if outs:
+                    yield pd.DataFrame({"row_id": np.concatenate(outs)})
+
+        return cand.mapInPandas(decode_ids, "row_id long").distinct()
+
+    def regex_term_bitmap(self, col: str, like_pattern: str) -> bytes:
+        return self._collect_bitmap(self.regex_term_bitmap_df(col, like_pattern))
+
+    def _collect_bitmap(self, df: DataFrame) -> bytes:
+        ids = [r["row_id"] for r in df.collect()]
+        return row_ids_to_u8_bitmap(ids)

@@ -1,0 +1,331 @@
+"""Query AST + compilation to native Spark Column expressions.
+
+Reproduces the semantics of the reference's two query families
+(SURVEY.md §2.4):
+
+* standard (`bm25_standard_search`): per target column, tokenize the
+  sentence with that column's analyzer, combine the column's tokens with
+  AND or OR, and OR the per-column groups together
+  (behavior of /root/reference/src/search/implements/strategy/
+  bm25_standard_query.rs:23-104).
+* nlq (`bm25_natural_language_search`): a small recursive-descent parser
+  for the grammar subset the reference test-suite exercises —
+  ``col:term``, ``col:(a b c)``, parentheses, infix ``OR``/``AND``, bare
+  terms over all default columns, default conjunction when
+  ``operator_or=False`` (QueryParser::set_conjunction_by_default).
+
+Scoring follows Lucene/Tantivy BooleanQuery: a document's score is the
+sum of the scores of its *matching* subtrees; a Must (AND) group
+contributes only when every child matches.  The tree compiles bottom-up
+to Spark Column expressions over per-atom aggregated columns (``m<i>``
+matched flags, ``s<i>`` score sums), so evaluation is whole-stage
+codegen'd JVM work — no Python in the scoring hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, functions as F
+
+
+@dataclass
+class Term:
+    col: str | None  # None = any default column
+    text: str  # already analyzed token
+
+
+@dataclass
+class And:
+    children: list = field(default_factory=list)
+
+
+@dataclass
+class Or:
+    children: list = field(default_factory=list)
+
+
+def standard_query_tree(
+    tokens_by_col: dict[str, list[str]], operator_or: bool
+):
+    """Per-column token groups, AND/OR within a column, OR across columns."""
+    groups = []
+    for col, toks in tokens_by_col.items():
+        # reference multiterms queries are term-set based: dedup, keep order
+        uniq = list(dict.fromkeys(toks))
+        if not uniq:
+            continue
+        terms = [Term(col, t) for t in uniq]
+        groups.append(Or(terms) if operator_or else And(terms))
+    if not groups:
+        return None
+    return Or(groups) if len(groups) > 1 else groups[0]
+
+
+# ---------------------------------------------------------------------------
+# NLQ parser (subset)
+# ---------------------------------------------------------------------------
+
+
+class NlqError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[str]:
+    out: list[str] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c in "()":
+            out.append(c)
+            i += 1
+        elif c == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                raise NlqError("unterminated quote")
+            out.append(q[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not q[j].isspace() and q[j] not in "()":
+                j += 1
+            out.append(q[i:j])
+            i = j
+    return out
+
+
+def parse_nlq(
+    query: str,
+    default_columns: list[str],
+    analyzers: dict[str, callable],
+    conjunction_by_default: bool,
+):
+    """Parse the NLQ grammar subset into a Term/And/Or tree (or None)."""
+    toks = _lex(query)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def analyzed_term(col: str | None, text: str):
+        """Analyze raw text for one column (or all defaults) -> node."""
+        if col is not None:
+            pieces = analyzers[col](text)
+            terms = [Term(col, p) for p in pieces]
+        else:
+            # bare term: Should across default columns (per-column analysis)
+            by_col = []
+            for c in default_columns:
+                pieces = analyzers[c](text)
+                if len(pieces) == 1:
+                    by_col.append(Term(c, pieces[0]))
+                elif len(pieces) > 1:
+                    sub = [Term(c, p) for p in pieces]
+                    by_col.append(And(sub) if conjunction_by_default else Or(sub))
+            if not by_col:
+                return None
+            return by_col[0] if len(by_col) == 1 else Or(by_col)
+        if not terms:
+            return None  # fully stopworded away
+        if len(terms) == 1:
+            return terms[0]
+        return And(terms) if conjunction_by_default else Or(terms)
+
+    def parse_unit():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            return None
+        if t == "(":
+            pos += 1
+            node = parse_or()
+            if peek() != ")":
+                raise NlqError("missing )")
+            pos += 1
+            return node
+        if t == ")":
+            return None
+        pos += 1
+        if t.startswith('"') and t.endswith('"'):
+            # quoted phrase -> AND group (positions are not indexed; the
+            # reference suite never issues phrase queries — SURVEY.md §2)
+            return _quoted(t[1:-1])
+        if ":" in t and not t.startswith(":"):
+            col, rest = t.split(":", 1)
+            if col not in analyzers:
+                raise NlqError(f"unknown field: {col}")
+            if rest == "(" or rest == "":
+                # col:( ... ) with space or col:(...) split by lexer only if
+                # the '(' was attached; handle "col:(a" token shape below
+                if rest == "":
+                    if peek() == "(":
+                        pos += 1
+                        inner = parse_field_group(col)
+                        return inner
+                    raise NlqError("empty field term")
+            if rest.startswith("("):
+                # token like 'col:(a' — push back remainder
+                return parse_field_group_inline(col, rest)
+            return analyzed_term(col, rest)
+        return analyzed_term(None, t)
+
+    def parse_field_group(col: str):
+        nonlocal pos
+        texts = []
+        while peek() is not None and peek() != ")":
+            texts.append(toks[pos])
+            pos += 1
+        if peek() != ")":
+            raise NlqError("missing ) in field group")
+        pos += 1
+        return field_group_node(col, texts)
+
+    def parse_field_group_inline(col: str, rest: str):
+        nonlocal pos
+        texts = []
+        first = rest[1:]
+        closed = False
+        if first.endswith(")"):
+            first, closed = first[:-1], True
+        if first:
+            texts.append(first)
+        while not closed and peek() is not None:
+            t = toks[pos]
+            pos += 1
+            if t == ")":
+                closed = True
+                break
+            if t.endswith(")"):
+                texts.append(t[:-1])
+                closed = True
+                break
+            texts.append(t)
+        if not closed:
+            raise NlqError("missing ) in field group")
+        return field_group_node(col, texts)
+
+    def field_group_node(col: str, texts: list[str]):
+        pieces: list[str] = []
+        for x in texts:
+            pieces.extend(analyzers[col](x))
+        pieces = list(dict.fromkeys(pieces))
+        if not pieces:
+            return None
+        terms = [Term(col, p) for p in pieces]
+        if len(terms) == 1:
+            return terms[0]
+        return And(terms) if conjunction_by_default else Or(terms)
+
+    def _quoted(text: str):
+        by_col = []
+        for c in default_columns:
+            pieces = analyzers[c](text)
+            if pieces:
+                terms = [Term(c, p) for p in pieces]
+                by_col.append(terms[0] if len(terms) == 1 else And(terms))
+        if not by_col:
+            return None
+        return by_col[0] if len(by_col) == 1 else Or(by_col)
+
+    def parse_and_seq():
+        nonlocal pos
+        units = []
+        while True:
+            t = peek()
+            if t is None or t == ")" or t == "OR":
+                break
+            if t == "AND":
+                pos += 1
+                continue
+            u = parse_unit()
+            if u is not None:
+                units.append(u)
+        if not units:
+            return None
+        if len(units) == 1:
+            return units[0]
+        return And(units) if conjunction_by_default else Or(units)
+
+    def parse_or():
+        nonlocal pos
+        parts = []
+        first = parse_and_seq()
+        if first is not None:
+            parts.append(first)
+        while peek() == "OR":
+            pos += 1
+            nxt = parse_and_seq()
+            if nxt is not None:
+                parts.append(nxt)
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise NlqError(f"trailing tokens: {toks[pos:]}")
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# Atom extraction + Column compilation
+# ---------------------------------------------------------------------------
+
+
+def collect_atoms(tree) -> list[tuple[str | None, str]]:
+    """Distinct (col, term) leaves in tree order."""
+    atoms: list[tuple[str | None, str]] = []
+    seen = set()
+
+    def walk(node):
+        if node is None:
+            return
+        if isinstance(node, Term):
+            key = (node.col, node.text)
+            if key not in seen:
+                seen.add(key)
+                atoms.append(key)
+        else:
+            for c in node.children:
+                walk(c)
+
+    walk(tree)
+    return atoms
+
+
+def compile_tree(tree, atom_index: dict[tuple[str | None, str], int]) -> tuple[Column, Column]:
+    """Tree -> (matched: Column<bool>, score: Column<double>).
+
+    Operates on an aggregated row with columns ``m<i>`` (int 0/1) and
+    ``s<i>`` (double, null if unmatched) per atom.
+    """
+
+    def walk(node) -> tuple[Column, Column]:
+        if isinstance(node, Term):
+            i = atom_index[(node.col, node.text)]
+            matched = F.col(f"m{i}") == 1
+            score = F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+            return matched, F.when(matched, score).otherwise(F.lit(0.0))
+        kids = [walk(c) for c in node.children if c is not None]
+        if not kids:
+            return F.lit(False), F.lit(0.0)
+        if isinstance(node, And):
+            matched = kids[0][0]
+            for m, _ in kids[1:]:
+                matched = matched & m
+            total = kids[0][1]
+            for _, s in kids[1:]:
+                total = total + s
+            return matched, F.when(matched, total).otherwise(F.lit(0.0))
+        # Or
+        matched = kids[0][0]
+        for m, _ in kids[1:]:
+            matched = matched | m
+        total = kids[0][1]
+        for _, s in kids[1:]:
+            total = total + s
+        return matched, total
+
+    return walk(tree)

@@ -1,0 +1,59 @@
+"""Arrow-vectorized tokenization helpers shared by build & query UDFs.
+
+The Spark layer never uses row-at-a-time Python UDFs (input_hint: "no
+per-row Python"); everything crosses the JVM/Python boundary as Arrow
+batches via mapInPandas / applyInPandas, and the hot loops below operate
+on whole pandas Series / numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tantivy_search_spark.tokenizers import analyzer_from_config
+
+
+def tokenize_series(s: pd.Series, tokenizer_cfg: dict) -> pd.Series:
+    """Series[str] -> Series[list[str]] using one column's analyzer chain.
+
+    ``analyzer_from_config`` is lru-cached, so the chain is built once per
+    executor; the per-element regex work happens in C via ``re``.
+    """
+    analyzer = analyzer_from_config(tokenizer_cfg)
+    filled = s.fillna("")
+    return filled.map(analyzer)
+
+
+def term_doc_tf(
+    tokens: pd.Series, doc_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Explode per-doc token lists into sorted (term, doc_id, tf) triples.
+
+    Returns (terms: object ndarray, doc_ids, tfs, doclens) where the first
+    three are sorted by (term, doc_id) and doclens is per-input-doc raw
+    token count (the fieldnorm source). Pure numpy/pandas — no per-token
+    Python loop.
+    """
+    lens = tokens.map(len).to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return (
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            lens,
+        )
+    flat = np.concatenate([t if t else [] for t in tokens]).astype(object)
+    drep = np.repeat(doc_ids, lens)
+    grouped = (
+        pd.DataFrame({"t": flat, "d": drep})
+        .groupby(["t", "d"], sort=True)
+        .size()
+        .reset_index(name="tf")
+    )
+    return (
+        grouped["t"].to_numpy(dtype=object),
+        grouped["d"].to_numpy(dtype=np.int64),
+        grouped["tf"].to_numpy(dtype=np.int64),
+        lens,
+    )

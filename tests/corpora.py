@@ -1,0 +1,157 @@
+"""Golden test corpora — fixture DATA transcribed from the reference's
+test suite (not code): /root/reference/src/common/test_util.rs:32-59
+(corpus A, 5 rows) and :289-399 (corpus B, 10+20 rows), per FIXTURES.md
+("copy verbatim when implementing").  Golden scores/counts asserted in
+the tests come from the reference's unit tests
+(api_bm25_standard_search.rs / api_bm25_nlq_search.rs).
+"""
+
+CORPUS_A_COL1 = [
+    "Ancient empires rise and fall, shaping history's course.",
+    "Artistic expressions reflect diverse cultural heritages.",
+    "Social movements transform societies, forging new paths.",
+    "Strategic military campaigns alter the balance of power.",
+    "Ancient philosophies provide wisdom for modern dilemmas.",
+]
+CORPUS_A_COL2 = [
+    "Brave explorers venture into uncharted territories, expanding horizons.",
+    "Brilliant minds unravel nature's judgment through scientific inquiry.",
+    "Economic systems evolve, influencing global trade and prosperity.",
+    "Environmental challenges demand innovative solutions for sustainability.",
+    "Ethical dilemmas test the boundaries of moral reasoning and Judgment.",
+]
+CORPUS_A_COL3 = [
+    "Groundbreaking inventions revolutionize industries and daily life.",
+    "Iconic leaders inspire generations with their vision and charisma.",
+    "Literary masterpieces capture the essence of the human experience.",
+    "Majestic natural wonders showcase the breathtaking beauty of Earth.",
+    "Philosophical debates shape our understanding of reality and existence.",
+]
+
+
+def corpus_a_rows():
+    return [
+        {"doc_id": i, "col1": CORPUS_A_COL1[i], "col2": CORPUS_A_COL2[i],
+         "col3": CORPUS_A_COL3[i]}
+        for i in range(5)
+    ]
+
+
+PART0_COL1 = [
+    "Ancient empires rise and fall, shaping history's course.",
+    "Artistic expressions reflect diverse cultural heritages.",
+    "Social movements transform societies, forging new paths.",
+    "Strategic military campaigns alter the balance of power.",
+    "Ancient philosophies provide wisdom for modern dilemmas.",
+    "Revolutionary leaders challenge the status quo, inspiring change.",
+    "Architectural wonders stand as testaments to human creativity.",
+    "Trade routes expand horizons, connecting distant cultures.",
+    "Great thinkers challenge societal norms, advancing human thought.",
+    "Historic discoveries uncover lost civilizations and their secrets.",
+]
+PART0_COL2 = [
+    "Brave explorers venture into uncharted territories, expanding horizons.",
+    "Brilliant minds unravel nature's judgment through scientific inquiry.",
+    "Economic systems evolve, influencing global trade and prosperity.",
+    "Environmental challenges demand innovative solutions for sustainability.",
+    "Ethical dilemmas test the boundaries of moral reasoning and judgment.",
+    "Technological innovations disrupt industries, creating new markets.",
+    "Education reforms empower future generations with knowledge.",
+    "Civic movements advocate for justice and equality.",
+    "Art and music fuse to express the unspoken language of cultures.",
+    "Medicine advances, pushing the boundaries of human health and longevity.",
+]
+PART0_COL3 = [
+    "Groundbreaking inventions revolutionize industries and daily life.",
+    "Iconic leaders inspire generations with their vision and charisma.",
+    "Literary masterpieces capture the essence of the human experience.",
+    "Majestic natural wonders showcase the breathtaking beauty of Earth.",
+    "Philosophical debates shape our understanding of reality and existence.",
+    "Scientific breakthroughs offer solutions to global challenges.",
+    "Humanitarian efforts alleviate suffering and provide hope.",
+    "Sustainable practices protect ecosystems for future generations.",
+    "Digital transformation reshapes the way societies function.",
+    "Athletic achievements inspire excellence and unity in sports.",
+]
+PART1_COL1 = [
+    "Technological advancements redefine the future of work and leisure.",
+    "Historic treaties shape the geopolitical landscape of nations.",
+    "Culinary traditions blend to create unique global cuisines.",
+    "Dynamic educational methods reshape learning paradigms.",
+    "Vibrant festivals celebrate the rich tapestry of human cultures.",
+    "Innovative art forms emerge, blending tradition with modernity.",
+    "Migration patterns influence cultural exchanges and societal integration.",
+    "Social media revolutionizes communication, fostering global connections.",
+    "Climate change advocacy prompts action and policy change.",
+    "Entrepreneurial ventures spur economic growth and innovation.",
+    "Classical music orchestras innovate with modern compositions.",
+    "Digital literacy programs bridge the gap between generations.",
+    "Healthcare equity becomes a primary focus in policy development.",
+    "Art conservation techniques evolve with new science and technology.",
+    "Public transportation upgrades reduce congestion and pollution.",
+    "Heritage languages are revitalized through educational programs.",
+    "Urban renewal projects transform declining areas into vibrant communities.",
+    "Data privacy laws strengthen protection for consumers.",
+    "Microfinance institutions support small businesses in developing countries.",
+    "Disaster-resistant infrastructure mitigates the effects of extreme weather.",
+]
+PART1_COL2 = [
+    "Innovators pioneer sustainable energy solutions to combat climate change.",
+    "Researchers decode genetic mysteries, unlocking new medical treatments.",
+    "Financial markets adapt to emerging technologies and changing economies.",
+    "Urban planners design smart cities for increased livability and efficiency.",
+    "Human health rights movements advocate for equality and justice worldwide.",
+    "Autonomous vehicles transform the transportation industry.",
+    "Cybersecurity measures intensify in response to growing threats.",
+    "Space exploration reaches new frontiers, aiming for Mars colonization.",
+    "Renewable resources gain prominence, reducing reliance on fossil fuels.",
+    "Cultural heritage sites receive modern tech for preservation and education.",
+    "Agricultural drones improve crop monitoring and management.",
+    "Biodiversity research drives conservation efforts worldwide.",
+    "E-learning platforms expand access to education across borders.",
+    "Mass transit systems innovate with green technology.",
+    "Nutrition science advances understanding of diet and health.",
+    "Renewable energy projects proliferate, driven by policy and technology.",
+    "Social entrepreneurship tackles societal issues with innovative business models.",
+    "Virtual museums make art accessible to a global audience.",
+    "Water purification technologies address global drinking water shortages.",
+    "Wildlife corridors facilitate animal movement and habitat connectivity.",
+]
+PART1_COL3 = [
+    "Pioneering space missions explore the uncharted realms of the cosmos.",
+    "Renowned artists disrupt traditional mediums with digital art.",
+    "Global collaborations foster peace and understanding among nations.",
+    "Revolutionary sports techniques enhance athlete performance and safety.",
+    "Scientific debates highlight the ethical considerations of AI advancements.",
+    "Virtual reality revolutionizes training and education sectors.",
+    "Oceanic research vessels uncover mysteries of the deep sea.",
+    "Archaeological findings rewrite history with new discoveries.",
+    "Telehealth becomes integral to modern healthcare systems.",
+    "Advancements in robotics automate tasks, improving efficiency and safety.",
+    "Augmented reality applications enhance user experiences in various sectors.",
+    "Biotechnology firms engineer solutions for environmental and health issues.",
+    "Community gardens increase local food production and community engagement.",
+    "Drone technology advances impact surveillance, delivery, and entertainment sectors.",
+    "Eco-friendly buildings set new standards for sustainable construction.",
+    "Futuristic transportation concepts promise speed and sustainability.",
+    "Genetic research sheds light on diseases and potential therapies.",
+    "Holographic displays revolutionize entertainment and advertising.",
+    "Interactive learning tools transform educational experiences.",
+    "Job automation trends reshape workforce dynamics and skill demands.",
+]
+
+
+def part0_rows(base_id: int = 0):
+    return [
+        {"doc_id": base_id + i, "col1": PART0_COL1[i], "col2": PART0_COL2[i],
+         "col3": PART0_COL3[i]}
+        for i in range(10)
+    ]
+
+
+def part1_rows(base_id: int = 10):
+    return [
+        {"doc_id": base_id + i, "col1": PART1_COL1[i], "col2": PART1_COL2[i],
+         "col3": PART1_COL3[i]}
+        for i in range(20)
+    ]

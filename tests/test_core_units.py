@@ -1,0 +1,214 @@
+"""Pure-python unit tests: fieldnorm table, tokenizer chains, bitmap
+codec, LIKE->regex, posting block codec, config validation."""
+
+import numpy as np
+import pytest
+
+from tantivy_search_spark import bitmap as bm
+from tantivy_search_spark import fieldnorm as fn
+from tantivy_search_spark.config import IndexConfig, verify_index_parameter
+from tantivy_search_spark.index.layout import decode_blocks, encode_blocks
+from tantivy_search_spark.tokenizers import build_analyzer
+
+
+class TestFieldnorm:
+    def test_identity_region(self):
+        assert (fn.FIELD_NORMS_TABLE[:40] == np.arange(40)).all()
+
+    def test_exponential_prefix(self):
+        # Lucene/Tantivy byte4 ramp: 4 steps per octave after 40
+        assert list(fn.FIELD_NORMS_TABLE[40:52]) == [
+            40, 42, 44, 46, 48, 52, 56, 60, 64, 72, 80, 88]
+
+    def test_monotonic(self):
+        assert (np.diff(fn.FIELD_NORMS_TABLE.astype(np.int64)) > 0).all()
+
+    def test_roundtrip_small_exact(self):
+        lens = np.arange(40)
+        assert (fn.quantize_len(lens) == lens).all()
+
+    def test_quantize_rounds_down(self):
+        assert fn.quantize_len(np.array([41]))[0] == 40
+        assert fn.quantize_len(np.array([47]))[0] == 46
+        assert fn.quantize_len(np.array([100_000]))[0] <= 100_000
+
+    def test_encode_decode_consistent(self):
+        lens = np.array([0, 1, 39, 40, 41, 1000, 10**6])
+        ids = fn.fieldnorm_to_id(lens)
+        vals = fn.id_to_fieldnorm(ids)
+        assert (vals <= lens).all()
+        # next id would overshoot
+        nxt = np.minimum(ids.astype(int) + 1, 255)
+        assert all(fn.FIELD_NORMS_TABLE[nxt[i]] > lens[i] or ids[i] == 255
+                   for i in range(len(lens)))
+
+
+class TestTokenizers:
+    def test_default_chain(self):
+        an = build_analyzer("default")
+        assert an("Ancient empires rise and fall, shaping history's course.") == [
+            "ancient", "empires", "rise", "and", "fall", "shaping",
+            "history", "s", "course"]
+
+    def test_default_underscore_splits(self):
+        # Rust char::is_alphanumeric excludes '_'
+        assert build_analyzer("default")("foo_bar baz") == ["foo", "bar", "baz"]
+
+    def test_remove_long_is_bytes(self):
+        an = build_analyzer("default")
+        # 39 ascii chars kept, 40 dropped
+        assert an("a" * 39) == ["a" * 39]
+        assert an("a" * 40) == []
+        # 20 two-byte chars = 40 utf-8 bytes -> dropped
+        assert an("é" * 20) == []
+        assert an("é" * 19) == ["é" * 19]
+
+    def test_raw(self):
+        an = build_analyzer("raw")
+        assert an("Hello World!") == ["Hello World!"]
+        assert an("") == []
+
+    def test_simple_stopwords_before_lowercase(self):
+        # stopword match is case-sensitive pre-lowering: "The" survives
+        # the (lowercase) stopword list, then gets lowercased.
+        an = build_analyzer(
+            "simple", stop_word_filters=("english",), case_sensitive=False)
+        assert an("The the dog") == ["the", "dog"]
+
+    def test_simple_case_sensitive(self):
+        an = build_analyzer("simple", case_sensitive=True)
+        assert an("Hello HELLO hello") == ["Hello", "HELLO", "hello"]
+
+    def test_whitespace(self):
+        an = build_analyzer("whitespace")
+        assert an("foo-bar baz.qux") == ["foo-bar", "baz.qux"]
+
+    def test_ngram(self):
+        an = build_analyzer("ngram", min_gram=2, max_gram=3)
+        assert an("abc") == ["ab", "abc", "bc"]
+
+    def test_ngram_prefix_only(self):
+        an = build_analyzer("ngram", min_gram=2, max_gram=3, prefix_only=True)
+        assert an("abcd") == ["ab", "abc"]
+
+    def test_ngram_invalid(self):
+        with pytest.raises(Exception):
+            build_analyzer("ngram", min_gram=3, max_gram=3)
+
+    def test_unicode_emoji_robust(self):
+        # UTF-8 robustness (FunctionalFFI.cpp English corpus contains 🦠)
+        an = build_analyzer("default")
+        toks = an("virus🦠mutation is rapid")
+        assert "virus" in toks and "mutation" in toks
+
+
+class TestBitmapCodec:
+    def test_golden_2_3_12(self):
+        assert bm.row_ids_to_u8_bitmap([2, 3, 12]) == bytes([12, 16])
+
+    def test_golden_0_17_26(self):
+        assert bm.row_ids_to_u8_bitmap([0, 17, 26]) == bytes([1, 0, 2, 4])
+
+    def test_empty(self):
+        assert bm.row_ids_to_u8_bitmap([]) == b""
+        assert bm.u8_bitmap_to_row_ids(b"").size == 0
+
+    def test_roundtrip(self):
+        ids = [0, 1, 7, 8, 63, 64, 1000]
+        out = bm.u8_bitmap_to_row_ids(bm.row_ids_to_u8_bitmap(ids))
+        assert list(out) == ids
+
+    def test_is_row_id_exist(self):
+        b = bm.row_ids_to_u8_bitmap([4])  # bytes([16])
+        assert bm.is_row_id_exist(4, b)
+        assert not bm.is_row_id_exist(3, b)
+        assert not bm.is_row_id_exist(400, b)
+
+    def test_mask_for_row_ids(self):
+        b = bm.row_ids_to_u8_bitmap([1, 9, 300])
+        ids = np.array([0, 1, 9, 10, 300, 10**9], dtype=np.int64)
+        assert list(bm.mask_for_row_ids(ids, b)) == [
+            False, True, True, False, True, False]
+
+
+class TestLikeToRegex:
+    # goldens from convert_utils.rs:115-150
+    CASES = [
+        ("a%b_c", "a.*b.c"),
+        (r"a\%b\_c", "a%b_c"),
+        (r"a\\%b", r"a\\.*b"),
+        ("%", ".*"),
+        ("_", "."),
+        ("a.b", r"a\.b"),
+        ("a+b", r"a\+b"),
+        ("(a)[b]{c}|d^e$f", r"\(a\)\[b\]\{c\}\|d\^e\$f"),
+        (r"a%b_c\%d\_e\\", r"a.*b.c%d_e\\"),
+        ("An%ent", "An.*ent"),
+        ("E%no__c", "E.*no..c"),
+    ]
+
+    @pytest.mark.parametrize("like,regex", CASES)
+    def test_cases(self, like, regex):
+        assert bm.like_to_regex(like) == regex
+
+
+class TestBlockCodec:
+    def test_roundtrip_multi_block(self):
+        rng = np.random.default_rng(7)
+        ids = np.unique(rng.integers(0, 10**9, 3000)).astype(np.int64)
+        tfs = rng.integers(1, 50, ids.size).astype(np.int64)
+        nms = rng.integers(0, 256, ids.size).astype(np.uint8)
+        enc = encode_blocks(ids, tfs, nms, 128)
+        d, t, m = decode_blocks(enc["block_first"], enc["deltas"], enc["tfs"],
+                                enc["norms"], 128)
+        assert (d == ids).all() and (t == tfs).all() and (m == nms).all()
+
+    def test_block_max_metadata(self):
+        ids = np.arange(0, 300, dtype=np.int64)
+        tfs = np.arange(1, 301, dtype=np.int64)
+        nms = np.full(300, 9, dtype=np.uint8)
+        enc = encode_blocks(ids, tfs, nms, 128)
+        assert list(enc["block_max_tf"]) == [128, 256, 300]
+        assert list(enc["block_first"]) == [0, 128, 256]
+        assert list(enc["block_last"]) == [127, 255, 299]
+
+    def test_subset_decode(self):
+        ids = np.arange(0, 1000, 3, dtype=np.int64)
+        tfs = np.ones(ids.size, dtype=np.int64)
+        nms = np.zeros(ids.size, dtype=np.uint8)
+        enc = encode_blocks(ids, tfs, nms, 100)
+        keep = np.array([False, True, False, True])
+        d, _, _ = decode_blocks(enc["block_first"], enc["deltas"], enc["tfs"],
+                                enc["norms"], 100, keep)
+        assert (d == np.concatenate([ids[100:200], ids[300:]])).all()
+
+
+class TestConfig:
+    def test_valid_empty(self):
+        assert verify_index_parameter("{}")
+
+    def test_valid_stem(self):
+        assert verify_index_parameter(
+            '{"col1": {"tokenizer": {"type": "stem", "stop_word_filters":'
+            ' ["english"], "stem_languages": ["english"], "length_limit": 30}}}')
+
+    def test_unknown_type(self):
+        assert not verify_index_parameter('{"c": {"tokenizer": {"type": "nope"}}}')
+
+    def test_deny_unknown_fields(self):
+        assert not verify_index_parameter(
+            '{"c": {"tokenizer": {"type": "raw", "bogus": 1}}}')
+
+    def test_bad_ngram(self):
+        assert not verify_index_parameter(
+            '{"c": {"tokenizer": {"type": "ngram", "min_gram": 3, "max_gram": 3}}}')
+
+    def test_bad_json(self):
+        assert not verify_index_parameter("not json")
+
+    def test_roundtrip_meta(self):
+        cfg = IndexConfig.from_json(["a"], '{"a": {"tokenizer": {"type": "raw"}}}')
+        cfg2 = IndexConfig.from_meta_json(cfg.to_json())
+        assert cfg2.columns == ["a"]
+        assert not cfg2.lowercases("a")
+        assert cfg2.lowercases("unconfigured")
