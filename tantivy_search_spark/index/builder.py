@@ -297,10 +297,21 @@ class IndexBuilder:
         total_docs = docs_ck["total_docs"]
         metrics["stages"]["docs"] = docs_ck
 
-        num_parts = max(1, -(-total_docs // self.rows_per_part))
+        # doc_ids need not start at 0 (e.g. a later part of a global id
+        # space): derive the part range from the actual id bounds
+        bounds_ck = self._ckpt_done("id_bounds")
+        if bounds_ck is None:
+            r = self.spark.read.parquet(
+                os.path.join(self.index_path, DOCS_DIR)
+            ).agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+            bounds_ck = {"min_doc": int(r["lo"] or 0), "max_doc": int(r["hi"] or 0)}
+            self._ckpt_write("id_bounds", bounds_ck)
+        first_part = bounds_ck["min_doc"] // self.rows_per_part
+        last_part = bounds_ck["max_doc"] // self.rows_per_part
+        num_parts = max(1, last_part - first_part + 1)
 
         # ---- segments stage (chunked for resumability) ---------------------
-        chunk_bounds = np.linspace(0, num_parts, n_chunks + 1).astype(int)
+        chunk_bounds = np.linspace(first_part, last_part + 1, n_chunks + 1).astype(int)
         cfg_json = self.config.to_json()
         seg_path = os.path.join(self.index_path, SEGMENTS_DIR)
         seg_metrics = []
@@ -337,7 +348,12 @@ class IndexBuilder:
                 ).collect()
             ]
             secs = time.time() - t0
-            chunk_docs = min(hi * self.rows_per_part, total_docs) - lo * self.rows_per_part
+            chunk_docs = self.spark.read.parquet(
+                os.path.join(self.index_path, DOCS_DIR)
+            ).where(
+                (F.col("doc_id") >= lo * self.rows_per_part)
+                & (F.col("doc_id") < hi * self.rows_per_part)
+            ).count()
             ck = {"chunk": ci, "parts": [lo, hi], "secs": secs,
                   "docs": chunk_docs, "docs_per_sec": chunk_docs / max(secs, 1e-9),
                   "lineage": lineage}

@@ -1,0 +1,118 @@
+"""Delete semantics (reference B6, api_delete_row_ids.rs:45-78 /
+FunctionalFFI.cpp:66-75) and checkpoint/resume fault-injection
+(north_rule: resumable from checkpoint with per-partition lineage)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from corpora import corpus_a_rows
+
+
+@pytest.fixture()
+def fresh_index(spark, tmp_path):
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+    from tantivy_search_spark.search.engine import SearchIndex
+
+    path = str(tmp_path / "idx")
+    cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+    IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+        spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+    return SearchIndex(spark, path)
+
+
+class TestDeletes:
+    def test_delete_rust_variant(self, fresh_index):
+        """Delete {0,1,2,3}: 'Ancient' hits drop 2 -> 1 (row 4 remains)."""
+        ix = fresh_index
+        assert ix.bm25_search("Ancient", top_k=100, operator_or=True).count() == 2
+        assert ix.delete_row_ids([0, 1, 2, 3])
+        got = ix.bm25_search("Ancient", top_k=100, operator_or=True).collect()
+        assert [r["row_id"] for r in got] == [4]
+
+    def test_delete_nonexistent_tolerated(self, fresh_index):
+        ix = fresh_index
+        assert ix.delete_row_ids([0, 6, 1000])  # 6/1000 don't exist
+        got = ix.query_term_bitmap("col1", "Ancient")
+        assert got == bytes([16])  # only row 4 left
+
+    def test_delete_affects_bitmaps_and_counts(self, fresh_index):
+        ix = fresh_index
+        ix.delete_row_ids([4])
+        assert ix.query_term_bitmap("col1", "Ancient") == bytes([1])
+        assert ix.get_indexed_doc_counts() == 4
+        assert ix.regex_term_bitmap("col1", "An%ent") == bytes([1])
+
+
+class TestResume:
+    def test_chunk_resume_skips_completed(self, spark, tmp_path):
+        """Kill after chunk 0 -> restart completes and skips chunk 0."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+        from corpora import part0_rows, part1_rows
+
+        path = str(tmp_path / "resume_idx")
+        rows = part0_rows(0) + part1_rows(10)
+        df = spark.createDataFrame(rows)
+
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=5)
+
+        # simulate a crash mid-build: run build but blow up inside chunk 1
+        # by monkeypatching the checkpoint writer after chunk 0 completes
+        orig = b._ckpt_write
+        state = {"count": 0}
+
+        def bomb(name, payload):
+            orig(name, payload)
+            if name == "segments_chunk0":
+                raise RuntimeError("injected crash after chunk 0")
+
+        b._ckpt_write = bomb
+        with pytest.raises(RuntimeError):
+            b.build(df, id_col="doc_id", n_chunks=3)
+
+        # chunk0 checkpoint exists, chunk1/2 don't, no meta yet
+        ckdir = os.path.join(path, "_checkpoints")
+        assert os.path.exists(os.path.join(ckdir, "segments_chunk0.json"))
+        assert not os.path.exists(os.path.join(ckdir, "segments_chunk1.json"))
+        assert not os.path.exists(os.path.join(path, "_index_meta.json"))
+
+        # restart: fresh builder finishes, reusing chunk 0
+        chunk0_mtime = os.path.getmtime(os.path.join(ckdir, "segments_chunk0.json"))
+        b2 = IndexBuilder(spark, path, cfg, rows_per_part=5)
+        meta = b2.build(df, id_col="doc_id", n_chunks=3)
+        assert os.path.getmtime(
+            os.path.join(ckdir, "segments_chunk0.json")) == chunk0_mtime
+        assert meta.total_docs == 30
+
+        # resumed index answers correctly
+        ix = SearchIndex(spark, path)
+        assert ix.bm25_search("Human health", top_k=100).count() == 2
+
+        # lineage recorded per part
+        with open(os.path.join(ckdir, "segments_chunk0.json")) as f:
+            ck = json.load(f)
+        assert ck["docs_per_sec"] > 0
+        assert len(ck["lineage"]) >= 1
+        assert {"part_id", "terms", "postings", "tokens"} <= set(ck["lineage"][0])
+
+    def test_full_rebuild_after_done_is_noop(self, spark, tmp_path):
+        """Re-running build over a completed index skips all stages."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+
+        path = str(tmp_path / "noop_idx")
+        cfg = IndexConfig.from_json(["col1"], "{}")
+        df = spark.createDataFrame(corpus_a_rows())
+        b = IndexBuilder(spark, path, cfg, rows_per_part=2)
+        m1 = b.build(df, id_col="doc_id")
+        t0 = os.path.getmtime(os.path.join(path, "_checkpoints", "merge.json"))
+        m2 = IndexBuilder(spark, path, cfg, rows_per_part=2).build(df, id_col="doc_id")
+        assert os.path.getmtime(
+            os.path.join(path, "_checkpoints", "merge.json")) == t0
+        assert m2.total_docs == m1.total_docs
