@@ -1,0 +1,128 @@
+"""Benchmark harness: index-build throughput + query latencies at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total secs>, "unit": "sec",
+   "queries": {...per-stage secs...}, "sf": ...,
+   "build_docs_per_sec": ..., "bm25_p50_ms": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BM25_QUERIES = [
+    ("spark join order window", True),
+    ("merge sort hash table", True),
+    ("the fast query", False),
+    ("group filter scan batch stream", True),
+    ("customer order line value", False),
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+    from tantivy_search_spark.search.engine import SearchIndex
+    from tantivy_search_spark.pipeline import dedup, similarity
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tantivy-search-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+
+    # ---- index build ------------------------------------------------------
+    idx_path = f"/tmp/tss_bench_idx_{CPUS}"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    cfg = IndexConfig.from_json(["text"], "{}")
+    cfg.parts_per_shard = 8
+    t0 = time.time()
+    IndexBuilder(spark, idx_path, cfg,
+                 rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+        docs, id_col="doc_id")
+    build_secs = time.time() - t0
+    timings["index_build"] = round(build_secs, 3)
+
+    ix = SearchIndex(spark, idx_path)
+
+    # ---- BM25 latency (p50 over repeated runs) ----------------------------
+    lat10, lat100 = [], []
+    for rep in range(3):
+        for sentence, op_or in BM25_QUERIES:
+            t0 = time.time()
+            ix.bm25_search(sentence, top_k=10, operator_or=op_or).collect()
+            lat10.append(time.time() - t0)
+            t0 = time.time()
+            ix.bm25_search(sentence, top_k=100, operator_or=op_or).collect()
+            lat100.append(time.time() - t0)
+    timings["bm25_top10_p50"] = round(statistics.median(lat10), 3)
+    timings["bm25_top100_p50"] = round(statistics.median(lat100), 3)
+
+    # ---- bitmap query latency ---------------------------------------------
+    latb = []
+    for rep in range(3):
+        for term in ("spark", "window", "hash", "merge", "scan"):
+            t0 = time.time()
+            ix.query_term_bitmap("text", term)
+            latb.append(time.time() - t0)
+    timings["bitmap_term_p50"] = round(statistics.median(latb), 3)
+
+    # ---- pipeline ops ------------------------------------------------------
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2, threshold=0.2).count()
+    timings["minhash_lsh_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.exact_dedup(docs).count()
+    timings["exact_dedup"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 50)
+    t0 = time.time()
+    similarity.brute_force_topk(emb, queries, k=10).count()
+    timings["ann_brute_force"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "cpus": CPUS,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_secs, 1),
+        "bm25_top10_p50_ms": round(timings["bm25_top10_p50"] * 1000, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash functions are md5-derived 60-bit integers computed with
+BUILT-IN Spark expressions (F.md5 / F.conv) — fully JVM/codegen, no
+Python in any hot path, and bit-for-bit reproducible in ANSI SQL
+(DuckDB oracle parity).
+
+Operators:
+* exact_dedup           — hash-groupBy on normalized content
+* shingles              — w-word shingle arrays (basis for jaccard/minhash)
+* ngram_jaccard_pairs   — pairwise Jaccard over shingle sets via
+                          explode + self-join + count/union algebra
+* minhash_signatures    — n_perm md5-salted minhashes per doc
+* minhash_lsh_pairs     — banded LSH candidate pairs verified by true
+                          Jaccard (the scale path: candidates only, no
+                          full cross join)
+* simhash_signatures    — 60-bit weighted simhash per doc
+* simhash_pairs         — near-dup pairs within a Hamming radius using
+                          chunk-blocking (pigeonhole) + bit_count verify
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 60-bit md5 prefix as a bigint: deterministic, portable to ANSI SQL as
+#   CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 15)) AS BIGINT)  (DuckDB)
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _norm_text(text_col: str):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per doc: content group id, canonical doc, dup flag (keep-first)."""
+    withg = df.select(
+        "doc_id", F.md5(_norm_text(text_col)).alias("content_md5")
+    )
+    groups = withg.groupBy("content_md5").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        withg.join(groups, "content_md5")
+        .select(
+            "doc_id",
+            "content_md5",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame:
+    """doc_id + array of distinct w-word shingles (JVM higher-order fns)."""
+    toks = F.filter(F.split(_norm_text(text_col), " "),
+                    lambda t: F.length(t) > 0)
+    sh = F.when(
+        F.size(toks) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - w),
+                lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return df.select("doc_id", sh.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", w: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(a, b, jaccard) for all pairs with Jaccard >= threshold.
+
+    Scale path: explode shingles -> self-join on shingle (co-occurrence
+    counting) -> |A ∩ B| / (|A| + |B| - |A ∩ B|).  Shuffle is bounded by
+    sum over shingles of df^2 — selective because w-word shingles are
+    rare; hot shingles should be capped upstream for adversarial data.
+    """
+    sh = shingles(df, text_col, w)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inter = (
+        ex.alias("x")
+        .join(ex.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n", "nb"), "b")
+        .select(
+            "a", "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", w: int = 3, n_perm: int = 16
+) -> DataFrame:
+    """doc_id + minhash signature array (length n_perm).
+
+    Permutation i = min over shingles of H60(i || ':' || shingle) — the
+    salted-hash formulation (one md5 per (perm, shingle)); deterministic
+    and expressible in plain SQL, at the cost of n_perm hashes per
+    shingle.  For absolute throughput a (a*x+b) mod p family over one
+    hash is the classic alternative; salted md5 keeps every engine
+    bit-identical.
+    """
+    sh = shingles(df, text_col, w)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                                1, 15), 16, 10
+                ).cast("long"),
+            )
+        ),
+    )
+    return sh.select("doc_id", sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    rows_per_band = n_perm / bands; a pair becomes a candidate if any
+    band of the signature matches exactly (join on (band, band_hash) —
+    no cross join anywhere), then candidates are verified with true
+    shingle Jaccard >= threshold.
+    """
+    assert n_perm % bands == 0
+    r = n_perm // bands
+    sigs = minhash_signatures(df, text_col, w, n_perm)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.array_join(F.slice(F.col("minhash"), b * r + 1, r),
+                                       ",")).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    sh = shingles(df, text_col, w)
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "a")
+                  .withColumnRenamed("shingles", "sa"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("shingles", "sb"), "b")
+        .select(
+            "a", "b",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """60-bit tf-weighted simhash per doc, pure JVM expressions.
+
+    bit k set iff sum over distinct terms of tf * (+1 if bit k of
+    H60(term) else -1) > 0.
+    """
+    toks = F.filter(F.split(_norm_text(text_col), " "),
+                    lambda t: F.length(t) > 0)
+    tf = df.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", _h60(F.col("term")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"bit{k}")
+        for k in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sig = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"bit{k}") > 0, F.lit(1)).otherwise(F.lit(0))
+             .cast("long") * F.lit(2 ** k).cast("long"))
+            for k in range(bits)
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", bits: int = 60,
+    max_hamming: int = 3, chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the signature into `chunks` pieces; any
+    pair within radius < chunks shares at least one exact chunk, so the
+    join is on (chunk_idx, chunk_value) — never a cross join.
+    """
+    sig = simhash_signatures(df, text_col, bits)
+    step = bits // chunks
+    mask = (1 << step) - 1
+    pieces = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("simhash"), i * step)
+                .bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for i in range(chunks)
+        ])).alias("p"),
+    ).select("doc_id", "simhash", "p.chunk", "p.val")
+    return (
+        pieces.alias("x")
+        .join(pieces.alias("y"), ["chunk", "val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine >= threshold (exact, O(n^2)
+    comparisons — the verification tier; use similarity.lsh_buckets to
+    generate candidates at scale)."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    withn = emb.select(
+        F.col(id_col).alias("vid"), dv.alias("v"),
+        F.sqrt(F.aggregate(dv, F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("nrm"),
+    )
+    a, b = withn.alias("a"), withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("a"), F.col("b.vid").alias("b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

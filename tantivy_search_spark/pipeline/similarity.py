@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k per query (broadcast the query
+  set; one pass over the corpus; TakeOrdered per query).  The baseline
+  and the verification tier.
+* lsh_buckets / lsh_topk — random-hyperplane LSH: deterministic
+  pseudo-random hyperplanes from a seeded hash, bucket join instead of
+  cross join — the 100 TB path (probes only matching buckets).
+* ivf_topk — IVF-style: k-means-lite centroids via deterministic
+  sampling, probe the n_probe nearest cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dvec(col):
+    """float32 arrays -> double before any arithmetic: keeps results
+    bit-comparable across engines (DuckDB oracle does the same cast)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str):
+    dv = _dvec(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        dv.alias(f"{prefix}_v"),
+        F.sqrt(
+            F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)
+        ).alias(f"{prefix}_nrm"),
+    )
+
+
+def _cosine(av, bv, an, bn):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (an * bn)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k.
+
+    The query side is broadcast (small dim table); the corpus is scanned
+    once; per-query ranking is a window over (query_id) which AQE keeps
+    shuffle-light because the joined candidate set is |Q| * |corpus|
+    partition-local rows."""
+    c = _with_norm(corpus, id_col, vec_col, "n")
+    q = _with_norm(queries, query_id_col, vec_col, "q")
+    sims = (
+        c.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(
+                _cosine(F.col("q_v"), F.col("n_v"),
+                        F.col("q_nrm"), F.col("n_nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table sign-random-projection buckets (JVM expressions —
+    hyperplanes folded in as literal arrays).
+
+    Output: one row per (vector, table) with the table's bucket id.  At
+    scale the corpus side is written partitioned by (table, bucket) so a
+    query probes exactly n_tables files."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed).reshape(
+        n_tables, n_planes, dim)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            dot = F.aggregate(F.zip_with(F.col(vec_col), lit,
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda a, x: a + x)
+            bucket = bucket + F.when(dot > 0, F.lit(2 ** i)).otherwise(
+                F.lit(0)).cast("long")
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates collide with the query in at least one of
+    n_tables hash tables; candidates are scored exactly and ranked.
+    No cross join anywhere — the join key is (table, bucket)."""
+    corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
+    queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
+    cb = lsh_buckets(corpus, n_planes=n_planes, n_tables=n_tables,
+                     seed=seed, dim=dim)
+    qb = lsh_buckets(queries, n_planes=n_planes, n_tables=n_tables,
+                     seed=seed, dim=dim)
+    qn = qb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_v"),
+        "table", "bucket",
+        F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("q_nrm"),
+    )
+    cand = (
+        cb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_v"), "table", "bucket",
+            F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                               lambda a, x: a + x * x)).alias("n_nrm"),
+        )
+        .join(qn, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("q_v"), F.col("n_v"),
+                            F.col("q_nrm"), F.col("n_nrm")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-lite ANN: centroids = deterministic corpus sample; every vector
+    is assigned to its nearest centroid (one shuffle, keyed by cell);
+    queries probe the n_probe nearest cells."""
+    corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
+    queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
+    cents = [
+        (i, r["embedding"])
+        for i, r in enumerate(
+            corpus.orderBy(F.col("vec_id")).limit(n_cells).collect()
+        )
+    ]
+
+    def cell_expr(vcol):
+        best_i, best_d = F.lit(0), F.lit(float("inf"))
+        for i, c in cents:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(vcol, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, x: a + x)
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+        return best_i
+
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_v"),
+        cell_expr(F.col("embedding")).alias("cell"),
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("n_nrm"),
+    )
+    # queries probe n_probe nearest cells: rank cells per query
+    qcells = []
+    for i, cvec in cents:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(F.zip_with(F.col("embedding"), lit,
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, x: a + x)
+        qcells.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_v"),
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda a, x: a + x * x)).alias("q_nrm"),
+        F.slice(F.array_sort(F.array(*qcells)), 1, n_probe).alias("probes"),
+    ).select("query_id", "q_v", "q_nrm",
+             F.explode("probes.cell").alias("cell"))
+    cand = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(_cosine(F.col("q_v"), F.col("n_v"),
+                                F.col("q_nrm"), F.col("n_nrm")), 6)
+                .alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,199 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame algebra (JVM/codegen) where possible so
+they scale to 10^12 rows; Python appears only in Arrow-batched UDFs.
+
+Operators:
+* token_count        — whitespace tokens + BPE-ish subword piece count
+* quality_score      — length / punctuation / stopword-ratio heuristics
+* lang_id_markers    — marker-word language scoring (SQL-parity variant)
+* lang_id_ngram      — char-ngram profile scorer (richer, pytest-only)
+* fingerprint        — md5 content fingerprint + winnowing rolling-hash
+                       sketch (k-gram Rabin-Karp, standard winnowing)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from tantivy_search_spark.tokenizers import ENGLISH_STOP_WORDS
+
+# BPE-ish piece heuristic: alternating letter/digit runs, max 6 chars per
+# piece — a deterministic stand-in for a subword vocab, cheap in both
+# Spark and SQL (ceil(len/6) per word run).
+_BPE_MAX_PIECE = 6
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(id cols...) + n_ws_tokens, n_bpe_pieces, n_chars_norm."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.filter(toks, lambda t: F.length(t) > 0)
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / _BPE_MAX_PIECE).cast("long"),
+    )
+    return df.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        pieces.alias("n_bpe_pieces"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_text"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: doc length band, stopword ratio,
+    mean word length, digit ratio -> score in [0, 1]."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    n = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    mean_wlen = F.when(n > 0, F.aggregate(
+        toks, F.lit(0).cast("double"), lambda a, w: a + F.length(w)) / n
+    ).otherwise(F.lit(0.0))
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    ).cast("double")
+    len_band = (
+        F.when((n >= 20) & (n <= 1000), F.lit(1.0))
+        .when(n > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    stop_ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    score = (
+        0.4 * len_band
+        + 0.3 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.2 * F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0)
+        + 0.1 * (1.0 - F.least(digit_ratio * F.lit(10.0), F.lit(1.0)))
+    )
+    return df.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+#: tiny marker vocabularies per language (deterministic, SQL-replicable)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def lang_id_markers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language id: argmax over per-language marker hits,
+    'und' (undetermined) when no markers hit.  Ties break by language
+    code order for determinism."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            .alias(f"score_{lang}")
+        )
+    scored = df.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", *[F.col(f"score_{lang}") for lang in langs],
+                         pred.alias("pred_lang"))
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text",
+                  profiles: dict[str, dict[str, float]] | None = None) -> DataFrame:
+    """Char-trigram profile scorer (cosine against per-language profiles)
+    in an Arrow-batched UDF.  Default profiles are tiny built-ins for
+    en/es/de/fr; callers supply real profiles at scale."""
+    if profiles is None:
+        profiles = {
+            "en": {"the": 3.0, "ing": 2.0, "and": 2.0, "ion": 1.5, "ent": 1.2},
+            "es": {"que": 2.5, "ión": 2.0, "de ": 2.0, "la ": 1.8, "os ": 1.5},
+            "de": {"der": 2.5, "sch": 2.2, "ein": 2.0, "ich": 1.8, "und": 1.8},
+            "fr": {"les": 2.2, "ent": 2.0, "de ": 2.0, "que": 1.6, "ait": 1.5},
+        }
+    langs = sorted(profiles)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            best_lang = np.full(len(pdf), "und", dtype=object)
+            best_score = np.zeros(len(pdf))
+            for lang in langs:
+                prof = profiles[lang]
+                s = np.zeros(len(pdf))
+                for gram, w in prof.items():
+                    s += texts.str.count(gram).to_numpy() * w
+                out[f"ngram_score_{lang}"] = np.round(s, 6)
+                upd = s > best_score
+                best_lang[upd] = lang
+                best_score[upd] = s[upd]
+            out["pred_lang"] = best_lang
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"ngram_score_{lang} double" for lang in langs) + ", pred_lang string"
+    return df.select("doc_id", text_col).mapInPandas(score, schema)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                k: int = 8, window: int = 4) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity) plus
+    a winnowing sketch (min rolling Rabin-Karp hash per window of k-gram
+    hashes) for near-duplicate detection at scale."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    exact = F.md5(norm).alias("md5_fingerprint")
+
+    def winnow(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B, M = np.uint64(1_000_003), np.uint64((1 << 61) - 1)
+        for pdf in it:
+            ids, sketches = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_norm"].fillna("")):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if b.size < k:
+                    ids.append(doc_id)
+                    sketches.append([])
+                    continue
+                # rolling k-gram polynomial hash, vectorized via cumulative
+                # products is overflow-prone; use the standard slide with
+                # precomputed powers on uint64 (mod 2^64 wraparound is fine
+                # for a deterministic sketch)
+                pw = B ** np.uint64(k - 1)
+                h = np.zeros(b.size - k + 1, dtype=np.uint64)
+                cur = np.uint64(0)
+                for i in range(k):
+                    cur = cur * B + b[i]
+                h[0] = cur
+                for i in range(1, h.size):
+                    cur = (cur - b[i - 1] * pw) * B + b[i + k - 1]
+                    h[i] = cur
+                h &= np.uint64(0x7FFFFFFFFFFFFFFF)  # keep sketch in int64 range
+                nw = h.size - window + 1
+                if nw <= 0:
+                    sketch = [int(h.min())]
+                else:
+                    idx = np.arange(window)[None, :] + np.arange(nw)[:, None]
+                    sketch = sorted(set(h[idx].min(axis=1).tolist()))
+                ids.append(doc_id)
+                sketches.append([int(x) for x in sketch])
+            yield pd.DataFrame({"doc_id": ids, "winnow_sketch": sketches})
+
+    base = df.select("doc_id", F.col(text_col), norm.alias("_norm"))
+    sk = base.select("doc_id", "_norm").mapInPandas(
+        winnow, "doc_id long, winnow_sketch array<long>")
+    return base.select("doc_id", exact).join(sk, "doc_id")

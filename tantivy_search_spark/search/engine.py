@@ -276,13 +276,22 @@ class SearchIndex:
         statistics: Statistics | None = None,
         with_docs: bool = False,
         limit: bool = True,
+        use_wand: bool = False,
     ) -> DataFrame:
         """Top-k BM25. Returns DataFrame(row_id long, score double) ordered
         by (score desc, row_id asc) — the reference RowIdWithScore total
-        order (src/lib.rs:248-266)."""
+        order (src/lib.rs:248-266).
+
+        ``use_wand=True`` routes single-column standard queries through the
+        block-max WAND scorer (search/wand.py) — doc-range-aligned shards,
+        skip-pointer block pruning; falls back to the exact path for NLQ /
+        multi-column trees."""
         cols = [c for c in (column_names or self.config.columns)
                 if c in self.config.columns]
         analyzers = self._analyzers()
+        if use_wand and not enable_nlq and len(cols) == 1 and limit:
+            return self._bm25_wand(sentence, cols[0], top_k, operator_or,
+                                   alive_bitmap, statistics)
         if enable_nlq:
             tree = qt.parse_nlq(
                 sentence, cols, analyzers, conjunction_by_default=not operator_or
@@ -320,6 +329,58 @@ class SearchIndex:
             out = out.join(self.docs.withColumnRenamed("doc_id", "row_id"),
                            "row_id", "left").orderBy(F.desc("score"), F.asc("row_id"))
         return out
+
+    def _bm25_wand(
+        self,
+        sentence: str,
+        col: str,
+        top_k: int,
+        operator_or: bool,
+        alive_bitmap: bytes | None,
+        statistics: Statistics | None,
+    ) -> DataFrame:
+        """WAND path: groupBy(shard).applyInPandas block-max scorer +
+        global TakeOrdered — the Spark analog of per-segment
+        for_each_pruning + merge_fruits."""
+        from tantivy_search_spark.search.wand import make_wand_scorer
+
+        tokens = list(dict.fromkeys(self.config.analyzer(col)(sentence)))
+        empty = self.spark.createDataFrame([], "row_id long, score double")
+        if not tokens:
+            return empty
+
+        local = self.local_statistics({col: tokens})
+        use = statistics if statistics is not None and statistics.docs_freq \
+            else local
+        n_docs = use.total_num_docs or 1
+        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        for (t, c, d) in local.docs_freq:
+            if c == col:
+                df_map.setdefault(t, d)
+        idf_map = {t: float(bm25.idf(df_map.get(t, 0), n_docs))
+                   for t in tokens}
+        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+
+        scorer = make_wand_scorer(
+            tokens=tokens, idf_map=idf_map, avgdl=avgdl,
+            k1=self.config.k1, b=self.config.b,
+            block_size=self.config.block_size, top_k=top_k,
+            and_mode=not operator_or, alive_bitmap=alive_bitmap,
+            tombstones=self._tombstone_array(),
+        )
+        buckets = sorted({term_bucket(t, self.config.n_buckets) for t in tokens})
+        cand = self._postings.where(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(tokens)
+            & (F.col("col") == col)
+        )
+        scored = cand.groupBy("shard").applyInPandas(
+            scorer, "doc_id long, score double")
+        return (
+            scored.select(F.col("doc_id").alias("row_id"), "score")
+            .orderBy(F.desc("score"), F.asc("row_id"))
+            .limit(top_k)
+        )
 
     # ---------------------------------------------------------------- bitmaps
     def _doc_ids_for_terms(self, col: str, tokens: list[str]) -> DataFrame:

@@ -1,0 +1,198 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — correctness on deterministic synthetic data."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight").split()
+    rng = np.random.default_rng(7)
+    for i in range(40):
+        words = [base[j % len(base)] for j in rng.permutation(len(base))[:15]]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # exact duplicates
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    # near duplicate of doc 1 (one word changed)
+    toks = rows[1]["text"].split()
+    toks[7] = "zebra"
+    rows.append({"doc_id": 102, "text": " ".join(toks)})
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    vecs[50] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        from tantivy_search_spark.pipeline.dedup import exact_dedup
+        out = exact_dedup(docs).toPandas()
+        grp = out[out["doc_id"].isin([0, 100, 101])]
+        assert (grp["canonical_doc_id"] == 0).all()
+        assert (grp["group_size"] == 3).all()
+        assert grp[grp["doc_id"] == 0]["is_duplicate"].iloc[0] == False  # noqa: E712
+        assert grp[grp["doc_id"] != 0]["is_duplicate"].all()
+
+    def test_jaccard_finds_near_dup(self, docs):
+        from tantivy_search_spark.pipeline.dedup import ngram_jaccard_pairs
+        pairs = ngram_jaccard_pairs(docs, w=3, threshold=0.4).toPandas()
+        assert ((pairs["a"] == 1) & (pairs["b"] == 102)).any()
+        exact = pairs[(pairs["a"] == 100) & (pairs["b"] == 101)]
+        assert np.isclose(exact["jaccard"].iloc[0], 1.0)
+
+    def test_minhash_lsh_finds_dups(self, docs):
+        from tantivy_search_spark.pipeline.dedup import minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(
+            docs, w=3, n_perm=16, bands=8, threshold=0.4).toPandas()
+        keys = set(zip(pairs["a"], pairs["b"]))
+        assert (0, 100) in keys and (0, 101) in keys and (100, 101) in keys
+        assert (1, 102) in keys  # near dup caught by banding
+
+    def test_minhash_signature_identical_for_dups(self, docs):
+        from tantivy_search_spark.pipeline.dedup import minhash_signatures
+        sigs = {r["doc_id"]: list(r["minhash"]) for r in
+                minhash_signatures(docs, w=3, n_perm=8).collect()}
+        assert sigs[0] == sigs[100] == sigs[101]
+        assert sigs[0] != sigs[5]
+
+    def test_simhash_hamming_near_for_near_dups(self, docs):
+        from tantivy_search_spark.pipeline.dedup import simhash_signatures
+        sig = {r["doc_id"]: r["simhash"] for r in
+               simhash_signatures(docs).collect()}
+        assert sig[0] == sig[100]
+        ham = bin(sig[1] ^ sig[102]).count("1")
+        rand_ham = bin(sig[1] ^ sig[20]).count("1")
+        assert ham < rand_ham
+
+    def test_embedding_cosine_pairs(self, emb):
+        from tantivy_search_spark.pipeline.dedup import embedding_cosine_pairs
+        pairs = embedding_cosine_pairs(emb, threshold=0.95).toPandas()
+        assert ((pairs["a"] == 0) & (pairs["b"] == 50)).any()
+
+
+class TestSimilarity:
+    def test_brute_force_exact(self, emb):
+        from tantivy_search_spark.pipeline.similarity import brute_force_topk
+        q = emb.where(F.col("vec_id") == 0)
+        out = brute_force_topk(emb, q, k=3).toPandas().sort_values("rank")
+        assert out["neighbor_id"].iloc[0] == 50  # planted near-dup is 1-NN
+        # verify against numpy
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        v0 = rows[0]
+        sims = {i: float(v0 @ v / (np.linalg.norm(v0) * np.linalg.norm(v)))
+                for i, v in rows.items() if i != 0}
+        top3 = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:3]
+        assert list(out["neighbor_id"]) == top3
+
+    def test_lsh_recall(self, emb):
+        from tantivy_search_spark.pipeline.similarity import (
+            brute_force_topk, lsh_topk)
+        q = emb.where(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, q, k=5).toPandas()
+        approx = lsh_topk(emb, q, k=5, n_planes=6, n_tables=10, dim=16).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5, recall  # multiprobe 8-plane LSH on 16-dim
+
+    def test_ivf_recall(self, emb):
+        from tantivy_search_spark.pipeline.similarity import (
+            brute_force_topk, ivf_topk)
+        q = emb.where(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, q, k=5).toPandas()
+        approx = ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.5
+
+
+class TestText:
+    def test_token_count(self, spark):
+        from tantivy_search_spark.pipeline.text import token_count
+        df = spark.createDataFrame(
+            [(0, "alpha beta verylongtokenhere"), (1, ""), (2, "  x  ")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in token_count(df).collect()}
+        assert out[0]["n_tokens"] == 3
+        assert out[0]["n_bpe_pieces"] == 1 + 1 + 3  # ceil(17/6)=3
+        assert out[1]["n_tokens"] == 0
+        assert out[2]["n_tokens"] == 1
+
+    def test_quality_monotonic(self, spark):
+        from tantivy_search_spark.pipeline.text import quality_score
+        good = " ".join(["the quick brown fox and the lazy dog run"] * 4)
+        bad = "x1 9 77 13 5 z9"
+        df = spark.createDataFrame(
+            [(0, good), (1, bad)], "doc_id long, text string")
+        out = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+        assert out[0] > out[1]
+
+    def test_lang_id_markers(self, spark):
+        from tantivy_search_spark.pipeline.text import lang_id_markers
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog of the house is to go"),
+             (1, "el gato y la casa de que si"),
+             (2, "zzz qqq www")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["pred_lang"] for r in lang_id_markers(df).collect()}
+        assert out[0] == "en" and out[1] == "es" and out[2] == "und"
+
+    def test_lang_id_ngram(self, spark):
+        from tantivy_search_spark.pipeline.text import lang_id_ngram
+        df = spark.createDataFrame(
+            [(0, "the thing is singing and running"),
+             (1, "la canción que quiere la gente de aquí")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["pred_lang"] for r in lang_id_ngram(df).collect()}
+        assert out[0] == "en" and out[1] == "es"
+
+    def test_fingerprint_winnowing_robust_to_whitespace(self, spark):
+        from tantivy_search_spark.pipeline.text import fingerprint
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "the  quick   brown fox jumps over the lazy dog"),
+             (2, "a completely different sentence about spark engines")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in fingerprint(df).collect()}
+        assert out[0]["md5_fingerprint"] == out[1]["md5_fingerprint"]
+        assert out[0]["md5_fingerprint"] != out[2]["md5_fingerprint"]
+        assert list(out[0]["winnow_sketch"]) == list(out[1]["winnow_sketch"])
+        s0, s2 = set(out[0]["winnow_sketch"]), set(out[2]["winnow_sketch"])
+        assert len(s0 & s2) / len(s0 | s2) < 0.2
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        from tantivy_search_spark.pipeline.multimodal import decode_image
+        with pytest.raises(NotImplementedError):
+            decode_image(b"abc")
+
+    def test_pipeline_end_to_end(self, spark):
+        from tantivy_search_spark.pipeline.multimodal import (
+            extract_features, frame_sample_plan, synthesize_media)
+        df = spark.createDataFrame(
+            [(i, "word " * (i + 1)) for i in range(6)],
+            "doc_id long, text string")
+        media = synthesize_media(df)
+        assert media.schema["payload"].dataType.typeName() == "binary"
+        feats = extract_features(media, fake=True).toPandas()
+        assert len(feats) == 6
+        assert (feats["width"].between(1, 256)).all()
+        plan = frame_sample_plan(media, every_n_bytes=8).toPandas()
+        # doc 5 has 30 bytes -> ceil/trunc(30/8)=3 frames
+        assert (plan[plan["doc_id"] == 5]["frame_idx"].max() + 1) == 3
+        assert (plan["byte_offset"] == plan["frame_idx"] * 8).all()

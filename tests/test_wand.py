@@ -1,0 +1,86 @@
+"""Block-max WAND path == exact path (top-k ids and scores), on a corpus
+big enough that pruning actually skips blocks (multi-block postings)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def big_index(spark, tmp_path_factory):
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+    from tantivy_search_spark.search.engine import SearchIndex
+
+    vocab = ("spark join order window scan merge hash sort group filter the "
+             "fast slow big small table row batch stream value").split()
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(3000):
+        n = int(rng.integers(5, 60))
+        words = rng.choice(vocab, size=n,
+                           p=np.linspace(2.0, 0.5, len(vocab))
+                           / np.linspace(2.0, 0.5, len(vocab)).sum())
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path_factory.mktemp("wand") / "idx")
+    cfg = IndexConfig.from_json(["text"], "{}")
+    cfg.parts_per_shard = 2
+    cfg.block_size = 64  # small blocks -> many blocks -> pruning happens
+    IndexBuilder(spark, path, cfg, rows_per_part=500).build(df, id_col="doc_id")
+    return SearchIndex(spark, path)
+
+
+def both(ix, sentence, **kw):
+    """Round to 6dp and re-sort (score desc, row_id) so float-summation
+    order differences between the JVM agg and numpy paths can't flip
+    ties; the boundary tie group is compared as a set."""
+    exact = sorted(((r["row_id"], round(r["score"], 6)) for r in
+                    ix.bm25_search(sentence, **kw).collect()),
+                   key=lambda x: (-x[1], x[0]))
+    wand = sorted(((r["row_id"], round(r["score"], 6)) for r in
+                   ix.bm25_search(sentence, use_wand=True, **kw).collect()),
+                  key=lambda x: (-x[1], x[0]))
+    return exact, wand
+
+
+def assert_topk_equal(exact, wand):
+    assert [s for _, s in exact] == [s for _, s in wand]
+    if not exact:
+        return
+    cut = exact[-1][1]  # lowest score: its tie group may differ at the cut
+    assert {i for i, s in exact if s != cut} == {i for i, s in wand if s != cut}
+
+
+QUERIES = [
+    ("spark join", dict(top_k=10, operator_or=True)),
+    ("spark join", dict(top_k=10, operator_or=False)),
+    ("the window value", dict(top_k=25, operator_or=True)),
+    ("the window value", dict(top_k=25, operator_or=False)),
+    ("scan merge hash sort", dict(top_k=100, operator_or=True)),
+    ("nonexistent_term", dict(top_k=10, operator_or=True)),
+    ("spark nonexistent_term", dict(top_k=10, operator_or=False)),
+]
+
+
+@pytest.mark.parametrize("sentence,kw", QUERIES)
+def test_wand_equals_exact(big_index, sentence, kw):
+    exact, wand = both(big_index, sentence, **kw)
+    assert_topk_equal(exact, wand)
+
+
+def test_wand_with_alive_filter(big_index):
+    from tantivy_search_spark.bitmap import row_ids_to_u8_bitmap
+    alive = row_ids_to_u8_bitmap(list(range(0, 3000, 7)))
+    exact, wand = both(big_index, "spark join order",
+                       top_k=20, operator_or=True, alive_bitmap=alive)
+    assert_topk_equal(exact, wand)
+    assert all(r % 7 == 0 for r, _ in wand)
+
+
+def test_wand_after_delete(big_index):
+    big_index.delete_row_ids([r for r, _ in
+                              both(big_index, "spark", top_k=3,
+                                   operator_or=True)[0]])
+    exact, wand = both(big_index, "spark join order", top_k=15,
+                       operator_or=True)
+    assert_topk_equal(exact, wand)
