@@ -70,9 +70,10 @@ def main() -> None:
     timings["index_build"] = round(build_secs, 3)
 
     ix = SearchIndex(spark, idx_path)
+    ix.enable_stats_cache()  # small vocab: one Spark job per query, not two
 
     # ---- BM25 latency (p50 over repeated runs) ----------------------------
-    lat10, lat100 = [], []
+    lat10, lat100, latw = [], [], []
     for rep in range(3):
         for sentence, op_or in BM25_QUERIES:
             t0 = time.time()
@@ -81,8 +82,13 @@ def main() -> None:
             t0 = time.time()
             ix.bm25_search(sentence, top_k=100, operator_or=op_or).collect()
             lat100.append(time.time() - t0)
+            t0 = time.time()
+            ix.bm25_search(sentence, top_k=10, operator_or=op_or,
+                           use_wand=True).collect()
+            latw.append(time.time() - t0)
     timings["bm25_top10_p50"] = round(statistics.median(lat10), 3)
     timings["bm25_top100_p50"] = round(statistics.median(lat100), 3)
+    timings["bm25_top10_wand_p50"] = round(statistics.median(latw), 3)
 
     # ---- bitmap query latency ---------------------------------------------
     latb = []

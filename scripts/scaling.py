@@ -1,0 +1,116 @@
+"""Scaling-efficiency evidence (north_rule: >= 0.8 from N to 4N
+executors; sandbox stand-in = local[8] vs local[32] on identical input).
+
+1. Generates the deterministic synthetic code corpus (FIXTURES.md §1)
+   once, to parquet.
+2. Packages tantivy_search_spark as a zip and runs
+   scripts/trial_build_query.py via spark-submit --py-files at each
+   parallelism — separate JVMs, cold start each.
+3. Writes BENCH/scaling.json and rewrites the measured section of
+   BENCH/BASELINE.md.
+
+Usage: python scripts/scaling.py [n_files] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 480_000
+N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+PARALLELISMS = (8, 32)
+
+
+def make_pkg_zip() -> str:
+    zpath = "/tmp/tss_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(REPO, "tantivy_search_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def gen_corpus(path: str) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import SparkSession
+    from tantivy_search_spark.codecorpus import synth_code_corpus
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_code_corpus(spark, N_FILES, seed=42, num_partitions=64) \
+        .write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_trial(cores: int, pkg_zip: str, corpus: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(shutil.which("python"))),
+        "bin", "spark-submit")
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "12g",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", pkg_zip,
+        os.path.join(REPO, "scripts", "trial_build_query.py"),
+        corpus, f"/tmp/tss_scale_idx_{cores}", str(N_QUERIES),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"trial local[{cores}] produced no JSON:\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def warm_cache(path: str) -> None:
+    """Pull the corpus parquet through the OS page cache so trial order
+    doesn't bias the comparison."""
+    import duckdb
+    duckdb.sql(f"SELECT count(*), sum(len(content)) FROM '{path}/*.parquet'")
+
+
+def main() -> None:
+    corpus = f"/tmp/tss_code_corpus_{N_FILES}"
+    gen_corpus(corpus)
+    pkg = make_pkg_zip()
+    warm_cache(corpus)
+    results = {}
+    for cores in PARALLELISMS:
+        results[cores] = run_trial(cores, pkg, corpus)
+        print(f"local[{cores}]: {results[cores]}")
+
+    lo, hi = PARALLELISMS
+    build_eff = (results[hi]["build_docs_per_sec"]
+                 / results[lo]["build_docs_per_sec"]) / (hi / lo)
+    qps_eff = (results[hi]["qps"] / results[lo]["qps"]) / (hi / lo)
+    summary = {
+        "n_files": N_FILES,
+        "trials": results,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(qps_eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,7 @@ def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str],
     num_parts: int | None = None,
+    base_id: int = 0,
 ) -> DataFrame:
     """Deterministic, scalable global doc_id assignment.
 
@@ -82,7 +83,7 @@ def assign_doc_ids(
     counts = {r["_pid"]: r["cnt"] for r in
               parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
-    acc = 0
+    acc = base_id
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -425,3 +426,105 @@ class IndexBuilder:
         )
         meta.save(self.index_path)
         return meta
+
+    # -- incremental ingest ---------------------------------------------------
+    def append(self, df: DataFrame, id_col: str | None = None,
+               order_cols: list[str] | None = None) -> IndexMeta:
+        """Reference B4+B5 incremental semantics: index more docs, then
+        'commit' makes them visible to readers (SearchIndex.reload()).
+
+        Appended docs land in NEW doc-range parts, so their merged
+        posting rows are strictly additive — existing posting files are
+        never rewritten.  A (term, shard) key may gain extra rows when
+        an append lands in a partially-filled shard; rows cover disjoint
+        doc ranges, and both scoring paths treat rows independently, so
+        this is query-transparent (compaction can fold them later).
+        Stats and meta totals are recomputed (cheap aggregates).
+        """
+        meta = IndexMeta.load(self.index_path)
+        old_max = max((r[2] for r in meta.part_ranges or []), default=-1)
+        base = (old_max // self.rows_per_part + 1) * self.rows_per_part
+
+        if id_col is None:
+            df = assign_doc_ids(df, order_cols or self.config.columns,
+                                base_id=base)
+        else:
+            if id_col != "doc_id":
+                df = df.withColumnRenamed(id_col, "doc_id")
+            df = df.withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        src = df.withColumn(
+            "part_id", (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
+
+        cfg_json = self.config.to_json()
+        append_id = len([n for n in os.listdir(
+            os.path.join(self.index_path, CHECKPOINTS_DIR))
+            if n.startswith("append")]) if os.path.exists(
+            os.path.join(self.index_path, CHECKPOINTS_DIR)) else 0
+        t0 = time.time()
+
+        # docs rows
+        sha_cols = [
+            F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
+            for c in self.config.columns
+        ]
+        keep = [c for c in src.columns if c != "part_id"] if self.config.store_doc \
+            else [c for c in src.columns
+                  if c not in self.config.columns and c != "part_id"]
+        src.select(*keep, *sha_cols).write.mode("append").parquet(
+            os.path.join(self.index_path, DOCS_DIR))
+
+        # segments for the new parts, merged rows appended to postings
+        seg_chunk = os.path.join(self.index_path, SEGMENTS_DIR,
+                                 f"chunk=a{append_id}")
+        src.select("part_id", "doc_id", *self.config.columns) \
+            .groupBy("part_id").applyInPandas(
+                _segment_builder(cfg_json), layout.SEGMENTS_SCHEMA) \
+            .write.mode("overwrite").parquet(seg_chunk)
+        self.spark.read.parquet(seg_chunk) \
+            .groupBy("col", "term", "shard").applyInPandas(
+                _merger(cfg_json), layout.POSTINGS_SCHEMA) \
+            .write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(self.index_path, POSTINGS_DIR))
+
+        # stats + meta recomputed from the full postings table
+        postings = self.spark.read.parquet(
+            os.path.join(self.index_path, POSTINGS_DIR))
+        postings.groupBy("col", "term").agg(
+            F.sum("df").alias("df"), F.first("bucket").alias("bucket"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.index_path, STATS_DIR) + "_new")
+        # atomic-ish swap (parquet dirs)
+        stats_dir = os.path.join(self.index_path, STATS_DIR)
+        shutil.rmtree(stats_dir)
+        os.rename(stats_dir + "_new", stats_dir)
+
+        segs = self.spark.read.parquet(
+            os.path.join(self.index_path, SEGMENTS_DIR, "chunk=*"))
+        total_tokens = {c: 0 for c in self.config.columns}
+        for r in segs.groupBy("col").agg(F.sum("sum_tf").alias("n")).collect():
+            total_tokens[r["col"]] = int(r["n"])
+        docs_df = self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
+        part_ranges = [
+            [int(r["part_id"]), int(r["first"]), int(r["last"]), int(r["rows"])]
+            for r in docs_df.withColumn(
+                "part_id", (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
+            .groupBy("part_id").agg(
+                F.min("doc_id").alias("first"), F.max("doc_id").alias("last"),
+                F.count("*").alias("rows")).collect()
+        ]
+        total_docs = docs_df.count()
+        secs = time.time() - t0
+        self._ckpt_write(f"append{append_id}", {
+            "secs": secs, "base": base, "total_docs": total_docs,
+            "docs_per_sec": (total_docs - (meta.total_docs or 0)) / max(secs, 1e-9),
+        })
+        new_meta = IndexMeta(
+            config_json=cfg_json,
+            num_parts=len(part_ranges),
+            total_docs=total_docs,
+            total_tokens=total_tokens,
+            part_ranges=sorted(part_ranges),
+            build_metrics=meta.build_metrics,
+        )
+        new_meta.save(self.index_path)
+        return new_meta

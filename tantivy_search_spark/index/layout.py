@@ -117,6 +117,21 @@ def encode_blocks(
     }
 
 
+def decode_doc_ids(block_first, deltas: bytes, block_size: int) -> np.ndarray:
+    """doc_ids-only decode (bitmap queries): lets the parquet scan prune
+    the tfs/norms columns entirely."""
+    dl = np.frombuffer(deltas, dtype=np.uint32)
+    n = dl.shape[0]
+    first = np.asarray(block_first, dtype=np.int64)
+    nb = first.shape[0]
+    starts = np.arange(nb, dtype=np.int64) * block_size
+    csum = np.cumsum(dl.astype(np.int64))
+    lengths = np.diff(np.append(starts, n))
+    block_of = np.repeat(np.arange(nb), lengths)
+    base = first - csum[starts]
+    return csum + base[block_of]
+
+
 def decode_blocks(
     block_first, deltas: bytes, tfs: bytes, norms: bytes, block_size: int,
     keep_blocks: np.ndarray | None = None,

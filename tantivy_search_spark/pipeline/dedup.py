@@ -116,20 +116,25 @@ def minhash_signatures(
     hash is the classic alternative; salted md5 keeps every engine
     bit-identical.
     """
-    sh = shingles(df, text_col, w)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-                                1, 15), 16, 10
-                ).cast("long"),
-            )
-        ),
+    ex = shingles(df, text_col, w).select(
+        "doc_id", F.explode("shingles").alias("shingle"))
+    # flat projection of n_perm hash columns keeps the md5 work inside
+    # whole-stage codegen (a nested transform/array_min formulation falls
+    # back to interpreted evaluation — ~40x slower measured)
+    hashed = ex.select(
+        "doc_id",
+        *[
+            _h60(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))
+            .alias(f"mh{i}")
+            for i in range(n_perm)
+        ],
     )
-    return sh.select("doc_id", sig.alias("minhash"))
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_perm)])
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(n_perm)]).alias("minhash"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -163,6 +168,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
+    # materialize signatures before the self-join: otherwise Catalyst
+    # re-evaluates the whole (md5 x n_perm x shingles) expression tree on
+    # both join sides, interpreted — at scale the signature table is an
+    # index artifact you persist anyway
+    banded = banded.persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_hash"])
@@ -170,7 +180,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = shingles(df, text_col, w)
+    sh = shingles(df, text_col, w).persist()
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "a")
                   .withColumnRenamed("shingles", "sa"), "a")

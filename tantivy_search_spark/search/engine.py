@@ -97,9 +97,21 @@ class SearchIndex:
         self._postings = spark.read.parquet(os.path.join(index_path, POSTINGS_DIR))
         self._stats = spark.read.parquet(os.path.join(index_path, STATS_DIR))
         self._tombstones: np.ndarray | None = None  # lazy
+        self._stats_cache: dict | None = None  # optional driver-side dict
 
     # ------------------------------------------------------------------ utils
     def reload(self) -> None:
+        """Reference B5/Q14 'reader reload on commit': re-open the index
+        tables so appended segments / new deletes become visible."""
+        self.meta = IndexMeta.load(self.index_path)
+        self.config = IndexConfig.from_meta_json(self.meta.config_json)
+        self._postings = self.spark.read.parquet(
+            os.path.join(self.index_path, POSTINGS_DIR))
+        self._stats = self.spark.read.parquet(
+            os.path.join(self.index_path, STATS_DIR))
+        if self._stats_cache is not None:
+            self._stats_cache = None
+            self.enable_stats_cache()
         self._tombstones = None
 
     @property
@@ -117,6 +129,17 @@ class SearchIndex:
             else:
                 self._tombstones = np.empty(0, dtype=np.int64)
         return self._tombstones
+
+    def enable_stats_cache(self) -> None:
+        """Load the whole term dictionary into a driver dict so stats
+        lookups stop costing one Spark job per query.  Appropriate for
+        small/medium vocabularies (code corpora: ~1e6 terms * ~40 B);
+        at web-scale vocab leave it off and the lookup stays a
+        bucket-pruned parquet filter."""
+        self._stats_cache = {
+            (r["col"], r["term"]): int(r["df"])
+            for r in self._stats.collect()
+        }
 
     def _analyzers(self) -> dict:
         return {c: self.config.analyzer(c) for c in self.config.columns}
@@ -136,7 +159,12 @@ class SearchIndex:
         get_doc_freq + get_total_num_tokens + get_total_num_docs)."""
         pairs = [(c, t) for c, toks in tokens_by_col.items() for t in toks]
         docs_freq = []
-        if pairs:
+        if pairs and self._stats_cache is not None:
+            for c, t in dict.fromkeys(pairs):
+                df = self._stats_cache.get((c, t))
+                if df is not None:
+                    docs_freq.append((t, c, df))
+        elif pairs:
             terms = sorted({t for _, t in pairs})
             rows = self._stats.where(F.col("term").isin(terms)).collect()
             want = set(pairs)
@@ -395,25 +423,7 @@ class SearchIndex:
             & F.col("term").isin(uniq)
             & (F.col("col") == col)
         )
-        block_size = self.config.block_size
-        tomb = self._tombstone_array()
-        b_tomb = self.spark.sparkContext.broadcast(tomb)
-
-        def decode_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                outs = []
-                for r in pdf.itertuples(index=False):
-                    doc_ids, _, _ = layout.decode_blocks(
-                        r.block_first, r.deltas, r.tfs, r.norms, block_size
-                    )
-                    tombs = b_tomb.value
-                    if tombs.size:
-                        doc_ids = doc_ids[~np.isin(doc_ids, tombs)]
-                    outs.append(doc_ids)
-                if outs:
-                    yield pd.DataFrame({"row_id": np.concatenate(outs)})
-
-        return cand.mapInPandas(decode_ids, "row_id long").distinct()
+        return self._decode_distinct_ids(cand)
 
     def query_term_bitmap_df(self, col: str, term: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(term))
@@ -452,17 +462,23 @@ class SearchIndex:
         cand = self._postings.where(F.col("col") == col).join(
             F.broadcast(matching), "term", "left_semi"
         )
+        return self._decode_distinct_ids(cand)
+
+    def regex_term_bitmap(self, col: str, like_pattern: str) -> bytes:
+        return self._collect_bitmap(self.regex_term_bitmap_df(col, like_pattern))
+
+    def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
+        """Posting rows -> distinct alive doc ids; reads ONLY the
+        block_first/deltas columns (tfs/norms pruned at the parquet scan)."""
         block_size = self.config.block_size
-        tomb = self._tombstone_array()
-        b_tomb = self.spark.sparkContext.broadcast(tomb)
+        b_tomb = self.spark.sparkContext.broadcast(self._tombstone_array())
 
         def decode_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
                 outs = []
                 for r in pdf.itertuples(index=False):
-                    doc_ids, _, _ = layout.decode_blocks(
-                        r.block_first, r.deltas, r.tfs, r.norms, block_size
-                    )
+                    doc_ids = layout.decode_doc_ids(
+                        r.block_first, r.deltas, block_size)
                     tombs = b_tomb.value
                     if tombs.size:
                         doc_ids = doc_ids[~np.isin(doc_ids, tombs)]
@@ -470,10 +486,11 @@ class SearchIndex:
                 if outs:
                     yield pd.DataFrame({"row_id": np.concatenate(outs)})
 
-        return cand.mapInPandas(decode_ids, "row_id long").distinct()
-
-    def regex_term_bitmap(self, col: str, like_pattern: str) -> bytes:
-        return self._collect_bitmap(self.regex_term_bitmap_df(col, like_pattern))
+        return (
+            cand.select("block_first", "deltas")
+            .mapInPandas(decode_ids, "row_id long")
+            .distinct()
+        )
 
     def _collect_bitmap(self, df: DataFrame) -> bytes:
         ids = [r["row_id"] for r in df.collect()]
