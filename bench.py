@@ -90,6 +90,13 @@ def main() -> None:
     timings["bm25_top100_p50"] = round(statistics.median(lat100), 3)
     timings["bm25_top10_wand_p50"] = round(statistics.median(latw), 3)
 
+    # ---- batch query throughput (one Spark job for the whole workload) ----
+    batch = [(s, o) for s, o in BM25_QUERIES] * 20  # 100 queries
+    ix.bm25_search_batch(batch, top_k=10).collect()  # warm
+    t0 = time.time()
+    ix.bm25_search_batch(batch, top_k=10).collect()
+    timings["bm25_batch100"] = round(time.time() - t0, 3)
+
     # ---- bitmap query latency ---------------------------------------------
     latb = []
     for rep in range(3):

@@ -4,6 +4,11 @@ run the BM25 query batch, printing a JSON line of timings.
 Launched via spark-submit --py-files (north_rule requirement):
   spark-submit --master local[N] --py-files /tmp/tss_pkg.zip \
       scripts/trial_build_query.py <corpus_parquet> <index_path> <n_queries>
+
+The work shape (rows_per_part, shuffle partitions, corpus) is IDENTICAL
+across parallelism levels — only the executor-thread count differs — so
+the comparison isolates scaling, exactly as the same job on an N- vs
+4N-executor cluster would.
 """
 
 from __future__ import annotations
@@ -13,6 +18,8 @@ import shutil
 import statistics
 import sys
 import time
+
+ROWS_PER_PART = 4096  # constant across trials: identical task DAG
 
 
 def main() -> None:
@@ -36,11 +43,14 @@ def main() -> None:
     cfg = IndexConfig.from_json(["content"], "{}")
     cfg.parts_per_shard = 8
     t0 = time.time()
-    IndexBuilder(
-        spark, index_path, cfg,
-        rows_per_part=max(n_docs // (cores * 3), 512),
+    meta = IndexBuilder(
+        spark, index_path, cfg, rows_per_part=ROWS_PER_PART,
     ).build(corpus, order_cols=["repo", "path", "commit"])
     build_secs = time.time() - t0
+    stage_secs = {
+        name: round(st.get("secs", 0.0), 3)
+        for name, st in meta.build_metrics["stages"].items()
+    }
 
     ix = SearchIndex(spark, index_path)
     ix.enable_stats_cache()
@@ -51,35 +61,36 @@ def main() -> None:
         "class init self args",
         "error state update config",
         "index key value result",
+        "while try except raise",
+        "append update split filter",
+        "query field score sort",
+        "data value result index",
     ]
-    # latency: sequential p50 (fixed per-job overhead dominates at small
-    # corpus; does not scale with cores by construction)
+    batch = [(sentences[i % len(sentences)], i % 2 == 0)
+             for i in range(n_queries)]
+
+    # latency: sequential p50 (fixed per-job driver overhead dominates at
+    # small corpus; not the scaling quantity)
     lats = []
     for i in range(min(n_queries, 12)):
-        s = sentences[i % len(sentences)]
+        s, op_or = batch[i]
         tq = time.time()
-        ix.bm25_search(s, top_k=10, operator_or=(i % 2 == 0),
+        ix.bm25_search(s, top_k=10, operator_or=op_or,
                        use_wand=True).collect()
         lats.append(time.time() - tq)
 
-    # throughput: concurrent clients (Spark FAIR-ish scheduling across
-    # jobs) — the quantity that scales with executor count
-    from concurrent.futures import ThreadPoolExecutor
-
-    def one(i: int) -> None:
-        s = sentences[i % len(sentences)]
-        ix.bm25_search(s, top_k=10, operator_or=(i % 2 == 0),
-                       use_wand=True).collect()
-
+    # throughput: the whole workload as ONE Spark job (bm25_search_batch)
+    # — the cluster-scale query path; this is what scales with executors
+    ix.bm25_search_batch(batch, top_k=10).collect()  # warm (plan/code cache)
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(one, range(n_queries)))
+    ix.bm25_search_batch(batch, top_k=10).collect()
     query_secs = time.time() - t0
 
     print(json.dumps({
         "cores": cores,
         "n_docs": n_docs,
         "build_secs": round(build_secs, 3),
+        "build_stage_secs": stage_secs,
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "n_queries": n_queries,
         "query_secs": round(query_secs, 3),

@@ -53,7 +53,12 @@ from tantivy_search_spark.index.layout import (
     IndexMeta,
     encode_blocks,
 )
-from tantivy_search_spark.udfs import term_doc_tf, tokenize_series
+from tantivy_search_spark.udfs import (
+    arrow_fast_eligible,
+    term_doc_tf,
+    term_doc_tf_arrow,
+    tokenize_series,
+)
 
 _CRC_EXPR = "crc32(encode({col}, 'utf-8')) % {n}"
 
@@ -124,8 +129,14 @@ def _segment_builder(cfg_json: str):
             "deltas", "tfs", "norms", "sum_tf")}
 
         for col in cfg.columns:
-            toks = tokenize_series(pdf[col], cfg.tokenizer_config(col))
-            terms, t_docs, t_tfs, doclens = term_doc_tf(toks, doc_ids)
+            col_cfg = cfg.tokenizer_config(col)
+            if arrow_fast_eligible(col_cfg):
+                # Arrow C++ chain: no per-token PyObjects (hot path)
+                terms, t_docs, t_tfs, doclens = term_doc_tf_arrow(
+                    pdf[col], doc_ids, col_cfg)
+            else:
+                toks = tokenize_series(pdf[col], col_cfg)
+                terms, t_docs, t_tfs, doclens = term_doc_tf(toks, doc_ids)
             if terms.size == 0:
                 continue
             norm_ids = fieldnorm_to_id(doclens)  # u8 per doc, aligned w/ doc_ids

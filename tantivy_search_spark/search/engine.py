@@ -358,6 +358,104 @@ class SearchIndex:
                            "row_id", "left").orderBy(F.desc("score"), F.asc("row_id"))
         return out
 
+    def bm25_search_batch(
+        self,
+        sentences: list[tuple[str, bool]] | list[str],
+        column_names: list[str] | None = None,
+        top_k: int = 10,
+        enable_nlq: bool = False,
+        alive_bitmap: bytes | None = None,
+        statistics: Statistics | None = None,
+    ) -> DataFrame:
+        """Batch top-k BM25: N queries compiled into ONE Spark job.
+
+        This is the cluster-scale query-throughput path: instead of one
+        driver-coordinated job per query (reference ffi_bm25_search is
+        called once per query from ClickHouse — src/lib.rs:210-220), the
+        whole query workload shares a single postings scan.  Unique
+        (col, term) atoms across all queries are decoded/scored once,
+        aggregated per doc once, and every query's boolean tree is
+        evaluated as a codegen'd Column expression over that shared
+        per-doc row; per-query top-k is a window.  Throughput therefore
+        scales with executor count, unlike a per-query collect() loop
+        that serializes on the driver.
+
+        ``sentences``: either strings (operator_or=False) or
+        (sentence, operator_or) pairs.  Returns
+        DataFrame(query_id int, row_id long, score double), top_k rows
+        per query ordered by (score desc, row_id asc) within the query —
+        the reference RowIdWithScore total order per query.
+        """
+        from pyspark.sql import Window
+
+        cols = [c for c in (column_names or self.config.columns)
+                if c in self.config.columns]
+        analyzers = self._analyzers()
+        norm = [(s, False) if isinstance(s, str) else (s[0], bool(s[1]))
+                for s in sentences]
+
+        trees = []
+        for sentence, op_or in norm:
+            if enable_nlq:
+                tree = qt.parse_nlq(sentence, cols, analyzers,
+                                    conjunction_by_default=not op_or)
+            else:
+                tokens_by_col = {c: analyzers[c](sentence) for c in cols}
+                tree = qt.standard_query_tree(tokens_by_col, op_or)
+            trees.append(tree)
+
+        # shared atom space: scores are per-(col, term), query-independent
+        atom_index: dict[tuple[str | None, str], int] = {}
+        for tree in trees:
+            if tree is None:
+                continue
+            for a in qt.collect_atoms(tree):
+                if a not in atom_index:
+                    atom_index[a] = len(atom_index)
+        empty = self.spark.createDataFrame(
+            [], "query_id int, row_id long, score double")
+        if not atom_index:
+            return empty
+        atoms = [a for a, _ in sorted(atom_index.items(), key=lambda kv: kv[1])]
+
+        scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
+        aggs = []
+        for i in range(len(atoms)):
+            hit = F.when(F.col("atom") == i, F.lit(1))
+            aggs.append(F.max(hit).alias(f"m{i}"))
+            aggs.append(
+                F.sum(F.when(F.col("atom") == i, F.col("score"))).alias(f"s{i}")
+            )
+        per_doc = scored.groupBy("doc_id").agg(*aggs)
+
+        qstructs = []
+        for qid, tree in enumerate(trees):
+            if tree is None:
+                continue
+            matched, score = qt.compile_tree(tree, atom_index)
+            qstructs.append(F.struct(
+                F.lit(qid).alias("query_id"),
+                matched.alias("ok"),
+                score.alias("score"),
+            ))
+        hits = (
+            per_doc.select(
+                F.col("doc_id").alias("row_id"),
+                F.explode(F.array(*qstructs)).alias("q"),
+            )
+            .where(F.col("q.ok"))
+            .select(F.col("q.query_id").alias("query_id"), "row_id",
+                    F.col("q.score").alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("row_id"))
+        return (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_k)
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("row_id"))
+        )
+
     def _bm25_wand(
         self,
         sentence: str,

@@ -1,0 +1,78 @@
+"""bm25_search_batch == per-query bm25_search, query by query.
+
+The batch path shares one postings scan + one per-doc aggregation across
+all queries (the cluster-scale throughput design); these tests pin it to
+the sequential exact path on corpus A (reference mocked docs,
+/root/reference/src/common/test_util.rs:32-59).
+"""
+
+import pytest
+
+
+BATCH = [
+    ("Ancient empires rise and fall", False),
+    ("Ancient empires rise and fall", True),
+    ("ancient", True),
+    ("moral horizons", False),
+    ("artistic expressions humanity", True),
+    ("nonexistent gibberish tokens", True),
+]
+
+
+def _rows(df):
+    return [(r["row_id"], round(r["score"], 4)) for r in df.collect()]
+
+
+class TestBatchSearch:
+    def test_batch_equals_sequential(self, corpus_a_index):
+        ix = corpus_a_index
+        batch = ix.bm25_search_batch(BATCH, top_k=5).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(BATCH):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or))
+            assert by_q.get(qid, []) == want, f"query {qid}: {s!r} or={op_or}"
+
+    def test_batch_single_column(self, corpus_a_index):
+        ix = corpus_a_index
+        batch = ix.bm25_search_batch(
+            [("ancient", True)], column_names=["col2"], top_k=10).collect()
+        want = _rows(ix.bm25_search("ancient", column_names=["col2"],
+                                    top_k=10, operator_or=True))
+        got = [(r["row_id"], round(r["score"], 4)) for r in batch]
+        assert got == want
+
+    def test_batch_nlq(self, corpus_a_index):
+        ix = corpus_a_index
+        qs = [("col2:ancient OR (moral horizons)", False),
+              ("ancient rise fall", False)]
+        batch = ix.bm25_search_batch(qs, top_k=5, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(qs):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or,
+                                        enable_nlq=True))
+            assert by_q.get(qid, []) == want
+
+    def test_batch_all_empty(self, corpus_a_index):
+        out = corpus_a_index.bm25_search_batch(
+            [("", False), ("", True)], top_k=5)
+        assert out.count() == 0
+
+    def test_batch_alive_filter(self, corpus_a_index):
+        from tantivy_search_spark.bitmap import row_ids_to_u8_bitmap
+
+        ix = corpus_a_index
+        bm = row_ids_to_u8_bitmap([0, 4])
+        batch = ix.bm25_search_batch(
+            [("ancient rise fall", True)], top_k=5,
+            alive_bitmap=bm).collect()
+        want = _rows(ix.bm25_search("ancient rise fall", top_k=5,
+                                    operator_or=True, alive_bitmap=bm))
+        got = [(r["row_id"], round(r["score"], 4)) for r in batch]
+        assert got == want
+        assert all(rid in (0, 4) for rid, _ in got)
