@@ -123,6 +123,22 @@ def _q_bm25_filtered(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+BM25_BATCH = [
+    ("spark join order window", True),
+    ("merge sort hash table", False),
+    ("customer order line value", True),
+]
+
+
+def _q_bm25_batch(spark, sf_dir):
+    """bm25_search_batch: N queries in one Spark job (shared postings
+    scan + per-doc agg + per-query window top-k).  top_k is set above
+    every candidate count so the comparison is boundary-free."""
+    out = _index(spark, sf_dir).bm25_search_batch(BM25_BATCH, top_k=1_000_000)
+    return out.select("query_id", "row_id",
+                      F.round("score", 4).alias("score"))
+
+
 def _q_doc_freq(spark, sf_dir):
     ix = _index(spark, sf_dir)
     rows = ix.get_doc_freq(BM25_SENTENCE)
@@ -241,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_and": _q_bm25_and,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_batch": _q_bm25_batch,
         "doc_freq": _q_doc_freq,
         "totals": _q_totals,
         "sha256_audit": _q_sha256,
@@ -275,9 +292,11 @@ _TOKS = "SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM docum
 _H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _bm25_oracle(and_mode: bool, alive_filter: str = "") -> str:
-    toks_in = ", ".join(f"'{t}'" for t in BM25_TOKENS)
-    n_tok = len(set(BM25_TOKENS))
+def _bm25_oracle(and_mode: bool, alive_filter: str = "",
+                 tokens: list | None = None) -> str:
+    toks = tokens if tokens is not None else BM25_TOKENS
+    toks_in = ", ".join(f"'{t}'" for t in toks)
+    n_tok = len(set(toks))
     and_clause = f"HAVING count(distinct t.term) = {n_tok}" if and_mode else ""
     return f"""
 WITH toks AS ({_TOKS}),
@@ -461,6 +480,10 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
         "bm25_or": _bm25_oracle(False),
         "bm25_and": _bm25_oracle(True),
         "bm25_filtered": _bm25_oracle(False, alive_filter="WHERE t.doc_id % 3 = 0"),
+        "bm25_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, * FROM ("
+            + _bm25_oracle(not op_or, tokens=s.split()) + ")"
+            for qid, (s, op_or) in enumerate(BM25_BATCH)),
         "doc_freq": (
             f"SELECT term, 'text' AS col, count(distinct doc_id)::BIGINT AS df "
             f"FROM ({_TOKS}) WHERE term IN ({toks_in}) GROUP BY term"),

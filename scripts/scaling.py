@@ -76,17 +76,37 @@ def run_trial(cores: int, pkg_zip: str, corpus: str) -> dict:
         # many-tasks-per-executor layout
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # real-cluster equivalents of the env block below
+        "--conf", "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL=mimalloc",
+        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
         "--conf", "spark.ui.enabled=false",
         "--py-files", pkg_zip,
         os.path.join(REPO, "scripts", "trial_build_query.py"),
         corpus, f"/tmp/tss_scale_idx_{cores}", str(N_QUERIES),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    env = dict(os.environ,
+               # python workers inherit the JVM's env in local mode:
+               # mimalloc keeps 32 concurrent Arrow workers off the
+               # kernel's mmap path; 1-thread BLAS stops 32 workers from
+               # spawning 32 OpenBLAS threads each for the batch GEMM
+               ARROW_DEFAULT_MEMORY_POOL="mimalloc",
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                         env=env)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"trial local[{cores}] produced no JSON:\n"
                        f"{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
 
 
 def cpu_calibration(parallelisms) -> dict:
@@ -97,12 +117,7 @@ def cpu_calibration(parallelisms) -> dict:
     import multiprocessing as mp
     import time
 
-    def burn(n):
-        x = 0
-        for i in range(n):
-            x += i * i
-        return x
-
+    burn = _burn
     out = {}
     for procs in sorted(set(parallelisms) | {4 * p for p in parallelisms
                                              if 4 * p <= os.cpu_count()}):
@@ -127,6 +142,9 @@ def main() -> None:
     gen_corpus(corpus)
     pkg = make_pkg_zip()
     warm_cache(corpus)
+    # calibrate BEFORE the trials: a sample taken while a JVM is still
+    # shutting down reads 2x low
+    calibration = [cpu_calibration(PARALLELISMS) for _ in range(2)]
     results = {}
     for cores in PARALLELISMS:
         results[cores] = run_trial(cores, pkg, corpus)
@@ -142,7 +160,7 @@ def main() -> None:
             "build": round(build_eff, 3), "query": round(qps_eff, 3)}
     summary = {
         "n_files": N_FILES,
-        "cpu_calibration": cpu_calibration(PARALLELISMS),
+        "cpu_calibration": calibration,
         "trials": results,
         "scaling_efficiency": efficiency,
     }

@@ -66,8 +66,14 @@ def main() -> None:
         "query field score sort",
         "data value result index",
     ]
+    import random
+    rng = random.Random(7)
+    pool = sorted({w for s in sentences for w in s.split()})
     batch = [(sentences[i % len(sentences)], i % 2 == 0)
-             for i in range(n_queries)]
+             for i in range(min(n_queries, 12))]
+    batch += [(" ".join(rng.sample(pool, rng.randint(2, 5))),
+               rng.random() < 0.5)
+              for _ in range(n_queries - len(batch))]
 
     # latency: sequential p50 (fixed per-job driver overhead dominates at
     # small corpus; not the scaling quantity)

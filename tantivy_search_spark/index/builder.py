@@ -226,6 +226,59 @@ def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
     return merge_group
 
 
+def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
+    """Grouped-map fn: multi-row (col, term, shard) posting group ->
+    minimal merged rows.  Rows cover disjoint doc ranges (append parts
+    are strictly increasing), so sorting rows by their first doc id and
+    concatenating yields one globally sorted run."""
+    cfg = IndexConfig.from_meta_json(cfg_json)
+    bs = cfg.block_size
+
+    def compact_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            _first=pdf["block_first"].map(lambda a: int(a[0]) if len(a) else -1)
+        ).sort_values("_first")
+        col = pdf["col"].iloc[0]
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        docs, tfs, norms = [], [], []
+        for r in pdf.itertuples(index=False):
+            d, t, m = layout.decode_blocks(
+                r.block_first, r.deltas, r.tfs, r.norms, bs)
+            docs.append(d)
+            tfs.append(t)
+            norms.append(m)
+        doc_ids = np.concatenate(docs)
+        tf = np.concatenate(tfs)
+        nm = np.concatenate(norms)
+        out: dict[str, list] = {k: [] for k in (
+            "bucket", "col", "term", "shard", "sub", "df", "block_first",
+            "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
+            "norms")}
+        nsubs = (doc_ids.size + max_postings_per_sub - 1) // max_postings_per_sub
+        for sub in range(nsubs):
+            s = sub * max_postings_per_sub
+            e = min(s + max_postings_per_sub, doc_ids.size)
+            enc = encode_blocks(doc_ids[s:e], tf[s:e], nm[s:e], bs)
+            out["bucket"].append(bucket)
+            out["col"].append(col)
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["sub"].append(sub)
+            out["df"].append(enc["df"])
+            out["block_first"].append(enc["block_first"])
+            out["block_last"].append(enc["block_last"])
+            out["block_max_tf"].append(enc["block_max_tf"])
+            out["block_min_norm"].append(enc["block_min_norm"])
+            out["deltas"].append(enc["deltas"])
+            out["tfs"].append(enc["tfs"])
+            out["norms"].append(enc["norms"])
+        return pd.DataFrame(out)
+
+    return compact_group
+
+
 class IndexBuilder:
     """Reference B1/B2 ``create_index*`` + B4/B5 build/commit + B8 merge."""
 
@@ -437,6 +490,61 @@ class IndexBuilder:
         )
         meta.save(self.index_path)
         return meta
+
+    # -- compaction (reference B8, LogMergePolicy analog) ---------------------
+    def compact(self, min_rows_per_group: int = 2) -> dict:
+        """Fold multi-row (col, term, shard) posting groups into minimal
+        rows.  Appends are strictly additive (each lands in new doc-range
+        parts), so a hot (term, shard) key accumulates one extra row per
+        append — the Spark analog of Tantivy's small segments, which the
+        reference's LogMergePolicy folds in the background once >= 5
+        accumulate (src/index/implements/index_manager.rs:90-92).  Here
+        compaction is an explicit job: only groups with >=
+        ``min_rows_per_group`` rows are rewritten (decode -> concat
+        disjoint sorted runs -> re-encode uniform blocks); singleton
+        groups are copied through untouched, so the rewrite cost is
+        proportional to the fragmented fraction, not the index size.
+        Queries are unaffected either way — both scoring paths treat
+        rows independently.
+        """
+        spark = self.spark
+        cfg_json = self.config.to_json()
+        postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
+        postings = spark.read.parquet(postings_dir)
+
+        counts = postings.groupBy("col", "term", "shard").agg(
+            F.count("*").alias("_rows"))
+        frag = postings.join(
+            counts.where(F.col("_rows") >= min_rows_per_group),
+            ["col", "term", "shard"], "left_semi")
+        intact = postings.join(
+            counts.where(F.col("_rows") >= min_rows_per_group),
+            ["col", "term", "shard"], "left_anti")
+
+        n_frag_rows = frag.count()
+        t0 = time.time()
+        compacted = frag.groupBy("col", "term", "shard").applyInPandas(
+            _compactor(cfg_json), layout.POSTINGS_SCHEMA)
+        out = intact.select(*[f.name for f in layout.POSTINGS_SCHEMA.fields]) \
+            .unionByName(compacted)
+        new_dir = postings_dir + "_compacting"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+        # swap (same pattern as stats swap in append())
+        old_dir = postings_dir + "_old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(postings_dir, old_dir)
+        os.rename(new_dir, postings_dir)
+        shutil.rmtree(old_dir)
+        n_after = spark.read.parquet(postings_dir).count()
+        metrics = {
+            "fragmented_rows": n_frag_rows,
+            "rows_after": n_after,
+            "secs": round(time.time() - t0, 3),
+        }
+        self._ckpt_write(
+            f"compact{int(time.time())}", metrics)
+        return metrics
 
     # -- incremental ingest ---------------------------------------------------
     def append(self, df: DataFrame, id_col: str | None = None,

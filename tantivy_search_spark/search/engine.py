@@ -428,6 +428,107 @@ class SearchIndex:
             )
         per_doc = scored.groupBy("doc_id").agg(*aggs)
 
+        flats = [qt.flat_groups(t) if t is not None else None for t in trees]
+        if all(f is not None for t, f in zip(trees, flats) if t is not None):
+            cand = self._batch_topk_flat(
+                per_doc, trees, flats, atom_index, top_k)
+        else:
+            cand = self._batch_hits_tree(per_doc, trees, atom_index)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("row_id"))
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_k)
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("row_id"))
+        )
+
+    def _batch_topk_flat(self, per_doc, trees, flats, atom_index, top_k):
+        """Per-partition vectorized top-k for flat boolean trees.
+
+        The Spark analog of the reference's per-segment heap + merge_fruits
+        (src/search/collector/top_dos_with_bitmap_collector.rs:80-100):
+        each task turns its per-doc atom matrix into all-query scores with
+        two dense matmuls (docs x atoms @ atoms x groups), applies the
+        AND/OR group masks, and emits only its local top-k per query —
+        tasks x queries x k rows reach the final global window instead of
+        docs x queries.  Avoids the O(docs*queries) explode whose codegen
+        also blows the JVM's 64 KB method limit at a few hundred queries.
+        """
+        n_atoms = len(atom_index)
+        groups = []  # (qid, [atom ids], is_and)
+        for qid, f in enumerate(flats):
+            if f is None:
+                continue
+            for keys, is_and in f:
+                groups.append((qid, [atom_index[k] for k in keys], is_and))
+        n_g = len(groups)
+        W = np.zeros((n_atoms, n_g), dtype=np.float64)
+        gsize = np.zeros(n_g, dtype=np.float64)
+        g_and = np.zeros(n_g, dtype=bool)
+        g_qid = np.zeros(n_g, dtype=np.int64)
+        for gi, (qid, aids, is_and) in enumerate(groups):
+            for a in aids:  # += : duplicate atoms keep compile_tree's
+                W[a, gi] += 1.0  # with-multiplicity scoring semantics
+            gsize[gi] = len(aids)
+            g_and[gi] = is_and
+            g_qid[gi] = qid
+        qids = sorted(set(g_qid.tolist()))
+        Q = len(qids)
+        P = np.zeros((n_g, Q), dtype=np.float64)
+        qpos = {q: i for i, q in enumerate(qids)}
+        for gi in range(n_g):
+            P[gi, qpos[g_qid[gi]]] = 1.0
+        qid_arr = np.asarray(qids, dtype=np.int32)
+
+        mcols = [f"m{i}" for i in range(n_atoms)]
+        scols = [f"s{i}" for i in range(n_atoms)]
+        sc = self.spark.sparkContext
+        b = sc.broadcast((W, gsize, g_and, P, qid_arr, top_k))
+
+        def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            W, gsize, g_and, P, qid_arr, k = b.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                row_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                M = pdf[mcols].notna().to_numpy(dtype=np.float64)
+                S = np.nan_to_num(
+                    pdf[scols].to_numpy(dtype=np.float64), nan=0.0)
+                C = M @ W
+                matched_g = np.where(g_and, C == gsize, C > 0)
+                score_g = (S @ W) * matched_g
+                score_q = score_g @ P
+                matched_q = (matched_g @ P) > 0
+                out_q, out_r, out_s = [], [], []
+                for ci in range(qid_arr.shape[0]):
+                    mask = matched_q[:, ci]
+                    if not mask.any():
+                        continue
+                    r = row_ids[mask]
+                    s = score_q[mask, ci]
+                    # exact partial order: (score desc, row_id asc)
+                    idx = np.lexsort((r, -s))[:k]
+                    out_q.append(np.full(idx.size, qid_arr[ci],
+                                         dtype=np.int32))
+                    out_r.append(r[idx])
+                    out_s.append(s[idx])
+                if out_q:
+                    yield pd.DataFrame({
+                        "query_id": np.concatenate(out_q),
+                        "row_id": np.concatenate(out_r),
+                        "score": np.concatenate(out_s),
+                    })
+
+        return per_doc.mapInPandas(
+            topk_part, "query_id int, row_id long, score double")
+
+    def _batch_hits_tree(self, per_doc, trees, atom_index):
+        """Fallback for non-flat (nested NLQ) trees: explode per-query
+        structs.  Chunked so each projection's generated code stays under
+        the JVM's 64 KB method limit (janino aborts codegen past it and
+        the whole stage silently runs interpreted)."""
+        CHUNK = 20
         qstructs = []
         for qid, tree in enumerate(trees):
             if tree is None:
@@ -438,23 +539,21 @@ class SearchIndex:
                 matched.alias("ok"),
                 score.alias("score"),
             ))
-        hits = (
-            per_doc.select(
-                F.col("doc_id").alias("row_id"),
-                F.explode(F.array(*qstructs)).alias("q"),
+        parts = []
+        for i in range(0, len(qstructs), CHUNK):
+            parts.append(
+                per_doc.select(
+                    F.col("doc_id").alias("row_id"),
+                    F.explode(F.array(*qstructs[i:i + CHUNK])).alias("q"),
+                )
+                .where(F.col("q.ok"))
+                .select(F.col("q.query_id").alias("query_id"), "row_id",
+                        F.col("q.score").alias("score"))
             )
-            .where(F.col("q.ok"))
-            .select(F.col("q.query_id").alias("query_id"), "row_id",
-                    F.col("q.score").alias("score"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("row_id"))
-        return (
-            hits.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= top_k)
-            .drop("_rn")
-            .orderBy("query_id", F.desc("score"), F.asc("row_id"))
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _bm25_wand(
         self,

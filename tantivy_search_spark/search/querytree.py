@@ -274,6 +274,38 @@ def parse_nlq(
 # ---------------------------------------------------------------------------
 
 
+def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
+    """Decompose a *flat* tree into [(atom_keys, is_and)] groups whose
+    scores combine as: total = sum over groups with all/any atoms matched;
+    matched = any group matched.  This is exactly the shape
+    ``standard_query_tree`` emits (per-column AND/OR groups OR'd
+    together), which lets the batch scorer use dense matrix ops instead
+    of per-query Column expressions.  Returns None for nested trees
+    (parenthesized NLQ etc.) — callers fall back to compile_tree.
+    """
+    def term_keys(kids):
+        return [(c.col, c.text) for c in kids]
+
+    if isinstance(tree, Term):
+        return [([(tree.col, tree.text)], False)]
+    if isinstance(tree, (And, Or)):
+        kids = [c for c in tree.children if c is not None]
+        if all(isinstance(c, Term) for c in kids):
+            return [(term_keys(kids), isinstance(tree, And))]
+        if isinstance(tree, Or):
+            groups = []
+            for c in kids:
+                if isinstance(c, Term):
+                    groups.append(([(c.col, c.text)], False))
+                elif isinstance(c, (And, Or)) and all(
+                        isinstance(g, Term) for g in c.children):
+                    groups.append((term_keys(c.children), isinstance(c, And)))
+                else:
+                    return None
+            return groups
+    return None
+
+
 def collect_atoms(tree) -> list[tuple[str | None, str]]:
     """Distinct (col, term) leaves in tree order."""
     atoms: list[tuple[str | None, str]] = []

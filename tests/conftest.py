@@ -1,6 +1,10 @@
 import os
 import sys
 
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

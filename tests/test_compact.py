@@ -1,0 +1,79 @@
+"""Compaction (reference B8 LogMergePolicy analog): after appends
+fragment (col, term, shard) groups into multiple posting rows, compact()
+folds them back to minimal rows without changing any query result."""
+
+from pyspark.sql import functions as F
+
+from corpora import corpus_a_rows, part0_rows, part1_rows
+
+
+QUERIES = [
+    ("Ancient empires rise and fall", True),
+    ("Human health", False),
+    ("ancient", True),
+]
+
+
+def _results(ix):
+    out = {}
+    for q, op in QUERIES:
+        out[(q, op)] = [(r["row_id"], round(r["score"], 4)) for r in
+                        ix.bm25_search(q, top_k=100, operator_or=op).collect()]
+    return out
+
+
+class TestCompact:
+    def test_compact_preserves_results(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        cfg.parts_per_shard = 64  # everything in one shard -> max fragmenting
+        path = str(tmp_path / "cidx")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=4)
+        b.build(spark.createDataFrame(part0_rows(0)), id_col="doc_id")
+        b.append(spark.createDataFrame(part1_rows(0)), id_col="doc_id")
+        b.append(spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+
+        ix = SearchIndex(spark, path)
+        before = _results(ix)
+        rows_before = ix._postings.count()
+        # hot terms ('the', 'of'...) appear in all three ingests
+        frag = (ix._postings.groupBy("col", "term", "shard")
+                .agg(F.count("*").alias("n")).where(F.col("n") > 1).count())
+        assert frag > 0, "setup should fragment at least one group"
+
+        metrics = b.compact()
+        assert metrics["fragmented_rows"] > 0
+        ix.reload()
+        rows_after = ix._postings.count()
+        assert rows_after < rows_before
+
+        # every group now singleton (no sub splits at this tiny scale)
+        still_frag = (ix._postings.groupBy("col", "term", "shard")
+                      .agg(F.count("*").alias("n")).where(F.col("n") > 1)
+                      .count())
+        assert still_frag == 0
+
+        assert _results(ix) == before
+
+    def test_compact_noop_on_fresh_index(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        cfg.parts_per_shard = 2
+        path = str(tmp_path / "fresh")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=2)
+        b.build(spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        before = _results(ix)
+        rows_before = ix._postings.count()
+        m = b.compact()
+        ix.reload()
+        # multi-part single-shard groups may still fold; results invariant
+        assert ix._postings.count() <= rows_before
+        assert _results(ix) == before
+        assert m["rows_after"] == ix._postings.count()
