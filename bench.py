@@ -112,7 +112,8 @@ def main() -> None:
 
     # ---- pipeline ops ------------------------------------------------------
     t0 = time.time()
-    dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2, threshold=0.2).count()
+    dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2, threshold=0.2,
+                            family="xxhash").count()
     timings["minhash_lsh_dedup"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -354,23 +354,31 @@ class IndexBuilder:
             src.select(*keep, *sha_cols).write.mode("overwrite").parquet(
                 os.path.join(self.index_path, DOCS_DIR)
             )
-            n_docs = self.spark.read.parquet(
-                os.path.join(self.index_path, DOCS_DIR)).count()
-            docs_ck = {"total_docs": n_docs, "secs": time.time() - t0,
-                       "docs_per_sec": n_docs / max(time.time() - t0, 1e-9)}
+            r = self.spark.read.parquet(
+                os.path.join(self.index_path, DOCS_DIR)).agg(
+                F.count("*").alias("n"), F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi")).collect()[0]
+            docs_ck = {"total_docs": int(r["n"]), "secs": time.time() - t0,
+                       "docs_per_sec": int(r["n"]) / max(time.time() - t0, 1e-9),
+                       "min_doc": int(r["lo"] or 0), "max_doc": int(r["hi"] or 0)}
             self._ckpt_write("docs", docs_ck)
         total_docs = docs_ck["total_docs"]
         metrics["stages"]["docs"] = docs_ck
 
         # doc_ids need not start at 0 (e.g. a later part of a global id
         # space): derive the part range from the actual id bounds
-        bounds_ck = self._ckpt_done("id_bounds")
-        if bounds_ck is None:
-            r = self.spark.read.parquet(
-                os.path.join(self.index_path, DOCS_DIR)
-            ).agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
-            bounds_ck = {"min_doc": int(r["lo"] or 0), "max_doc": int(r["hi"] or 0)}
-            self._ckpt_write("id_bounds", bounds_ck)
+        if "min_doc" in docs_ck:
+            bounds_ck = docs_ck
+        else:  # resume from an older checkpoint layout
+            bounds_ck = self._ckpt_done("id_bounds")
+            if bounds_ck is None:
+                r = self.spark.read.parquet(
+                    os.path.join(self.index_path, DOCS_DIR)
+                ).agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi")).collect()[0]
+                bounds_ck = {"min_doc": int(r["lo"] or 0),
+                             "max_doc": int(r["hi"] or 0)}
+                self._ckpt_write("id_bounds", bounds_ck)
         first_part = bounds_ck["min_doc"] // self.rows_per_part
         last_part = bounds_ck["max_doc"] // self.rows_per_part
         num_parts = max(1, last_part - first_part + 1)

@@ -21,6 +21,9 @@ Operators:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # 60-bit md5 prefix as a bigint: deterministic, portable to ANSI SQL as
@@ -54,20 +57,82 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingle_rows(df: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) rows, computed in Arrow C++ kernels.
+
+    Semantics: lowercase, split on whitespace runs, drop empties; a
+    w-token sliding window per doc ("a b c"-style space-joined); docs
+    with fewer than w tokens contribute their whole (possibly empty)
+    token string as one shingle — identical to the previous Spark
+    higher-order-function formulation, which evaluated interpreted and
+    cost ~40 us per shingle.  Here split/take/join/dictionary-encode all
+    run on contiguous buffers (same design as udfs.term_doc_tf_arrow);
+    the flat (doc_id, shingle) shape also skips the explode the
+    consumers (minhash, jaccard) all did anyway.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from collections.abc import Iterator
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            arr = pa.Array.from_pandas(pdf[text_col])
+            if arr.null_count:
+                arr = pc.fill_null(arr, "")
+            lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+            counts0 = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+            flat = pc.list_flatten(lists)
+            keep = pc.not_equal(pc.binary_length(flat), 0)
+            keep_np = np.asarray(keep, dtype=bool)
+            doc_all = np.repeat(np.arange(n, dtype=np.int64), counts0)
+            doc_idx = doc_all[keep_np]
+            toks = pc.filter(flat, keep)
+            counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            total = int(offsets[-1])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                offsets[:-1], counts)
+            fits = pos <= np.repeat(counts, counts) - w
+            starts = np.flatnonzero(fits)
+            parts = [pc.take(toks, pa.array(starts + k, type=pa.int64()))
+                     for k in range(w)]
+            sh = pc.binary_join_element_wise(*parts, " ")
+            sh_doc = np.repeat(np.arange(n, dtype=np.int64),
+                               np.maximum(counts - w + 1, 0))
+            # distinct per doc, integer-only after dictionary encoding
+            if len(sh):
+                d = sh.dictionary_encode()
+                codes = np.asarray(d.indices, dtype=np.int64)
+                uniq = np.asarray(d.dictionary, dtype=object)
+                uk = np.unique(codes * n + sh_doc)
+                out_doc = uk % n
+                out_sh = uniq[uk // n]
+            else:
+                out_doc = np.empty(0, dtype=np.int64)
+                out_sh = np.empty(0, dtype=object)
+            # short docs: single whole-text shingle (exact legacy semantics)
+            short = np.flatnonzero(counts < w)
+            if short.size:
+                toks_np = np.asarray(toks, dtype=object)
+                extra = [" ".join(toks_np[offsets[d]:offsets[d + 1]])
+                         for d in short]
+                out_doc = np.concatenate([out_doc, short])
+                out_sh = np.concatenate(
+                    [out_sh, np.asarray(extra, dtype=object)])
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame({"doc_id": ids[out_doc], "shingle": out_sh})
+
+    return df.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id long, shingle string")
+
+
 def shingles(df: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame:
-    """doc_id + array of distinct w-word shingles (JVM higher-order fns)."""
-    toks = F.filter(F.split(_norm_text(text_col), " "),
-                    lambda t: F.length(t) > 0)
-    sh = F.when(
-        F.size(toks) >= w,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - w),
-                lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
-            )
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select("doc_id", sh.alias("shingles"))
+    """doc_id + array of distinct w-word shingles."""
+    return shingle_rows(df, text_col, w).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles"))
 
 
 def ngram_jaccard_pairs(
@@ -80,9 +145,8 @@ def ngram_jaccard_pairs(
     sum over shingles of df^2 — selective because w-word shingles are
     rare; hot shingles should be capped upstream for adversarial data.
     """
-    sh = shingles(df, text_col, w)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    ex = shingle_rows(df, text_col, w)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         ex.alias("x")
         .join(ex.alias("y"), "shingle")
@@ -105,30 +169,34 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", w: int = 3, n_perm: int = 16
+    df: DataFrame, text_col: str = "text", w: int = 3, n_perm: int = 16,
+    family: str = "md5",
 ) -> DataFrame:
     """doc_id + minhash signature array (length n_perm).
 
-    Permutation i = min over shingles of H60(i || ':' || shingle) — the
-    salted-hash formulation (one md5 per (perm, shingle)); deterministic
-    and expressible in plain SQL, at the cost of n_perm hashes per
-    shingle.  For absolute throughput a (a*x+b) mod p family over one
-    hash is the classic alternative; salted md5 keeps every engine
-    bit-identical.
+    ``family="md5"``: permutation i = min over shingles of
+    H60(i || ':' || shingle) — the salted-hash formulation;
+    deterministic and expressible in plain SQL (the DuckDB oracle
+    computes the identical md5), at the cost of n_perm md5s per shingle.
+    ``family="xxhash"``: xxhash64(i, shingle) — ~10x cheaper per hash,
+    the 100 TB production path; same banding math, no SQL oracle (no
+    cross-engine xxhash64), so correctness rides on the md5 family's
+    oracle plus the shared plumbing.
     """
-    ex = shingles(df, text_col, w).select(
-        "doc_id", F.explode("shingles").alias("shingle"))
-    # flat projection of n_perm hash columns keeps the md5 work inside
+    ex = shingle_rows(df, text_col, w)
+    # flat projection of n_perm hash columns keeps the hash work inside
     # whole-stage codegen (a nested transform/array_min formulation falls
     # back to interpreted evaluation — ~40x slower measured)
-    hashed = ex.select(
-        "doc_id",
-        *[
+    if family == "xxhash":
+        hash_cols = [F.xxhash64(F.lit(i), F.col("shingle")).alias(f"mh{i}")
+                     for i in range(n_perm)]
+    else:
+        hash_cols = [
             _h60(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))
             .alias(f"mh{i}")
             for i in range(n_perm)
-        ],
-    )
+        ]
+    hashed = ex.select("doc_id", *hash_cols)
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_perm)])
     return agg.select(
@@ -144,6 +212,7 @@ def minhash_lsh_pairs(
     n_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    family: str = "md5",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -154,7 +223,7 @@ def minhash_lsh_pairs(
     """
     assert n_perm % bands == 0
     r = n_perm // bands
-    sigs = minhash_signatures(df, text_col, w, n_perm)
+    sigs = minhash_signatures(df, text_col, w, n_perm, family=family)
     banded = sigs.select(
         "doc_id",
         F.explode(

@@ -63,6 +63,34 @@ class TestBatchSearch:
             [("", False), ("", True)], top_k=5)
         assert out.count() == 0
 
+    def test_batch_with_injected_statistics(self, corpus_a_index):
+        """Q9 semantics on the batch path: externally injected global
+        Statistics must flow into batch scoring exactly as in the
+        sequential path (the multi-part distributed-correctness hook)."""
+        from tantivy_search_spark.search.engine import Statistics
+
+        ix = corpus_a_index
+        # double every df and N: scores must shift identically in both
+        # code paths (values differ from local stats, proving injection)
+        toks = {c: ix.config.analyzer(c)("ancient rise fall")
+                for c in ix.config.columns}
+        local = ix.local_statistics(toks)
+        fake = Statistics(
+            docs_freq=[(t, c, df * 2) for (t, c, df) in local.docs_freq],
+            total_num_tokens={c: n * 2 for c, n in
+                              local.total_num_tokens.items()},
+            total_num_docs=local.total_num_docs * 2,
+        )
+        want = _rows(ix.bm25_search("ancient rise fall", top_k=10,
+                                    operator_or=True, statistics=fake))
+        plain = _rows(ix.bm25_search("ancient rise fall", top_k=10,
+                                     operator_or=True))
+        assert want != plain  # injection actually changed the scores
+        got = [(r["row_id"], round(r["score"], 4)) for r in
+               ix.bm25_search_batch([("ancient rise fall", True)], top_k=10,
+                                    statistics=fake).collect()]
+        assert got == want
+
     def test_batch_alive_filter(self, corpus_a_index):
         from tantivy_search_spark.bitmap import row_ids_to_u8_bitmap
 
