@@ -139,6 +139,16 @@ def _q_bm25_batch(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+def _q_bm25_wand(spark, sf_dir):
+    """Block-max WAND path with top_k above every candidate count: the
+    pruning threshold never trips, so the result set equals the exact
+    OR scoring — letting the WAND machinery (shard scorer, skip decode)
+    be oracle-checked row-for-row against plain BM25 SQL."""
+    out = _index(spark, sf_dir).bm25_search(
+        BM25_SENTENCE, operator_or=True, top_k=1_000_000, use_wand=True)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_doc_freq(spark, sf_dir):
     ix = _index(spark, sf_dir)
     rows = ix.get_doc_freq(BM25_SENTENCE)
@@ -258,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": _q_bm25_and,
         "bm25_filtered": _q_bm25_filtered,
         "bm25_batch": _q_bm25_batch,
+        "bm25_wand": _q_bm25_wand,
         "doc_freq": _q_doc_freq,
         "totals": _q_totals,
         "sha256_audit": _q_sha256,
@@ -480,6 +491,7 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
         "bm25_or": _bm25_oracle(False),
         "bm25_and": _bm25_oracle(True),
         "bm25_filtered": _bm25_oracle(False, alive_filter="WHERE t.doc_id % 3 = 0"),
+        "bm25_wand": _bm25_oracle(False),
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, * FROM ("
             + _bm25_oracle(not op_or, tokens=s.split()) + ")"

@@ -421,12 +421,15 @@ class IndexBuilder:
                 ).collect()
             ]
             secs = time.time() - t0
-            chunk_docs = self.spark.read.parquet(
-                os.path.join(self.index_path, DOCS_DIR)
-            ).where(
-                (F.col("doc_id") >= lo * self.rows_per_part)
-                & (F.col("doc_id") < hi * self.rows_per_part)
-            ).count()
+            if n_chunks == 1:
+                chunk_docs = total_docs  # single chunk covers everything
+            else:
+                chunk_docs = self.spark.read.parquet(
+                    os.path.join(self.index_path, DOCS_DIR)
+                ).where(
+                    (F.col("doc_id") >= lo * self.rows_per_part)
+                    & (F.col("doc_id") < hi * self.rows_per_part)
+                ).count()
             ck = {"chunk": ci, "parts": [lo, hi], "secs": secs,
                   "docs": chunk_docs, "docs_per_sec": chunk_docs / max(secs, 1e-9),
                   "lineage": lineage}

@@ -1,0 +1,33 @@
+"""Physical-plan regression guards: the optimizer properties the scale
+story depends on (pushdown, pruning, top-k operator) must survive
+refactors.  Full audit with printed plans: scripts/explain_audit.py."""
+
+import re
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestPlans:
+    def test_candidate_scan_pushdown(self, corpus_a_index):
+        ix = corpus_a_index
+        cand = ix._candidate_postings(
+            [("col1", "ancient"), ("col2", "rise")])
+        p = _plan(cand)
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket", p), p[:800]
+        assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(term", p), p[:800]
+
+    def test_topk_is_take_ordered(self, corpus_a_index):
+        q = corpus_a_index.bm25_search("ancient rise", top_k=5,
+                                       operator_or=True)
+        assert "TakeOrderedAndProject" in _plan(q)
+
+    def test_bitmap_scan_prunes_scoring_columns(self, corpus_a_index):
+        b = corpus_a_index.query_term_bitmap_df("col2", "ancient")
+        p = _plan(b)
+        m = re.search(r"ReadSchema: ([^\n]*)", p)
+        assert m, p[:800]
+        rs = m.group(1)
+        assert "deltas" in rs and "tfs" not in rs and "norms" not in rs, rs
