@@ -95,23 +95,36 @@ def lsh_buckets(
     Output: one row per (vector, table) with the table's bucket id.  At
     scale the corpus side is written partitioned by (table, bucket) so a
     query probes exactly n_tables files."""
-    planes = _hyperplanes(dim, n_planes * n_tables, seed).reshape(
-        n_tables, n_planes, dim)
-    tables = []
-    for t in range(n_tables):
-        bucket = F.lit(0).cast("long")
-        for i in range(n_planes):
-            lit = F.array(*[F.lit(float(x)) for x in planes[t, i]])
-            dot = F.aggregate(F.zip_with(F.col(vec_col), lit,
-                                         lambda x, y: x * y),
-                              F.lit(0.0), lambda a, x: a + x)
-            bucket = bucket + F.when(dot > 0, F.lit(2 ** i)).otherwise(
-                F.lit(0)).cast("long")
-        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+    import pandas as pd
+    from collections.abc import Iterator
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)  # (T*P, dim)
+    weights = (2 ** np.arange(n_planes, dtype=np.int64))
+
+    def buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one GEMM per Arrow batch replaces n_tables*n_planes interpreted
+        # higher-order-function dot products per row (~50x on 64-dim)
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            E = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            S = (E @ planes.T) > 0  # (n, T*P)
+            B = (S.reshape(n, n_tables, n_planes)
+                 * weights).sum(axis=2)  # (n, T)
+            rep = np.repeat(np.arange(n), n_tables)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy()[rep],
+                "embedding": pdf[vec_col].to_numpy()[rep],
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                "bucket": B.reshape(-1),
+            })
+
+    src = df.select(F.col(id_col).alias(id_col),
+                    _dvec(F.col(vec_col)).alias(vec_col))
+    return src.mapInPandas(
+        buckets,
+        f"vec_id long, embedding array<double>, table int, bucket long")
 
 
 def lsh_topk(
@@ -179,39 +192,40 @@ def ivf_topk(
         )
     ]
 
-    def cell_expr(vcol):
-        best_i, best_d = F.lit(0), F.lit(float("inf"))
-        for i, c in cents:
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            d = F.aggregate(
-                F.zip_with(vcol, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda a, x: a + x)
-            cond = d < best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-        return best_i
+    import pandas as pd
+    from collections.abc import Iterator
 
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_v"),
-        cell_expr(F.col("embedding")).alias("cell"),
-        F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                           lambda a, x: a + x * x)).alias("n_nrm"),
-    )
-    # queries probe n_probe nearest cells: rank cells per query
-    qcells = []
-    for i, cvec in cents:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(F.zip_with(F.col("embedding"), lit,
-                                   lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda a, x: a + x)
-        qcells.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_v"),
-        F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                           lambda a, x: a + x * x)).alias("q_nrm"),
-        F.slice(F.array_sort(F.array(*qcells)), 1, n_probe).alias("probes"),
-    ).select("query_id", "q_v", "q_nrm",
-             F.explode("probes.cell").alias("cell"))
+    C = np.array([c for _, c in cents], dtype=np.float64)  # (m, dim)
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(id_out: str, vec_out: str, nrm_out: str, probes: int):
+        # nearest-centroid via one GEMM per Arrow batch:
+        # argmin ||v-c||^2 = ordering on (c.c - 2 v.c); ties broken by
+        # cell index asc, matching the previous array_sort((d, cell))
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                n = len(pdf)
+                if not n:
+                    continue
+                E = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+                D = c_sq[None, :] - 2.0 * (E @ C.T)  # (n, m) + const(v)
+                order = np.argsort(D, axis=1, kind="stable")[:, :probes]
+                nrm = np.sqrt((E * E).sum(axis=1))
+                rep = np.repeat(np.arange(n), probes)
+                yield pd.DataFrame({
+                    id_out: pdf["vec_id"].to_numpy()[rep],
+                    vec_out: pdf["embedding"].to_numpy()[rep],
+                    nrm_out: nrm[rep],
+                    "cell": order.reshape(-1).astype(np.int32),
+                })
+        return fn
+
+    c = corpus.select("vec_id", "embedding").mapInPandas(
+        assign("neighbor_id", "n_v", "n_nrm", 1),
+        "neighbor_id long, n_v array<double>, n_nrm double, cell int")
+    q = queries.select("vec_id", "embedding").mapInPandas(
+        assign("query_id", "q_v", "q_nrm", n_probe),
+        "query_id long, q_v array<double>, q_nrm double, cell int")
     cand = (
         c.join(q, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
