@@ -79,7 +79,7 @@ def shingle_rows(df: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame
             n = len(pdf)
             if not n:
                 continue
-            arr = pa.Array.from_pandas(pdf[text_col])
+            arr = pa.Array.from_pandas(pdf[text_col], type=pa.string())
             if arr.null_count:
                 arr = pc.fill_null(arr, "")
             lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")

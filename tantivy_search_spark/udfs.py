@@ -35,9 +35,10 @@ _ARROW_FAST_TYPES = frozenset({"default", "simple", "whitespace", "raw"})
 
 # RE2 equivalents of the Python chain's re.UNICODE classes:
 #   [^\W_]+ (runs of Unicode alphanumerics)  <->  split on [^\p{L}\p{N}]+
-#   \S+                                      <->  split on \s+
+#   \S+  <->  split on Python's Unicode \s set (RE2's bare \s is
+#   ASCII-only): 09-0D, 1C-1F, space, NEL, and the Z* categories
 _SPLIT_NON_ALNUM = r"[^\p{L}\p{N}]+"
-_SPLIT_WHITESPACE = r"\s+"
+_SPLIT_WHITESPACE = "[\\t-\\r\\x1c-\\x1f \\x85\\p{Z}]+"
 
 
 def arrow_fast_eligible(cfg: dict) -> bool:
@@ -57,7 +58,7 @@ def term_doc_tf_arrow(
 
     Semantically identical to ``term_doc_tf(tokenize_series(s, cfg), ids)``
     for the default/simple/whitespace/raw chains (property-pinned in
-    tests/test_core_units.py), but never materializes per-token Python
+    tests/test_arrow_tokenize.py), but never materializes per-token Python
     objects: split, length-filter, stopword filter, lowercase, and
     dictionary encoding all run on contiguous Arrow buffers.  Besides the
     ~several-fold single-thread speedup, this is what makes the build
@@ -73,7 +74,8 @@ def term_doc_tf_arrow(
     ttype = tok.get("type", "default")
     assert ttype in _ARROW_FAST_TYPES, ttype
     n = len(s)
-    arr = pa.Array.from_pandas(s)
+    # explicit string type: an all-null series infers NullType otherwise
+    arr = pa.Array.from_pandas(s, type=pa.string())
     if arr.null_count:
         arr = pc.fill_null(arr, "")
     if ttype == "raw":

@@ -1,0 +1,56 @@
+"""Property: the Arrow-kernel build path (udfs.term_doc_tf_arrow) is
+exactly equivalent to tokenize_series + term_doc_tf (the reference-exact
+Python chain) for every arrow-eligible tokenizer config — triples,
+tf counts, and doclens all identical, over adversarial unicode."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tantivy_search_spark.udfs import (
+    arrow_fast_eligible,
+    term_doc_tf,
+    term_doc_tf_arrow,
+    tokenize_series,
+)
+
+CONFIGS = [
+    {"tokenizer": {"type": "default"}},
+    {"tokenizer": {"type": "raw"}},
+    {"tokenizer": {"type": "whitespace"}},
+    {"tokenizer": {"type": "simple"}},
+    {"tokenizer": {"type": "simple", "length_limit": 6,
+                   "case_sensitive": True}},
+    {"tokenizer": {"type": "simple", "stop_word_filters": ["english"],
+                   "length_limit": 12}},
+    {"tokenizer": {"type": "whitespace", "length_limit": 5}},
+]
+
+# mixed-script alphabet incl. combining marks, CJK, astral plane, controls
+_ALPHABET = st.sampled_from(list(
+    "abcXYZ019_ .,;()\t\n\r-" + "éÜßñ" + "漢字한국語" + "𐍈💡" + "́ "
+))
+_DOC = st.text(alphabet=_ALPHABET, min_size=0, max_size=120)
+
+
+def _triples(terms, docs, tfs):
+    return sorted(zip(terms.tolist(), docs.tolist(), tfs.tolist()))
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: str(c["tokenizer"]))
+@settings(max_examples=40, deadline=None)
+@given(docs=st.lists(st.one_of(st.none(), _DOC), min_size=1, max_size=12))
+def test_arrow_equals_python_chain(cfg, docs):
+    assert arrow_fast_eligible(cfg)
+    s = pd.Series(docs, dtype=object)
+    ids = np.arange(len(docs), dtype=np.int64) * 3 + 7
+    a = term_doc_tf_arrow(s, ids, cfg)
+    b = term_doc_tf(tokenize_series(s, cfg), ids)
+    assert _triples(a[0], a[1], a[2]) == _triples(b[0], b[1], b[2])
+    assert a[3].tolist() == b[3].tolist()
+
+
+def test_stem_and_ngram_not_arrow_eligible():
+    assert not arrow_fast_eligible({"tokenizer": {"type": "stem"}})
+    assert not arrow_fast_eligible({"tokenizer": {"type": "ngram"}})
