@@ -607,6 +607,255 @@ class SearchIndex:
             .limit(top_k)
         )
 
+    # ------------------------------------------------------- local hot path
+    def enable_local_cache(self, max_terms: int = 4096) -> None:
+        """Driver-side decoded-postings LRU for ``bm25_search_local``."""
+        from collections import OrderedDict
+
+        self._local_cache: "OrderedDict" = OrderedDict()
+        self._local_cache_max = max_terms
+
+    def _local_postings(self, atoms: list[tuple[str, str]]):
+        """(col, term) -> (doc_ids, tfs, norm_ids), via one pruned scan
+        for all cache misses; LRU-cached decoded arrays."""
+        if not hasattr(self, "_local_cache"):
+            self.enable_local_cache()
+        cache = self._local_cache
+        missing = [a for a in atoms if a not in cache]
+        if missing:
+            rows = self._candidate_postings(missing).select(
+                "col", "term", "block_first", "deltas", "tfs", "norms"
+            ).collect()
+            got: dict = {a: [] for a in missing}
+            bs = self.config.block_size
+            for r in rows:
+                key = (r["col"], r["term"])
+                if key in got:
+                    got[key].append(layout.decode_blocks(
+                        r["block_first"], r["deltas"], r["tfs"], r["norms"],
+                        bs))
+            for a in missing:
+                runs = got[a]
+                if runs:
+                    d = np.concatenate([x[0] for x in runs])
+                    t = np.concatenate([x[1] for x in runs])
+                    m = np.concatenate([x[2] for x in runs])
+                    order = np.argsort(d, kind="stable")
+                    cache[a] = (d[order], t[order], m[order])
+                else:
+                    cache[a] = (np.empty(0, np.int64), np.empty(0, np.int64),
+                                np.empty(0, np.uint8))
+                while len(cache) > self._local_cache_max:
+                    cache.popitem(last=False)
+        out = {}
+        for a in atoms:
+            cache.move_to_end(a)
+            out[a] = cache[a]
+        return out
+
+    def _local_raw_rows(self, col: str, tokens: list[str]) -> pd.DataFrame:
+        """Raw (undecoded) posting rows for (col, token), LRU-cached as
+        pandas frames — the input shape search.wand.make_wand_scorer
+        expects."""
+        if not hasattr(self, "_local_raw_cache"):
+            from collections import OrderedDict
+            self._local_raw_cache: "OrderedDict" = OrderedDict()
+        cache = self._local_raw_cache
+        missing = [t for t in tokens if (col, t) not in cache]
+        if missing:
+            pdf = self._candidate_postings(
+                [(col, t) for t in missing]).select(
+                "col", "term", "shard", "df", "block_first", "block_last",
+                "block_max_tf", "block_min_norm", "deltas", "tfs", "norms",
+            ).toPandas()
+            for t in missing:
+                cache[(col, t)] = pdf[(pdf["col"] == col)
+                                      & (pdf["term"] == t)]
+            while len(cache) > 4096:
+                cache.popitem(last=False)
+        out = []
+        for t in tokens:
+            cache.move_to_end((col, t))
+            out.append(cache[(col, t)])
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    def _bm25_local_wand(
+        self, sentence: str, col: str, top_k: int, operator_or: bool,
+        alive_bitmap: bytes | None, statistics: Statistics | None,
+    ) -> list[tuple[int, float]]:
+        """Driver-side block-max WAND: the same make_wand_scorer used by
+        the distributed path, run per shard over cached raw rows — the
+        in-process analog of Tantivy's for_each_pruning, with top-k
+        early exit instead of full scoring."""
+        from tantivy_search_spark.search.wand import make_wand_scorer
+
+        tokens = list(dict.fromkeys(self.config.analyzer(col)(sentence)))
+        if not tokens:
+            return []
+        local = self.local_statistics({col: tokens})
+        use = statistics if statistics is not None and statistics.docs_freq \
+            else local
+        n_docs = use.total_num_docs or 1
+        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        for (t, c, d) in local.docs_freq:
+            if c == col:
+                df_map.setdefault(t, d)
+        idf_map = {t: float(bm25.idf(df_map.get(t, 0), n_docs))
+                   for t in tokens}
+        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+        scorer = make_wand_scorer(
+            tokens=tokens, idf_map=idf_map, avgdl=avgdl,
+            k1=self.config.k1, b=self.config.b,
+            block_size=self.config.block_size, top_k=top_k,
+            and_mode=not operator_or, alive_bitmap=alive_bitmap,
+            tombstones=self._tombstone_array(),
+        )
+        rows = self._local_raw_rows(col, tokens)
+        if not len(rows):
+            return []
+        outs = [o for _, g in rows.groupby("shard", sort=False)
+                for o in [scorer(g)] if len(o)]
+        if not outs:
+            return []
+        cat = pd.concat(outs, ignore_index=True)
+        d = cat["doc_id"].to_numpy(dtype=np.int64)
+        s = cat["score"].to_numpy(dtype=np.float64)
+        order = np.lexsort((d, -s))[:top_k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
+    def bm25_search_local(
+        self,
+        sentence: str,
+        column_names: list[str] | None = None,
+        top_k: int = 10,
+        operator_or: bool = False,
+        alive_bitmap: bytes | None = None,
+        enable_nlq: bool = False,
+        statistics: Statistics | None = None,
+        use_wand: bool = False,
+    ) -> list[tuple[int, float]]:
+        """In-process hot path: same tokenizers, stats, and scoring math
+        as ``bm25_search``, but decode + score run on the driver against
+        an LRU of decoded query-term postings — no Spark job after warm.
+
+        This mirrors the reference's deployment shape (an embedded
+        engine answering point queries in-process,
+        src/search/implements/api_myscale) and restores its latency
+        class for working sets that fit one machine; the distributed
+        ``bm25_search`` / ``bm25_search_batch`` paths own the corpus
+        sizes where that stops being true.  Falls back to the
+        distributed path for non-flat NLQ trees.
+
+        Returns [(row_id, score)] in (score desc, row_id asc) order.
+        """
+        cols = [c for c in (column_names or self.config.columns)
+                if c in self.config.columns]
+        if use_wand and not enable_nlq and len(cols) == 1:
+            return self._bm25_local_wand(sentence, cols[0], top_k,
+                                         operator_or, alive_bitmap,
+                                         statistics)
+        analyzers = self._analyzers()
+        if enable_nlq:
+            tree = qt.parse_nlq(sentence, cols, analyzers,
+                                conjunction_by_default=not operator_or)
+        else:
+            tokens_by_col = {c: analyzers[c](sentence) for c in cols}
+            tree = qt.standard_query_tree(tokens_by_col, operator_or)
+        if tree is None:
+            return []
+        groups = qt.flat_groups(tree)
+        if groups is None:  # nested NLQ: reuse the distributed path
+            rows = self.bm25_search(
+                sentence, column_names=cols, top_k=top_k,
+                operator_or=operator_or, alive_bitmap=alive_bitmap,
+                enable_nlq=enable_nlq, statistics=statistics).collect()
+            return [(r["row_id"], r["score"]) for r in rows]
+
+        # expand col=None atoms (bare NLQ terms) to concrete columns; a
+        # None atom inside an AND group has no flat expansion -> fall
+        # back to the distributed tree evaluator
+        concrete: list[tuple[list[tuple[str, str]], bool]] = []
+        for keys, is_and in groups:
+            if is_and and any(c is None for c, _ in keys):
+                rows = self.bm25_search(
+                    sentence, column_names=cols, top_k=top_k,
+                    operator_or=operator_or, alive_bitmap=alive_bitmap,
+                    enable_nlq=enable_nlq, statistics=statistics).collect()
+                return [(r["row_id"], r["score"]) for r in rows]
+            ks: list[tuple[str, str]] = []
+            for c, t in keys:
+                if c is None:
+                    # Should-across-columns: one OR group per column
+                    for cc in cols:
+                        concrete.append(([(cc, t)], False))
+                else:
+                    ks.append((c, t))
+            if ks:
+                concrete.append((ks, is_and))
+
+        atoms = sorted({a for ks, _ in concrete for a in ks})
+        postings = self._local_postings(atoms)
+
+        local = self.local_statistics(
+            {c: [t for (cc, t) in atoms if cc == c] for c in
+             self.config.columns})
+        use = statistics if statistics is not None and statistics.docs_freq \
+            else local
+        n_docs = use.total_num_docs or 1
+        df_map = {(c, t): d for (t, c, d) in use.docs_freq}
+        for (t, c, d) in local.docs_freq:
+            df_map.setdefault((c, t), d)
+        avgdl = {c: (use.total_num_tokens.get(c, 0) / n_docs)
+                 for c in self.config.columns}
+
+        tomb = self._tombstone_array()
+        k1, b = self.config.k1, self.config.b
+        per_atom: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        for a in atoms:
+            d, t, m = postings[a]
+            if tomb.size and d.size:
+                mask = ~np.isin(d, tomb)
+                d, t, m = d[mask], t[mask], m[mask]
+            if alive_bitmap is not None and d.size:
+                from tantivy_search_spark.bitmap import mask_for_row_ids
+                mask = mask_for_row_ids(d, alive_bitmap)
+                d, t, m = d[mask], t[mask], m[mask]
+            if d.size == 0:
+                per_atom[a] = (d, np.empty(0, np.float64))
+                continue
+            idf = float(bm25.idf(df_map.get((a[0], a[1]), 0), n_docs))
+            norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[m],
+                                   avgdl.get(a[0], 1.0) or 1.0, k1, b)
+            per_atom[a] = (d, bm25.term_score(t, idf, norm_d, k1))
+
+        # dense per-doc score/presence matrices over the candidate set
+        all_docs = np.unique(np.concatenate(
+            [per_atom[a][0] for a in atoms])) if atoms else np.empty(0)
+        if all_docs.size == 0:
+            return []
+        nd = all_docs.shape[0]
+        na = len(atoms)
+        S = np.zeros((nd, na))
+        M = np.zeros((nd, na), dtype=bool)
+        apos = {a: i for i, a in enumerate(atoms)}
+        for a in atoms:
+            d, s = per_atom[a]
+            if d.size:
+                idx = np.searchsorted(all_docs, d)
+                S[idx, apos[a]] = s
+                M[idx, apos[a]] = True
+        total = np.zeros(nd)
+        matched = np.zeros(nd, dtype=bool)
+        for ks, is_and in concrete:
+            ai = [apos[a] for a in ks]
+            gm = M[:, ai].all(axis=1) if is_and else M[:, ai].any(axis=1)
+            total += S[:, ai].sum(axis=1) * gm
+            matched |= gm
+        sel = np.flatnonzero(matched)
+        order = np.lexsort((all_docs[sel], -total[sel]))[:top_k]
+        pick = sel[order]
+        return [(int(all_docs[i]), float(total[i])) for i in pick]
+
     # ---------------------------------------------------------------- bitmaps
     def _doc_ids_for_terms(self, col: str, tokens: list[str]) -> DataFrame:
         """TermSetQuery semantics: OR of tokens -> distinct doc ids

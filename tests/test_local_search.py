@@ -1,0 +1,95 @@
+"""bm25_search_local (driver hot path) == bm25_search (distributed),
+query for query, including filters, deletes-free stats injection, and
+NLQ fallback."""
+
+from tantivy_search_spark.bitmap import row_ids_to_u8_bitmap
+
+
+QUERIES = [
+    ("Ancient empires rise and fall", False),
+    ("Ancient empires rise and fall", True),
+    ("ancient", True),
+    ("moral horizons", False),
+    ("nonexistent gibberish", True),
+]
+
+
+def _dist(ix, s, op, **kw):
+    return [(r["row_id"], round(r["score"], 4)) for r in
+            ix.bm25_search(s, top_k=5, operator_or=op, **kw).collect()]
+
+
+def _loc(ix, s, op, **kw):
+    return [(rid, round(sc, 4)) for rid, sc in
+            ix.bm25_search_local(s, top_k=5, operator_or=op, **kw)]
+
+
+class TestLocalSearch:
+    def test_local_equals_distributed(self, corpus_a_index):
+        ix = corpus_a_index
+        ix.enable_stats_cache()
+        for s, op in QUERIES:
+            assert _loc(ix, s, op) == _dist(ix, s, op), (s, op)
+
+    def test_local_single_column(self, corpus_a_index):
+        ix = corpus_a_index
+        got = _loc(ix, "ancient", True, column_names=["col2"])
+        want = _dist(ix, "ancient", True, column_names=["col2"])
+        assert got == want
+
+    def test_local_alive_filter(self, corpus_a_index):
+        ix = corpus_a_index
+        bm = row_ids_to_u8_bitmap([0, 4])
+        got = _loc(ix, "ancient rise fall", True, alive_bitmap=bm)
+        want = _dist(ix, "ancient rise fall", True, alive_bitmap=bm)
+        assert got == want and all(r in (0, 4) for r, _ in got)
+
+    def test_local_statistics_injection(self, corpus_a_index):
+        from tantivy_search_spark.search.engine import Statistics
+
+        ix = corpus_a_index
+        toks = {c: ix.config.analyzer(c)("ancient rise fall")
+                for c in ix.config.columns}
+        local = ix.local_statistics(toks)
+        fake = Statistics(
+            docs_freq=[(t, c, d * 2) for (t, c, d) in local.docs_freq],
+            total_num_tokens={c: n * 2 for c, n in
+                              local.total_num_tokens.items()},
+            total_num_docs=local.total_num_docs * 2,
+        )
+        got = _loc(ix, "ancient rise fall", True, statistics=fake)
+        want = _dist(ix, "ancient rise fall", True, statistics=fake)
+        assert got == want
+
+    def test_local_nlq(self, corpus_a_index):
+        ix = corpus_a_index
+        got = _loc(ix, "col2:ancient OR (moral horizons)", False,
+                   enable_nlq=True)
+        want = _dist(ix, "col2:ancient OR (moral horizons)", False,
+                     enable_nlq=True)
+        assert got == want
+
+    def test_local_cache_warm_no_spark_job(self, corpus_a_index):
+        """After the first call, repeated queries hit the decoded LRU
+        and run zero Spark jobs (the latency story)."""
+        ix = corpus_a_index
+        ix.enable_stats_cache()
+        first = _loc(ix, "ancient rise fall", True)
+        tracker = ix.spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        again = _loc(ix, "ancient rise fall", True)
+        after = tracker.getJobIdsForGroup(None)
+        assert again == first
+        assert len(after) == len(before), "warm local query ran a Spark job"
+
+    def test_local_wand_equals_exact(self, corpus_a_index):
+        ix = corpus_a_index
+        for s, op in [("ancient rise fall", True),
+                      ("ancient rise fall", False),
+                      ("moral horizons", False)]:
+            got = [(r, round(sc, 4)) for r, sc in
+                   ix.bm25_search_local(s, top_k=5, operator_or=op,
+                                        column_names=["col2"],
+                                        use_wand=True)]
+            want = _dist(ix, s, op, column_names=["col2"])
+            assert got == want, (s, op)
