@@ -58,7 +58,9 @@ def _mix(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, seed: int,
+               ident_frac: float = 0.0, ident_vocab: int = 200_000
+               ) -> pd.DataFrame:
     s = np.uint64(seed)
     h = _mix(ids.astype(np.uint64) ^ s)
     n_tokens = (10 + (h % np.uint64(1991))).astype(np.int64)  # 10..2000
@@ -70,8 +72,20 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     row_rep = np.repeat(ids.astype(np.uint64), n_tokens)
     pos = (np.arange(total, dtype=np.uint64)
            - np.repeat(offsets[:-1].astype(np.uint64), n_tokens))
-    tok_idx = (_mix((row_rep << np.uint64(20)) ^ pos ^ s) % pool_n).astype(np.int64)
+    th = _mix((row_rep << np.uint64(20)) ^ pos ^ s)
+    tok_idx = (th % pool_n).astype(np.int64)
     words = _POOL[tok_idx]
+    if ident_frac > 0.0:
+        # realistic code vocabulary: hot keywords + a zipf-ish long tail
+        # of identifiers (vNNN..).  Zipf via squaring a uniform draw —
+        # low ids occur far more often, giving every selectivity tier.
+        th2 = _mix(th ^ np.uint64(0xC0FFEE))
+        is_ident = (th2 % np.uint64(1000)) < np.uint64(int(ident_frac * 1000))
+        u = ((th2 >> np.uint64(10)) % np.uint64(1_000_003)).astype(
+            np.float64) / 1_000_003.0
+        ident_id = (u * u * ident_vocab).astype(np.int64)
+        idents = np.char.add("v", ident_id.astype(str)).astype(object)
+        words = np.where(is_ident, idents, words)
 
     contents = []
     for i in range(ids.shape[0]):
@@ -96,13 +110,21 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 def synth_code_corpus(
     spark: SparkSession, n_files: int, seed: int = 42,
     num_partitions: int | None = None,
+    ident_frac: float = 0.0, ident_vocab: int = 200_000,
 ) -> DataFrame:
-    """Distributed deterministic corpus of `n_files` source files."""
+    """Distributed deterministic corpus of `n_files` source files.
+
+    ``ident_frac`` > 0 mixes in a zipf-distributed identifier tail
+    (``ident_vocab`` distinct tokens) alongside the hot keyword pool —
+    the realistic code-corpus shape where WAND/skip-index selectivity
+    matters; 0 keeps the original all-hot vocabulary (the adversarial
+    skew case the merge sharding is sized for)."""
     parts = num_partitions or spark.sparkContext.defaultParallelism
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _gen_batch(pdf["id"].to_numpy(dtype=np.int64), seed)
+            yield _gen_batch(pdf["id"].to_numpy(dtype=np.int64), seed,
+                             ident_frac, ident_vocab)
 
     return spark.range(0, n_files, 1, parts).mapInPandas(
         gen,

@@ -85,6 +85,17 @@ def assign_doc_ids(
     p = num_parts or max(spark.sparkContext.defaultParallelism, 8)
     parted = df.repartitionByRange(p, *order_cols).sortWithinPartitions(*order_cols)
     parted = parted.withColumn("_pid", F.spark_partition_id())
+    # Pin the range partitioning: RangePartitioner re-samples boundaries
+    # per job (seeded by rdd.id), so without materialization the count
+    # job below and the assignment job can see DIFFERENT partitions —
+    # overlapping offsets, duplicate ids (observed: 13k dups at 480k
+    # rows).  An eager local checkpoint makes every downstream job read
+    # the same blocks; and since the sort keys are unique, the final
+    # ids are then independent of whatever boundaries were sampled.
+    # (Executor-storage checkpoint: on a real cluster with lineage-
+    # loss concerns, write to a staging dir instead — build() persists
+    # the result to _staged immediately anyway.)
+    parted = parted.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["cnt"] for r in
               parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
@@ -446,9 +457,7 @@ class IndexBuilder:
         if merge_ck is None:
             t0 = time.time()
             segs = self.spark.read.parquet(os.path.join(seg_path, "chunk=*"))
-            merged = segs.groupBy("col", "term", "shard").applyInPandas(
-                _merger(cfg_json), layout.POSTINGS_SCHEMA
-            )
+            merged = self._merge_fragments(segs, cfg_json)
             merged.write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(self.index_path, POSTINGS_DIR)
             )
@@ -501,6 +510,47 @@ class IndexBuilder:
         )
         meta.save(self.index_path)
         return meta
+
+    #: terms with at least this many postings get their fragments merged
+    #: at build time; everything below passes through fragmented (see
+    #: _merge_fragments).  Tune per corpus; compact() folds the tail.
+    merge_hot_df: int = 65_536
+
+    def _merge_fragments(self, segs: DataFrame, cfg_json: str) -> DataFrame:
+        """Segment fragments -> posting rows: merge heavy hitters only.
+
+        Fragments per (col, term, shard) group are bounded by
+        parts_per_shard by construction, so merging buys at most that
+        factor in row count — while routing a group through
+        applyInPandas costs fixed per-group Python overhead.  At
+        realistic vocabulary (zipf identifier tail, 10^5..10^9 distinct
+        terms) per-group merging is the scale cliff: measured 29 min of
+        a 32-min build spent on ~10^6 tiny pandas groups at 200k vocab.
+        Policy here mirrors an LSM: only terms whose total posting
+        count is >= ``merge_hot_df`` (the heavy hitters — by zipf a
+        small set, so the semi/anti joins stay broadcast) are merged in
+        pandas; the tail passes through as a pure JVM projection —
+        fragment rows are already valid posting rows over disjoint doc
+        ranges, every query path treats rows independently, and
+        compact() can fold them later (reference analog: LogMergePolicy
+        merges small segments in the background, not on the write path
+        — index_manager.rs:90-92).  ``sub`` for pass-through rows =
+        part_id % parts_per_shard (unique within the shard).
+        """
+        pps = self.config.parts_per_shard
+        hot_terms = (segs.groupBy("col", "term")
+                     .agg(F.sum("df").alias("_df"))
+                     .where(F.col("_df") >= self.merge_hot_df)
+                     .select("col", "term"))
+        big = segs.join(F.broadcast(hot_terms), ["col", "term"], "left_semi")
+        small = segs.join(F.broadcast(hot_terms), ["col", "term"],
+                          "left_anti")
+        post_cols = [f.name for f in layout.POSTINGS_SCHEMA.fields]
+        passthrough = small.withColumn(
+            "sub", (F.col("part_id") % pps).cast("int")).select(*post_cols)
+        merged = big.groupBy("col", "term", "shard").applyInPandas(
+            _merger(cfg_json), layout.POSTINGS_SCHEMA)
+        return merged.unionByName(passthrough)
 
     # -- compaction (reference B8, LogMergePolicy analog) ---------------------
     def compact(self, min_rows_per_group: int = 2) -> dict:
@@ -610,9 +660,7 @@ class IndexBuilder:
             .groupBy("part_id").applyInPandas(
                 _segment_builder(cfg_json), layout.SEGMENTS_SCHEMA) \
             .write.mode("overwrite").parquet(seg_chunk)
-        self.spark.read.parquet(seg_chunk) \
-            .groupBy("col", "term", "shard").applyInPandas(
-                _merger(cfg_json), layout.POSTINGS_SCHEMA) \
+        self._merge_fragments(self.spark.read.parquet(seg_chunk), cfg_json) \
             .write.mode("append").partitionBy("bucket").parquet(
                 os.path.join(self.index_path, POSTINGS_DIR))
 

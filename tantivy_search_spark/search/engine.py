@@ -113,6 +113,11 @@ class SearchIndex:
             self._stats_cache = None
             self.enable_stats_cache()
         self._tombstones = None
+        self._pa_dataset = None
+        for attr in ("_local_cache", "_local_raw_cache",
+                     "_local_score_cache"):
+            if hasattr(self, attr):
+                getattr(self, attr).clear()
 
     @property
     def docs(self) -> DataFrame:
@@ -615,6 +620,32 @@ class SearchIndex:
         self._local_cache: "OrderedDict" = OrderedDict()
         self._local_cache_max = max_terms
 
+    def _postings_dataset(self):
+        """pyarrow dataset over the postings files — the local path reads
+        the open-parquet index directly (bucket partition dirs + term
+        row-group statistics pushdown), no Spark job even cold.  File
+        listing happens once per reader; reload() drops it."""
+        if getattr(self, "_pa_dataset", None) is None:
+            import pyarrow.dataset as ds
+            self._pa_dataset = ds.dataset(
+                os.path.join(self.index_path, POSTINGS_DIR),
+                partitioning="hive")
+        return self._pa_dataset
+
+    def _fetch_rows_arrow(self, atoms: list[tuple[str, str]],
+                          columns: list[str]) -> pd.DataFrame:
+        """(col, term) posting rows via direct parquet read."""
+        import pyarrow.dataset as ds
+        terms = sorted({t for _, t in atoms})
+        buckets = sorted({term_bucket(t, self.config.n_buckets)
+                          for t in terms})
+        cols = sorted({c for c, _ in atoms})
+        expr = (ds.field("bucket").isin(buckets)
+                & ds.field("term").isin(terms)
+                & ds.field("col").isin(cols))
+        return self._postings_dataset().to_table(
+            filter=expr, columns=columns).to_pandas()
+
     def _local_postings(self, atoms: list[tuple[str, str]]):
         """(col, term) -> (doc_ids, tfs, norm_ids), via one pruned scan
         for all cache misses; LRU-cached decoded arrays."""
@@ -623,17 +654,16 @@ class SearchIndex:
         cache = self._local_cache
         missing = [a for a in atoms if a not in cache]
         if missing:
-            rows = self._candidate_postings(missing).select(
-                "col", "term", "block_first", "deltas", "tfs", "norms"
-            ).collect()
+            pdf = self._fetch_rows_arrow(
+                missing, ["col", "term", "block_first", "deltas", "tfs",
+                          "norms"])
             got: dict = {a: [] for a in missing}
             bs = self.config.block_size
-            for r in rows:
-                key = (r["col"], r["term"])
+            for r in pdf.itertuples(index=False):
+                key = (r.col, r.term)
                 if key in got:
                     got[key].append(layout.decode_blocks(
-                        r["block_first"], r["deltas"], r["tfs"], r["norms"],
-                        bs))
+                        r.block_first, r.deltas, r.tfs, r.norms, bs))
             for a in missing:
                 runs = got[a]
                 if runs:
@@ -654,23 +684,52 @@ class SearchIndex:
         return out
 
     def _local_raw_rows(self, col: str, tokens: list[str]) -> pd.DataFrame:
-        """Raw (undecoded) posting rows for (col, token), LRU-cached as
-        pandas frames — the input shape search.wand.make_wand_scorer
-        expects."""
+        """Posting rows for (col, token), LRU-cached as pandas frames —
+        the input shape search.wand.make_wand_scorer expects.
+
+        On cache fill, a term's fragments (tail terms are deliberately
+        left unmerged by the build — builder._merge_fragments) are
+        consolidated into ONE row with rebuilt block metadata: decode,
+        concat the disjoint sorted runs, re-encode.  One-time per-term
+        cost; every warm query then prunes/decodes a single row instead
+        of paying per-fragment python overhead (measured 235 rows/query
+        on the zipf corpus)."""
         if not hasattr(self, "_local_raw_cache"):
             from collections import OrderedDict
             self._local_raw_cache: "OrderedDict" = OrderedDict()
         cache = self._local_raw_cache
+        bs = self.config.block_size
         missing = [t for t in tokens if (col, t) not in cache]
         if missing:
-            pdf = self._candidate_postings(
-                [(col, t) for t in missing]).select(
-                "col", "term", "shard", "df", "block_first", "block_last",
-                "block_max_tf", "block_min_norm", "deltas", "tfs", "norms",
-            ).toPandas()
+            pdf = self._fetch_rows_arrow(
+                [(col, t) for t in missing],
+                ["col", "term", "shard", "df", "block_first", "block_last",
+                 "block_max_tf", "block_min_norm", "deltas", "tfs", "norms"])
             for t in missing:
-                cache[(col, t)] = pdf[(pdf["col"] == col)
-                                      & (pdf["term"] == t)]
+                sub = pdf[(pdf["col"] == col) & (pdf["term"] == t)]
+                if len(sub) > 1:
+                    sub = sub.assign(_first=sub["block_first"].map(
+                        lambda a: int(a[0]) if len(a) else -1)
+                    ).sort_values("_first")
+                    runs = [layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, bs)
+                        for r in sub.itertuples(index=False)]
+                    enc = layout.encode_blocks(
+                        np.concatenate([x[0] for x in runs]),
+                        np.concatenate([x[1] for x in runs]),
+                        np.concatenate([x[2] for x in runs]), bs)
+                    sub = pd.DataFrame({
+                        "col": [col], "term": [t], "shard": [0],
+                        "df": [enc["df"]],
+                        "block_first": [enc["block_first"]],
+                        "block_last": [enc["block_last"]],
+                        "block_max_tf": [enc["block_max_tf"]],
+                        "block_min_norm": [enc["block_min_norm"]],
+                        "deltas": [enc["deltas"]],
+                        "tfs": [enc["tfs"]],
+                        "norms": [enc["norms"]],
+                    })
+                cache[(col, t)] = sub
             while len(cache) > 4096:
                 cache.popitem(last=False)
         out = []
@@ -678,6 +737,121 @@ class SearchIndex:
             cache.move_to_end((col, t))
             out.append(cache[(col, t)])
         return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    def _bm25_local_taat(
+        self, tokens: list[str], col: str, top_k: int, operator_or: bool,
+        statistics: Statistics | None,
+    ) -> list[tuple[int, float]]:
+        """Term-at-a-time local top-k over fully-decoded per-term caches.
+
+        The in-process equivalent of WAND at term granularity: terms run
+        in ascending-df order; after the anchor term sets θ (the kth
+        best running total), a later term admits NEW candidate docs only
+        if its max score plus the remaining terms' maxima could still
+        reach θ — hot keywords (idf ~0.04) fail that test and instead
+        contribute to existing candidates via a vectorized gather
+        (searchsorted into the cached sorted doc array).  No posting
+        block is decoded at query time at all; per-term decode happens
+        once into the LRU (tombstones applied there; reload() clears).
+        """
+        local = self.local_statistics({col: tokens})
+        use = statistics if statistics is not None and statistics.docs_freq \
+            else local
+        n_docs = use.total_num_docs or 1
+        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        for (t, c, d) in local.docs_freq:
+            if c == col:
+                df_map.setdefault(t, d)
+        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+        k1, b = self.config.k1, self.config.b
+
+        atoms = [(col, t) for t in tokens]
+        raw = self._local_postings(atoms)
+        tomb = self._tombstone_array()
+        # per-term score vectors depend only on the index's own stats;
+        # cache them unless stats are injected (reload() clears)
+        cacheable = statistics is None or not statistics.docs_freq
+        if not hasattr(self, "_local_score_cache"):
+            from collections import OrderedDict
+            self._local_score_cache: "OrderedDict" = OrderedDict()
+        scache = self._local_score_cache
+        per_term = {}
+        for t in tokens:
+            if cacheable and (col, t) in scache:
+                scache.move_to_end((col, t))
+                per_term[t] = scache[(col, t)]
+                if per_term[t][0].size == 0 and not operator_or:
+                    return []
+                continue
+            d, tf, nm = raw[(col, t)]
+            if tomb.size and d.size:
+                mask = ~np.isin(d, tomb)
+                d, tf, nm = d[mask], tf[mask], nm[mask]
+            if d.size == 0:
+                if not operator_or:
+                    return []  # AND with an empty term matches nothing
+                per_term[t] = (d, np.empty(0))
+            else:
+                idf = float(bm25.idf(df_map.get(t, 0), n_docs))
+                norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[nm], avgdl or 1.0,
+                                       k1, b)
+                per_term[t] = (d, bm25.term_score(tf, idf, norm_d, k1))
+            if cacheable:
+                scache[(col, t)] = per_term[t]
+                while len(scache) > 512:
+                    scache.popitem(last=False)
+
+        order = sorted(per_term, key=lambda t: per_term[t][0].size)
+        if not order:
+            return []
+        tmax = {t: (float(per_term[t][1].max())
+                    if per_term[t][1].size else 0.0) for t in order}
+        suffix = {}
+        run = 0.0
+        for t in reversed(order):
+            suffix[t] = run
+            run += tmax[t]
+
+        cand, total = per_term[order[0]]
+        cand = cand.copy()
+        total = total.copy()
+
+        def kth(v):
+            return float(np.partition(v, -top_k)[-top_k]) \
+                if v.size >= top_k else 0.0
+
+        theta = kth(total) if operator_or else 0.0
+        for t in order[1:]:
+            d, s = per_term[t]
+            if not operator_or:
+                # intersection gather
+                pos = np.searchsorted(d, cand)
+                pos_c = np.minimum(pos, max(d.size - 1, 0))
+                hit = (pos < d.size) & (d[pos_c] == cand) if d.size \
+                    else np.zeros(cand.size, dtype=bool)
+                cand = cand[hit]
+                total = total[hit] + s[pos_c[hit]]
+                if cand.size == 0:
+                    return []
+                continue
+            if tmax[t] + suffix[t] >= theta:
+                # new entrants possible: full sorted merge
+                md = np.concatenate([cand, d])
+                ms = np.concatenate([total, s])
+                uniq, inv = np.unique(md, return_inverse=True)
+                agg = np.zeros(uniq.size)
+                np.add.at(agg, inv, ms)
+                cand, total = uniq, agg
+            else:
+                # hot term: gather onto existing candidates only —
+                # skipped docs are bounded below theta (see wand.py)
+                pos = np.searchsorted(d, cand)
+                pos_c = np.minimum(pos, max(d.size - 1, 0))
+                hit = (pos < d.size) & (d[pos_c] == cand)
+                total[hit] += s[pos_c[hit]]
+            theta = max(theta, kth(total))
+        idx = np.lexsort((cand, -total))[:top_k]
+        return [(int(cand[i]), float(total[i])) for i in idx]
 
     def _bm25_local_wand(
         self, sentence: str, col: str, top_k: int, operator_or: bool,
@@ -692,6 +866,12 @@ class SearchIndex:
         tokens = list(dict.fromkeys(self.config.analyzer(col)(sentence)))
         if not tokens:
             return []
+        if alive_bitmap is None:
+            # fast path: term-at-a-time over decoded caches; the block
+            # scorer below handles filtered queries (the alive mask must
+            # apply before theta is derived)
+            return self._bm25_local_taat(tokens, col, top_k, operator_or,
+                                         statistics)
         local = self.local_statistics({col: tokens})
         use = statistics if statistics is not None and statistics.docs_freq \
             else local
@@ -713,11 +893,14 @@ class SearchIndex:
         rows = self._local_raw_rows(col, tokens)
         if not len(rows):
             return []
-        outs = [o for _, g in rows.groupby("shard", sort=False)
-                for o in [scorer(g)] if len(o)]
-        if not outs:
+        # shards are disjoint doc ranges, so the whole term's rows form
+        # one valid posting list: a single scorer call beats 15x
+        # per-shard python overhead (the bounds become global maxima —
+        # slightly looser pruning, no correctness change)
+        out = scorer(rows)
+        if not len(out):
             return []
-        cat = pd.concat(outs, ignore_index=True)
+        cat = out
         d = cat["doc_id"].to_numpy(dtype=np.int64)
         s = cat["score"].to_numpy(dtype=np.float64)
         order = np.lexsort((d, -s))[:top_k]

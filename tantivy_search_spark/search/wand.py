@@ -104,7 +104,9 @@ def make_wand_scorer(
             rare_docs_all.append(d)
         if and_mode and not rare_docs_all:
             return pd.DataFrame({"doc_id": [], "score": []})
-        rare_docs = (np.concatenate(rare_docs_all)
+        # sorted: the AND-mode block-overlap test below searchsorted()s
+        # into this, and input rows arrive in arbitrary order
+        rare_docs = (np.sort(np.concatenate(rare_docs_all))
                      if rare_docs_all else np.empty(0, dtype=np.int64))
 
         # θ: kth best single-term score from the rarest term (0 if fewer)
@@ -117,25 +119,40 @@ def make_wand_scorer(
         if and_mode:
             theta = 0.0  # AND totals need every term; bound by range only
 
-        others_sum = {
-            t: sum(shard_max[o] for o in rows_by_term if o != t)
-            for t in rows_by_term
-        }
+        # terms processed in ascending-df order; a doc FIRST appearing at
+        # term i can still gain at most sum of the LATER terms' maxima,
+        # so the new-entrant bound uses suffix sums — far tighter than
+        # an all-other-terms sum when the query anchors on a selective
+        # term and the tail terms are hot (idf ~0.04 keywords): their
+        # blocks then decode only where they overlap known candidates.
+        suffix = {}
+        run = 0.0
+        for t in reversed(order):
+            suffix[t] = run
+            run += shard_max[t]
+        # candidate docs accumulated so far (sorted); blocks overlapping
+        # them must decode to keep candidate totals exact
+        cand = rare_docs
 
         for ti, term in enumerate(order[1:], start=1):
             idf_t = idf_map[term]
+            new_docs = []
             for r in rows_by_term[term]:
                 first = np.asarray(r.block_first, dtype=np.int64)
                 last = np.asarray(r.block_last, dtype=np.int64)
                 mt = np.asarray(r.block_max_tf)
                 mn = norm_of(np.asarray(r.block_min_norm, dtype=np.int64))
                 bmax = idf_t * (k1 + 1) * mt / (mt + mn)
-                keep = (bmax + others_sum[term]) >= theta
-                if and_mode and rare_docs.size:
-                    # block must overlap at least one rare-term doc
-                    lo = np.searchsorted(rare_docs, first, side="left")
-                    hi = np.searchsorted(rare_docs, last, side="right")
-                    keep &= hi > lo
+                # new-entrant bound: could a doc seen first here still
+                # reach theta with only later terms' help?
+                keep = (bmax + suffix[term]) >= theta
+                if cand.size:
+                    lo = np.searchsorted(cand, first, side="left")
+                    hi = np.searchsorted(cand, last, side="right")
+                    overlap = hi > lo
+                    keep = (keep | overlap) if not and_mode else overlap
+                elif and_mode:
+                    keep &= False
                 if not keep.any():
                     continue
                 d, tf, nm = layout.decode_blocks(
@@ -148,6 +165,9 @@ def make_wand_scorer(
                 acc_docs.append(d)
                 acc_scores.append(s)
                 acc_terms.append(np.full(d.size, ti, dtype=np.int8))
+                new_docs.append(d)
+            if not and_mode and new_docs:
+                cand = np.union1d(cand, np.concatenate(new_docs))
 
         if not acc_docs:
             return pd.DataFrame({"doc_id": [], "score": []})

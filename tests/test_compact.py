@@ -77,3 +77,40 @@ class TestCompact:
         assert ix._postings.count() <= rows_before
         assert _results(ix) == before
         assert m["rows_after"] == ix._postings.count()
+
+
+class TestMergeRouting:
+    def test_hot_groups_merged_tail_passes_through(self, spark, tmp_path):
+        """rows_per_part=1 makes every doc its own part: terms in >=5
+        docs hit the pandas merge branch, rare terms pass through as
+        JVM rows — results identical either way, merged groups have one
+        row."""
+        from pyspark.sql import functions as F
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        cfg = IndexConfig.from_json(["body"], "{}")
+        cfg.parts_per_shard = 16  # all parts in one shard
+        path = str(tmp_path / "mr")
+        docs = [{"doc_id": i, "body": f"common filler{i} word{i % 2}"}
+                for i in range(8)]
+        b = IndexBuilder(spark, path, cfg, rows_per_part=1)
+        b.merge_hot_df = 5  # tiny corpus: 'common' (df 8) is the hot term
+        b.build(spark.createDataFrame(docs), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        # 'common' (df 8 >= merge_hot_df) -> one merged row
+        hot = ix._postings.where(F.col("term") == "common").collect()
+        assert len(hot) == 1 and hot[0]["df"] == 8
+        # 'word0'/'word1' (df 4 < merge_hot_df) -> pass-through rows
+        rare = ix._postings.where(F.col("term") == "word0").collect()
+        assert len(rare) == 4 and all(r["df"] == 1 for r in rare)
+        # queries agree across the mixed layout
+        got = [(r["row_id"], round(r["score"], 4)) for r in
+               ix.bm25_search("common word0", top_k=10,
+                              operator_or=False).collect()]
+        assert [rid for rid, _ in got] == [0, 2, 4, 6]
+        loc = [(rid, round(s, 4)) for rid, s in
+               ix.bm25_search_local("common word0", top_k=10,
+                                    operator_or=False)]
+        assert loc == got

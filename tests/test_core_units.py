@@ -212,3 +212,29 @@ class TestConfig:
         assert cfg2.columns == ["a"]
         assert not cfg2.lowercases("a")
         assert cfg2.lowercases("unconfigured")
+
+
+class TestAssignDocIds:
+    def test_deterministic_and_duplicate_free(self, spark):
+        """RangePartitioner re-samples boundaries per job; without the
+        pinned materialization the count and assignment jobs disagree
+        and produce duplicate ids (observed 13k dups at 480k rows).
+        Two runs must be bit-identical and collision-free."""
+        from pyspark.sql import functions as F
+        from tantivy_search_spark.index.builder import assign_doc_ids
+
+        df = spark.range(0, 5000, 1, 16).select(
+            F.concat(F.lit("k"), (F.col("id") * 2654435761 % 5000))
+            .alias("key"),
+            F.col("id").alias("payload"))
+        hashes = []
+        for _ in range(2):
+            out = assign_doc_ids(df, ["key", "payload"])
+            n = out.count()
+            assert out.select("doc_id").distinct().count() == n
+            ids = out.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+            assert (ids[0], ids[1]) == (0, n - 1)  # dense, zero-based
+            hashes.append(out.agg(F.sum(F.crc32(F.concat_ws(
+                ":", F.col("doc_id"), F.col("key"), F.col("payload")))))
+                .collect()[0][0])
+        assert hashes[0] == hashes[1]
