@@ -473,10 +473,12 @@ class IndexBuilder:
             t0 = time.time()
             postings = self.spark.read.parquet(
                 os.path.join(self.index_path, POSTINGS_DIR))
+            # partitionBy(bucket): per-query stats lookups prune partition
+            # dirs with the same bucket predicate as _candidate_postings
             postings.groupBy("col", "term").agg(
                 F.sum("df").alias("df"),
                 F.first("bucket").alias("bucket"),
-            ).write.mode("overwrite").parquet(
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
                 os.path.join(self.index_path, STATS_DIR))
             stats_ck = {"secs": time.time() - t0}
             self._ckpt_write("stats", stats_ck)
@@ -570,6 +572,7 @@ class IndexBuilder:
         """
         spark = self.spark
         cfg_json = self.config.to_json()
+        layout.recover_swaps(self.index_path, drop_stray=True)
         postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
         postings = spark.read.parquet(postings_dir)
 
@@ -621,6 +624,7 @@ class IndexBuilder:
         this is query-transparent (compaction can fold them later).
         Stats and meta totals are recomputed (cheap aggregates).
         """
+        layout.recover_swaps(self.index_path, drop_stray=True)
         meta = IndexMeta.load(self.index_path)
         old_max = max((r[2] for r in meta.part_ranges or []), default=-1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
@@ -669,12 +673,15 @@ class IndexBuilder:
             os.path.join(self.index_path, POSTINGS_DIR))
         postings.groupBy("col", "term").agg(
             F.sum("df").alias("df"), F.first("bucket").alias("bucket"),
-        ).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(self.index_path, STATS_DIR) + "_new")
-        # atomic-ish swap (parquet dirs)
+        # rename-ordered swap: the readable-dir gap is two renames, not a
+        # whole rmtree; a crash in the gap is repaired by
+        # layout.recover_swaps on the next open
         stats_dir = os.path.join(self.index_path, STATS_DIR)
-        shutil.rmtree(stats_dir)
+        os.rename(stats_dir, stats_dir + "_old")
         os.rename(stats_dir + "_new", stats_dir)
+        shutil.rmtree(stats_dir + "_old")
 
         segs = self.spark.read.parquet(
             os.path.join(self.index_path, SEGMENTS_DIR, "chunk=*"))

@@ -50,6 +50,36 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def recover_swaps(index_path: str, drop_stray: bool = False) -> None:
+    """Repair a directory swap interrupted mid-rename.
+
+    compact()/append() replace the postings/stats dirs with the
+    sequence: write <dir>_new|_compacting -> rename <dir> to <dir>_old
+    -> rename new into place -> rmtree old.  A crash between the two
+    renames leaves no live dir but an intact <dir>_old; a crash before
+    the final rmtree leaves both.  Recovery rules (idempotent):
+      * live dir missing + _old present  -> roll back (_old -> live)
+      * live dir present + _old present  -> finish (drop _old)
+      * stray _new/_compacting dirs      -> drop, only when
+        ``drop_stray`` (writers at job start; readers must not delete a
+        concurrent writer's in-progress dir)
+    """
+    import shutil as _shutil
+    for d in (POSTINGS_DIR, STATS_DIR):
+        live = os.path.join(index_path, d)
+        old = live + "_old"
+        if os.path.exists(old):
+            if os.path.exists(live):
+                _shutil.rmtree(old)
+            else:
+                os.rename(old, live)
+        if drop_stray:
+            for suffix in ("_new", "_compacting"):
+                stray = live + suffix
+                if os.path.exists(stray):
+                    _shutil.rmtree(stray)
+
+
 #: posting fragment/merged schema (`sub` splits oversized shard rows;
 #: doc ranges of subs of one (term, shard) are disjoint & ordered)
 POSTINGS_SCHEMA = T.StructType(

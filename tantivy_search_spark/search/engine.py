@@ -89,7 +89,14 @@ class Statistics:
 class SearchIndex:
     """Reader over one index directory (reference Q14 load_index_reader)."""
 
+    #: tombstone sets up to this size are collected to the driver and
+    #: broadcast into decode UDFs; past it, queries switch to a
+    #: left-anti join against the tombstones table so the driver never
+    #: materializes the id array (ClickHouse-part scale deletes).
+    TOMBSTONE_BROADCAST_MAX = 1_000_000
+
     def __init__(self, spark: SparkSession, index_path: str):
+        layout.recover_swaps(index_path)
         self.spark = spark
         self.index_path = index_path
         self.meta = IndexMeta.load(index_path)
@@ -97,7 +104,9 @@ class SearchIndex:
         self._postings = spark.read.parquet(os.path.join(index_path, POSTINGS_DIR))
         self._stats = spark.read.parquet(os.path.join(index_path, STATS_DIR))
         self._tombstones: np.ndarray | None = None  # lazy
+        self._tombstone_n: int | None = None  # lazy count (cheap parquet agg)
         self._stats_cache: dict | None = None  # optional driver-side dict
+        self._bcast_pool: list = []  # broadcasts of the most recent query
 
     # ------------------------------------------------------------------ utils
     def reload(self) -> None:
@@ -113,6 +122,7 @@ class SearchIndex:
             self._stats_cache = None
             self.enable_stats_cache()
         self._tombstones = None
+        self._tombstone_n = None
         self._pa_dataset = None
         for attr in ("_local_cache", "_local_raw_cache",
                      "_local_score_cache"):
@@ -123,17 +133,56 @@ class SearchIndex:
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
 
+    def _tombstone_df(self) -> DataFrame | None:
+        """Raw tombstones table (may contain duplicates) or None."""
+        path = os.path.join(self.index_path, TOMBSTONES_DIR)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _tombstone_count(self) -> int:
+        """Distinct tombstoned ids — one cheap column-pruned agg, cached."""
+        if self._tombstone_n is None:
+            df = self._tombstone_df()
+            self._tombstone_n = (
+                0 if df is None
+                else df.agg(F.count_distinct("doc_id")).collect()[0][0])
+        return self._tombstone_n
+
     def _tombstone_array(self) -> np.ndarray:
+        """Materialized sorted id array — the in-process tier (the driver
+        IS the engine there) and small delete sets.  Distributed query
+        paths must go through :meth:`_tombstone_small_array` instead so
+        large delete sets stay as a DataFrame anti-join."""
         if self._tombstones is None:
-            path = os.path.join(self.index_path, TOMBSTONES_DIR)
-            if os.path.exists(path):
-                rows = self.spark.read.parquet(path).select("doc_id").collect()
+            df = self._tombstone_df()
+            if df is not None:
+                rows = df.select("doc_id").collect()
                 self._tombstones = np.unique(
                     np.array([r["doc_id"] for r in rows], dtype=np.int64)
                 )
             else:
                 self._tombstones = np.empty(0, dtype=np.int64)
         return self._tombstones
+
+    def _tombstone_small_array(self) -> np.ndarray | None:
+        """Tombstones as a broadcastable array, or None when the delete
+        set exceeds TOMBSTONE_BROADCAST_MAX (callers then anti-join
+        against ``_tombstone_df()`` — no driver materialization)."""
+        if self._tombstones is not None:
+            return self._tombstones
+        if self._tombstone_count() > self.TOMBSTONE_BROADCAST_MAX:
+            return None
+        return self._tombstone_array()
+
+    def _anti_tombstones(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Large-delete-set path: distributed anti-join on the id."""
+        tomb = self._tombstone_df()
+        if tomb is None:
+            return df
+        return df.join(
+            tomb.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col, "left_anti")
 
     def enable_stats_cache(self) -> None:
         """Load the whole term dictionary into a driver dict so stats
@@ -159,6 +208,16 @@ class SearchIndex:
         return self._postings.where(cond)
 
     # ---------------------------------------------------------------- stats
+    def _stats_lookup_df(self, terms: list[str]) -> DataFrame:
+        """Per-query term-stats scan.  Stats are written
+        partitionBy(bucket), so the bucket predicate prunes partition
+        directories and the term filter pushes into the row-group scan —
+        mirroring _candidate_postings (plan-asserted in test_plans)."""
+        buckets = sorted({term_bucket(t, self.config.n_buckets)
+                          for t in terms})
+        return self._stats.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
     def local_statistics(self, tokens_by_col: dict[str, list[str]]) -> Statistics:
         """This index's contribution to merged global stats (reference
         get_doc_freq + get_total_num_tokens + get_total_num_docs)."""
@@ -171,7 +230,7 @@ class SearchIndex:
                     docs_freq.append((t, c, df))
         elif pairs:
             terms = sorted({t for _, t in pairs})
-            rows = self._stats.where(F.col("term").isin(terms)).collect()
+            rows = self._stats_lookup_df(terms).collect()
             want = set(pairs)
             for r in rows:
                 if (r["col"], r["term"]) in want:
@@ -194,7 +253,7 @@ class SearchIndex:
         return tok if col is None else int(tok.get(col, 0))
 
     def get_indexed_doc_counts(self) -> int:
-        return self.meta.total_docs - int(self._tombstone_array().size)
+        return self.meta.total_docs - self._tombstone_count()
 
     # ---------------------------------------------------------------- deletes
     def delete_row_ids(self, row_ids: list[int]) -> bool:
@@ -246,13 +305,15 @@ class SearchIndex:
             (c, t): float(bm25.idf(df_map.get((c, t), 0), n_docs))
             for (c, t) in subs
         }
-        tomb = self._tombstone_array()
-        sc = self.spark.sparkContext
-        b_subs = sc.broadcast(subs)
-        b_idf = sc.broadcast(idf_map)
-        b_avgdl = sc.broadcast(avgdl)
-        b_tomb = sc.broadcast(tomb)
-        b_alive = sc.broadcast(alive_bitmap)
+        tomb = self._tombstone_small_array()
+        anti_join_tombs = tomb is None  # large delete set: DF anti-join below
+        if anti_join_tombs:
+            tomb = np.empty(0, dtype=np.int64)
+        b_subs = self._bcast(subs)
+        b_idf = self._bcast(idf_map)
+        b_avgdl = self._bcast(avgdl)
+        b_tomb = self._bcast(tomb)
+        b_alive = self._bcast(alive_bitmap)
         norm_table = FIELD_NORMS_TABLE  # tiny, ships in closure
 
         def decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,7 +357,48 @@ class SearchIndex:
                     )
 
         cand = self._candidate_postings(atoms)
-        return cand.mapInPandas(decode_score, "doc_id long, atom int, score double")
+        out = cand.mapInPandas(decode_score, "doc_id long, atom int, score double")
+        if anti_join_tombs:
+            out = self._anti_tombstones(out, "doc_id")
+        return out
+
+    def _bcast(self, obj):
+        """Broadcast with lifecycle: kept for the current query, released
+        (unpersist, not destroy — late-running lazy plans re-broadcast on
+        demand) when the next query swaps the pool."""
+        b = self.spark.sparkContext.broadcast(obj)
+        self._bcast_pool.append(b)
+        return b
+
+    def _swap_broadcast_pool(self) -> None:
+        """Release broadcasts from the previous query.  Called at the
+        start of each query build so repeated bm25_search/_batch calls
+        don't accumulate executor/driver broadcast blocks (the prior
+        behavior leaked one (W, P, ...) tuple per batch call)."""
+        for b in self._bcast_pool:
+            try:
+                b.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._bcast_pool = []
+
+    def _per_doc_scores(self, scored: DataFrame) -> DataFrame:
+        """(doc_id, atom, score) rows -> (doc_id, sc map<atom,score>).
+
+        Two narrow hash aggregations with fixed-width generated code —
+        regardless of the number of atoms — instead of a 2-expressions-
+        per-atom wide aggregate, which exceeds janino's 64 KB generated-
+        method limit at a few hundred atoms and silently drops the whole
+        stage to interpreted execution (the scale cliff ADVICE.md
+        flagged on the batch path)."""
+        return (
+            scored.groupBy("doc_id", "atom")
+            .agg(F.sum("score").alias("s"))
+            .groupBy("doc_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(F.col("atom"), F.col("s")))
+            ).alias("sc"))
+        )
 
     def bm25_search(
         self,
@@ -322,7 +424,11 @@ class SearchIndex:
         cols = [c for c in (column_names or self.config.columns)
                 if c in self.config.columns]
         analyzers = self._analyzers()
-        if use_wand and not enable_nlq and len(cols) == 1 and limit:
+        if (use_wand and not enable_nlq and len(cols) == 1 and limit
+                and self._tombstone_small_array() is not None):
+            # (large delete sets disable WAND: block-max bounds ignore
+            # tombstones, so pruning against a theta derived from
+            # tombstoned docs would be unsound — exact path + anti-join)
             return self._bm25_wand(sentence, cols[0], top_k, operator_or,
                                    alive_bitmap, statistics)
         if enable_nlq:
@@ -341,16 +447,10 @@ class SearchIndex:
             return empty
         atom_index = {a: i for i, a in enumerate(atoms)}
 
+        self._swap_broadcast_pool()
         scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
-        aggs = []
-        for i in range(len(atoms)):
-            hit = F.when(F.col("atom") == i, F.lit(1))
-            aggs.append(F.max(hit).alias(f"m{i}"))
-            aggs.append(
-                F.sum(F.when(F.col("atom") == i, F.col("score"))).alias(f"s{i}")
-            )
-        per_doc = scored.groupBy("doc_id").agg(*aggs)
-        matched, score = qt.compile_tree(tree, atom_index)
+        per_doc = self._per_doc_scores(scored)
+        matched, score = qt.compile_tree_map(tree, atom_index, "sc")
         out = (
             per_doc.where(matched)
             .select(F.col("doc_id").alias("row_id"), score.alias("score"))
@@ -423,15 +523,9 @@ class SearchIndex:
             return empty
         atoms = [a for a, _ in sorted(atom_index.items(), key=lambda kv: kv[1])]
 
+        self._swap_broadcast_pool()
         scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
-        aggs = []
-        for i in range(len(atoms)):
-            hit = F.when(F.col("atom") == i, F.lit(1))
-            aggs.append(F.max(hit).alias(f"m{i}"))
-            aggs.append(
-                F.sum(F.when(F.col("atom") == i, F.col("score"))).alias(f"s{i}")
-            )
-        per_doc = scored.groupBy("doc_id").agg(*aggs)
+        per_doc = self._per_doc_scores(scored)
 
         flats = [qt.flat_groups(t) if t is not None else None for t in trees]
         if all(f is not None for t, f in zip(trees, flats) if t is not None):
@@ -486,20 +580,31 @@ class SearchIndex:
             P[gi, qpos[g_qid[gi]]] = 1.0
         qid_arr = np.asarray(qids, dtype=np.int32)
 
-        mcols = [f"m{i}" for i in range(n_atoms)]
-        scols = [f"s{i}" for i in range(n_atoms)]
-        sc = self.spark.sparkContext
-        b = sc.broadcast((W, gsize, g_and, P, qid_arr, top_k))
+        b = self._bcast((W, gsize, g_and, P, qid_arr, top_k))
 
         def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             W, gsize, g_and, P, qid_arr, k = b.value
+            na = W.shape[0]
             for pdf in it:
                 if not len(pdf):
                     continue
                 row_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-                M = pdf[mcols].notna().to_numpy(dtype=np.float64)
-                S = np.nan_to_num(
-                    pdf[scols].to_numpy(dtype=np.float64), nan=0.0)
+                # expand (atoms, scores) ragged arrays into dense doc x atom
+                # matrices — fully vectorized (flatten + fancy-index)
+                lens = np.fromiter((len(a) for a in pdf["atoms"]),
+                                   dtype=np.int64, count=len(pdf))
+                n = len(pdf)
+                M = np.zeros((n, na), dtype=np.float64)
+                S = np.zeros((n, na), dtype=np.float64)
+                if lens.sum():
+                    flat_a = np.concatenate(
+                        [np.asarray(a, dtype=np.int64) for a in pdf["atoms"]])
+                    flat_s = np.concatenate(
+                        [np.asarray(s, dtype=np.float64)
+                         for s in pdf["scores"]])
+                    rows = np.repeat(np.arange(n), lens)
+                    M[rows, flat_a] = 1.0
+                    S[rows, flat_a] = flat_s
                 C = M @ W
                 matched_g = np.where(g_and, C == gsize, C > 0)
                 score_g = (S @ W) * matched_g
@@ -525,7 +630,12 @@ class SearchIndex:
                         "score": np.concatenate(out_s),
                     })
 
-        return per_doc.mapInPandas(
+        flat = per_doc.select(
+            "doc_id",
+            F.map_keys("sc").alias("atoms"),     # aligned by construction
+            F.map_values("sc").alias("scores"),
+        )
+        return flat.mapInPandas(
             topk_part, "query_id int, row_id long, score double")
 
     def _batch_hits_tree(self, per_doc, trees, atom_index):
@@ -538,7 +648,7 @@ class SearchIndex:
         for qid, tree in enumerate(trees):
             if tree is None:
                 continue
-            matched, score = qt.compile_tree(tree, atom_index)
+            matched, score = qt.compile_tree_map(tree, atom_index, "sc")
             qstructs.append(F.struct(
                 F.lit(qid).alias("query_id"),
                 matched.alias("ok"),
@@ -591,12 +701,14 @@ class SearchIndex:
                    for t in tokens}
         avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
 
+        tomb = self._tombstone_small_array()  # callers gate on non-None
         scorer = make_wand_scorer(
             tokens=tokens, idf_map=idf_map, avgdl=avgdl,
             k1=self.config.k1, b=self.config.b,
             block_size=self.config.block_size, top_k=top_k,
             and_mode=not operator_or, alive_bitmap=alive_bitmap,
-            tombstones=self._tombstone_array(),
+            tombstones=tomb if tomb is not None
+            else np.empty(0, dtype=np.int64),
         )
         buckets = sorted({term_bucket(t, self.config.n_buckets) for t in tokens})
         cand = self._postings.where(
@@ -675,8 +787,13 @@ class SearchIndex:
                 else:
                     cache[a] = (np.empty(0, np.int64), np.empty(0, np.int64),
                                 np.empty(0, np.uint8))
-                while len(cache) > self._local_cache_max:
-                    cache.popitem(last=False)
+            # evict AFTER the fill, never a key the current query needs:
+            # evicting inside the loop could drop an atom of this very
+            # query (when len(atoms) > max) and KeyError at gather time
+            current = set(atoms)
+            evictable = [k for k in cache if k not in current]
+            while len(cache) > self._local_cache_max and evictable:
+                cache.pop(evictable.pop(0), None)  # oldest first (LRU order)
         out = {}
         for a in atoms:
             cache.move_to_end(a)
@@ -730,8 +847,13 @@ class SearchIndex:
                         "norms": [enc["norms"]],
                     })
                 cache[(col, t)] = sub
-            while len(cache) > 4096:
-                cache.popitem(last=False)
+            # same cap policy as the decoded-postings LRU (enable_local_cache
+            # configures it; default 4096), and never evict this query's keys
+            cap = getattr(self, "_local_cache_max", 4096)
+            current = {(col, t) for t in tokens}
+            evictable = [k for k in cache if k not in current]
+            while len(cache) > cap and evictable:
+                cache.pop(evictable.pop(0), None)
         out = []
         for t in tokens:
             cache.move_to_end((col, t))
@@ -1100,7 +1222,11 @@ class SearchIndex:
         """Posting rows -> distinct alive doc ids; reads ONLY the
         block_first/deltas columns (tfs/norms pruned at the parquet scan)."""
         block_size = self.config.block_size
-        b_tomb = self.spark.sparkContext.broadcast(self._tombstone_array())
+        self._swap_broadcast_pool()
+        tomb = self._tombstone_small_array()
+        anti_join_tombs = tomb is None
+        b_tomb = self._bcast(
+            np.empty(0, dtype=np.int64) if anti_join_tombs else tomb)
 
         def decode_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -1115,11 +1241,14 @@ class SearchIndex:
                 if outs:
                     yield pd.DataFrame({"row_id": np.concatenate(outs)})
 
-        return (
+        out = (
             cand.select("block_first", "deltas")
             .mapInPandas(decode_ids, "row_id long")
             .distinct()
         )
+        if anti_join_tombs:
+            out = self._anti_tombstones(out, "row_id")
+        return out
 
     def _collect_bitmap(self, df: DataFrame) -> bytes:
         ids = [r["row_id"] for r in df.collect()]

@@ -361,3 +361,48 @@ def compile_tree(tree, atom_index: dict[tuple[str | None, str], int]) -> tuple[C
         return matched, total
 
     return walk(tree)
+
+
+def compile_tree_map(
+    tree,
+    atom_index: dict[tuple[str | None, str], int],
+    map_col: str = "sc",
+) -> tuple[Column, Column]:
+    """Like :func:`compile_tree`, but over a single ``map<int, double>``
+    column (atom id -> summed score) instead of 2N flat columns.
+
+    The flat-column form needs 2 aggregate expressions per atom; past a
+    few hundred atoms the generated aggregate method exceeds janino's
+    64 KB limit and the whole stage silently falls back to interpreted
+    execution.  A map lookup per atom keeps the *aggregation* fixed-size
+    (the map is built by a constant-width collect_list agg upstream) and
+    projection expressions split fine across generated methods.
+    """
+
+    def walk(node) -> tuple[Column, Column]:
+        if isinstance(node, Term):
+            i = atom_index[(node.col, node.text)]
+            v = F.col(map_col).getItem(i)
+            matched = v.isNotNull()
+            return matched, F.coalesce(v, F.lit(0.0))
+        kids = [walk(c) for c in node.children if c is not None]
+        if not kids:
+            return F.lit(False), F.lit(0.0)
+        if isinstance(node, And):
+            matched = kids[0][0]
+            for m, _ in kids[1:]:
+                matched = matched & m
+            total = kids[0][1]
+            for _, s in kids[1:]:
+                total = total + s
+            return matched, F.when(matched, total).otherwise(F.lit(0.0))
+        # Or
+        matched = kids[0][0]
+        for m, _ in kids[1:]:
+            matched = matched | m
+        total = kids[0][1]
+        for _, s in kids[1:]:
+            total = total + s
+        return matched, total
+
+    return walk(tree)

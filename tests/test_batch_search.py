@@ -91,6 +91,38 @@ class TestBatchSearch:
                                     statistics=fake).collect()]
         assert got == want
 
+    def test_batch_many_atoms_stays_correct(self, corpus_a_index):
+        """A workload with hundreds of distinct atoms: the per-doc agg is
+        a fixed-width map build (the old 2-expressions-per-atom aggregate
+        blew janino's 64KB codegen limit here), and per-query results
+        must still equal the sequential path."""
+        import itertools
+
+        ix = corpus_a_index
+        vocab = [r["term"] for r in
+                 ix._stats.select("term").distinct().orderBy("term")
+                 .limit(120).collect()]
+        # 40 queries x 3 distinct terms -> up to ~360 atoms over 3 columns
+        qs = [(" ".join(vocab[i:i + 3]), True)
+              for i in range(0, 117, 3)] + [("ancient rise", False)]
+        batch = ix.bm25_search_batch(qs, top_k=3).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid in (0, 7, 19, 38, len(qs) - 1):  # spot-check across the set
+            s, op_or = qs[qid]
+            want = _rows(ix.bm25_search(s, top_k=3, operator_or=op_or))
+            assert by_q.get(qid, []) == want, f"query {qid}: {s!r}"
+
+    def test_repeated_batches_release_broadcasts(self, corpus_a_index):
+        """The broadcast pool must hold only the most recent query's
+        broadcasts (older ones unpersisted, not accumulated)."""
+        ix = corpus_a_index
+        for _ in range(3):
+            ix.bm25_search_batch([("ancient rise", True)], top_k=3).collect()
+        assert len(ix._bcast_pool) <= 8
+
     def test_batch_alive_filter(self, corpus_a_index):
         from tantivy_search_spark.bitmap import row_ids_to_u8_bitmap
 

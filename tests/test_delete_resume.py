@@ -47,6 +47,68 @@ class TestDeletes:
         assert ix.regex_term_bitmap("col1", "An%ent") == bytes([1])
 
 
+class TestLargeDeleteSets:
+    def test_anti_join_path_no_driver_materialization(self, fresh_index):
+        """Past TOMBSTONE_BROADCAST_MAX the distributed paths must switch
+        to the left-anti-join plan: the driver never builds the id
+        array, and results still exclude the deleted rows."""
+        import numpy as np
+        import pandas as pd
+
+        ix = fresh_index
+        # tombstone 1M+ ids directly (delete_row_ids would route a python
+        # list through the driver; at this scale a real deployment writes
+        # the tombstone table with a Spark job, which is what we emulate)
+        tomb_path = os.path.join(ix.index_path, "tombstones")
+        ids = np.concatenate([np.arange(10, 1_200_000, dtype=np.int64),
+                              np.array([0, 1, 2, 3], dtype=np.int64)])
+        ix.spark.createDataFrame(pd.DataFrame({"doc_id": ids})) \
+            .write.mode("append").parquet(tomb_path)
+        ix.reload()
+
+        assert ix._tombstone_count() > ix.TOMBSTONE_BROADCAST_MAX
+        assert ix._tombstone_small_array() is None
+        assert ix._tombstones is None  # nothing materialized on the driver
+
+        got = ix.bm25_search("Ancient", top_k=100, operator_or=True).collect()
+        assert [r["row_id"] for r in got] == [4]
+        assert ix.query_term_bitmap("col1", "Ancient") == bytes([16])
+        # wand routes through the exact path (pruning bounds ignore
+        # tombstones) and must agree
+        got_w = ix.bm25_search("Ancient", top_k=100, operator_or=True,
+                               use_wand=True).collect()
+        assert [r["row_id"] for r in got_w] == [4]
+        assert ix._tombstones is None  # still nothing on the driver
+        assert ix.get_indexed_doc_counts() == ix.meta.total_docs - 1_199_994
+
+
+class TestSwapRecovery:
+    def test_interrupted_compact_swap_rolls_back(self, fresh_index):
+        """Crash window between the two renames: live postings dir gone,
+        _old intact -> the next reader open must restore it."""
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        ix = fresh_index
+        postings = os.path.join(ix.index_path, "postings")
+        os.rename(postings, postings + "_old")  # simulate mid-swap crash
+        os.makedirs(postings + "_compacting")   # writer temp left behind
+        ix2 = SearchIndex(ix.spark, ix.index_path)
+        assert os.path.exists(postings) and not os.path.exists(postings + "_old")
+        # reader recovery must NOT delete a possibly-live writer temp
+        assert os.path.exists(postings + "_compacting")
+        assert ix2.bm25_search("Ancient", top_k=10, operator_or=True).count() == 2
+        shutil.rmtree(postings + "_compacting")
+
+    def test_completed_swap_drops_old(self, fresh_index):
+        from tantivy_search_spark.index import layout
+
+        ix = fresh_index
+        stats = os.path.join(ix.index_path, "stats")
+        shutil.copytree(stats, stats + "_old")
+        layout.recover_swaps(ix.index_path)
+        assert os.path.exists(stats) and not os.path.exists(stats + "_old")
+
+
 class TestResume:
     def test_chunk_resume_skips_completed(self, spark, tmp_path):
         """Kill after chunk 0 -> restart completes and skips chunk 0."""

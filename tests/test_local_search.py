@@ -93,3 +93,29 @@ class TestLocalSearch:
                                         use_wand=True)]
             want = _dist(ix, s, op, column_names=["col2"])
             assert got == want, (s, op)
+
+    def test_local_cache_smaller_than_query_no_keyerror(self, spark, tmp_path):
+        """A query referencing more atoms than the LRU cap used to evict
+        entries mid-fill and KeyError on the gather; eviction now happens
+        after the query's atoms are all pinned."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+        from corpora import corpus_a_rows
+
+        path = str(tmp_path / "tiny_cache_idx")
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+            spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        ix.enable_local_cache(max_terms=2)  # below the query's atom count
+        got = [(r, round(s, 4)) for r, s in
+               ix.bm25_search_local("ancient empires rise and fall",
+                                    top_k=5, operator_or=True)]
+        want = [(r["row_id"], round(r["score"], 4)) for r in
+                ix.bm25_search("ancient empires rise and fall", top_k=5,
+                               operator_or=True).collect()]
+        assert got == want
+        # over-cap entries beyond the current query may remain pinned
+        # only for this query; the cache never exceeds cap + atoms
+        assert len(ix._local_cache) <= 2 + 3 * 5

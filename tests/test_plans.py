@@ -24,6 +24,14 @@ class TestPlans:
                                        operator_or=True)
         assert "TakeOrderedAndProject" in _plan(q)
 
+    def test_stats_lookup_bucket_pruned(self, corpus_a_index):
+        """Per-query stats lookups must prune stats partition dirs by
+        bucket (stats are written partitionBy(bucket)) and push the term
+        filter into the scan."""
+        p = _plan(corpus_a_index._stats_lookup_df(["ancient", "rise"]))
+        assert re.search(r"PartitionFilters: \[[^\]]*bucket", p), p[:800]
+        assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(term", p), p[:800]
+
     def test_bitmap_scan_prunes_scoring_columns(self, corpus_a_index):
         b = corpus_a_index.query_term_bitmap_df("col2", "ancient")
         p = _plan(b)
