@@ -385,8 +385,12 @@ SELECT doc_id,
 FROM bs GROUP BY doc_id
 """
 
+    # mirrors dedup.DEFAULT_MAX_SHINGLE_DF: shingles shared by more docs
+    # than the cap are dropped from intersections AND set sizes
     jacc = f"""
-WITH sh AS ({_SHINGLES}),
+WITH sh0 AS ({_SHINGLES}),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 5000),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i

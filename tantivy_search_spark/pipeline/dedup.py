@@ -32,6 +32,32 @@ def _h60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: DataFrames persisted by operators in this module; bounded to one
+#: call's worth — each new persisting call swaps the previous set out
+_PERSISTED: list = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def _swap_persisted_pool() -> None:
+    """Unpersist the previous call's cached frames (their lazy results,
+    if still held, just recompute) so long-lived sessions don't leak
+    executor storage one persist() per dedup call."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def unpersist_cached() -> None:
+    """Release every DataFrame this module still has persisted."""
+    _swap_persisted_pool()
+
+
 def _norm_text(text_col: str):
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
@@ -135,17 +161,46 @@ def shingles(df: DataFrame, text_col: str = "text", w: int = 3) -> DataFrame:
         F.collect_list("shingle").alias("shingles"))
 
 
+#: default document-frequency cap for shingles entering the jaccard
+#: self-join: a shingle shared by > this many docs (license headers,
+#: boilerplate) contributes ~df^2 join rows and near-zero similarity
+#: information, so it is dropped from BOTH the intersection and the
+#: per-doc set sizes (consistent filtered-set semantics, mirrored in
+#: the DuckDB oracle).  At the default, one adversarial hot shingle is
+#: bounded to 25M join rows instead of |corpus|^2.
+DEFAULT_MAX_SHINGLE_DF = 5_000
+
+
+def hot_shingles(df: DataFrame, text_col: str = "text", w: int = 3,
+                 max_df: int = DEFAULT_MAX_SHINGLE_DF) -> DataFrame:
+    """The shingles a given cap would drop, with their df — run this to
+    audit what ngram_jaccard_pairs excludes (no silent truncation)."""
+    return (shingle_rows(df, text_col, w)
+            .groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df))
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", w: int = 3, threshold: float = 0.5
+    df: DataFrame, text_col: str = "text", w: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(a, b, jaccard) for all pairs with Jaccard >= threshold.
 
     Scale path: explode shingles -> self-join on shingle (co-occurrence
     counting) -> |A ∩ B| / (|A| + |B| - |A ∩ B|).  Shuffle is bounded by
-    sum over shingles of df^2 — selective because w-word shingles are
-    rare; hot shingles should be capped upstream for adversarial data.
+    sum over shingles of df^2; shingles with df > ``max_shingle_df``
+    are dropped before the join (see DEFAULT_MAX_SHINGLE_DF — audit the
+    dropped set with :func:`hot_shingles`).  ``max_shingle_df=None``
+    disables the cap (exact semantics, adversarial-skew-unsafe).
     """
     ex = shingle_rows(df, text_col, w)
+    if max_shingle_df is not None:
+        sdf = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+        # anti-join keeps the plan broadcast-friendly: the hot set is by
+        # definition tiny (few shingles can exceed the cap)
+        ex = ex.join(
+            sdf.where(F.col("_df") > max_shingle_df).select("shingle"),
+            "shingle", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         ex.alias("x")
@@ -240,8 +295,12 @@ def minhash_lsh_pairs(
     # materialize signatures before the self-join: otherwise Catalyst
     # re-evaluates the whole (md5 x n_perm x shingles) expression tree on
     # both join sides, interpreted — at scale the signature table is an
-    # index artifact you persist anyway
-    banded = banded.persist()
+    # index artifact you persist anyway.  Persisted frames are tracked in
+    # a module registry; each new call releases the previous call's
+    # blocks (unpersist is safe for still-lazy results — Spark simply
+    # recomputes), and unpersist_cached() drops everything.
+    _swap_persisted_pool()
+    banded = _track_persist(banded.persist())
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_hash"])
@@ -249,7 +308,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = shingles(df, text_col, w).persist()
+    sh = _track_persist(shingles(df, text_col, w).persist())
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "a")
                   .withColumnRenamed("shingles", "sa"), "a")

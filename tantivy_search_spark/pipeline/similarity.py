@@ -180,15 +180,21 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-lite ANN: centroids = deterministic corpus sample; every vector
-    is assigned to its nearest centroid (one shuffle, keyed by cell);
-    queries probe the n_probe nearest cells."""
+    """IVF-lite ANN: centroids = seeded hash-ordered corpus sample; every
+    vector is assigned to its nearest centroid (one shuffle, keyed by
+    cell); queries probe the n_probe nearest cells.
+
+    Centroid sampling orders by xxhash64(vec_id, seed) — deterministic
+    (same seed -> same centroids) but content-independent, so recall
+    doesn't collapse when vec_ids correlate with content (the first-N-
+    by-id sample this replaces was biased exactly that way)."""
     corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
     queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
     cents = [
         (i, r["embedding"])
         for i, r in enumerate(
-            corpus.orderBy(F.col("vec_id")).limit(n_cells).collect()
+            corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)),
+                           F.col("vec_id")).limit(n_cells).collect()
         )
     ]
 
