@@ -30,11 +30,30 @@ from tantivy_search_spark.pipeline import dedup, multimodal, similarity, text as
 # shared fixtures
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE: dict[str, SearchIndex] = {}
+_INDEX_CACHE: dict[tuple[str, str], SearchIndex] = {}
 
 BM25_SENTENCE = "spark join order window"
 BM25_TOKENS = BM25_SENTENCE.split()
 K1, B = 1.2, 0.75
+
+#: per-kind tokenizer configs for the chain-coverage indexes (T3-T6 +
+#: raw); "deletes"/"append" reuse the default chain but exercise B6 and
+#: B5+B8 respectively before any query runs
+_KIND_CONFIG = {
+    "default": "{}",
+    "simple": '{"text": {"tokenizer": {"type": "simple",'
+              ' "stop_word_filters": ["english"]}}}',
+    "whitespace": '{"text": {"tokenizer": {"type": "whitespace",'
+                  ' "case_sensitive": true}}}',
+    "ngram": '{"text": {"tokenizer": {"type": "ngram",'
+             ' "min_gram": 2, "max_gram": 3}}}',
+    "stem": '{"text": {"tokenizer": {"type": "stem",'
+            ' "stem_languages": ["english"],'
+            ' "stop_word_filters": ["english"]}}}',
+    "raw": '{"text": {"tokenizer": {"type": "raw"}}}',
+    "deletes": "{}",
+    "append": "{}",
+}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,17 +64,46 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
-    key = os.path.abspath(sf_dir)
+def _index(spark: SparkSession, sf_dir: str, kind: str = "default") -> SearchIndex:
+    """Build-once-per-(sf_dir, kind) index cache.
+
+    kind="deletes": default build, then delete_row_ids(doc_id % 7 == 0)
+    — every query on it must exclude the tombstoned rows (B6).
+    kind="append": build the first half of the corpus, append() the
+    second half (ids preserved via the part-aligned base offset), then
+    compact() — queries must equal a from-scratch full build (B5 + B8).
+    """
+    key = (os.path.abspath(sf_dir), kind)
     if key not in _INDEX_CACHE:
-        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"{key[0]}:{kind}".encode()).hexdigest()[:10]
         path = f"/tmp/tss_index_{tag}"
+        docs = _docs(spark, sf_dir)
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
-            cfg = IndexConfig.from_json(["text"], "{}")
+            cfg = IndexConfig.from_json(["text"], _KIND_CONFIG[kind])
             cfg.parts_per_shard = 4
-            IndexBuilder(spark, path, cfg, rows_per_part=2000).build(
-                _docs(spark, sf_dir), id_col="doc_id")
-        _INDEX_CACHE[key] = SearchIndex(spark, path)
+            if kind == "append":
+                n = docs.count()
+                half = max(n // 2, 1)
+                b = IndexBuilder(spark, path, cfg, rows_per_part=half)
+                b.build(docs.where(F.col("doc_id") < half), id_col="doc_id")
+                # append() shifts provided ids by the part-aligned base
+                # (= half here), so feeding doc_id - half restores the
+                # original global ids — results comparable to one build
+                b.append(docs.where(F.col("doc_id") >= half)
+                         .withColumn("doc_id", F.col("doc_id") - half),
+                         id_col="doc_id")
+                b.compact(min_rows_per_group=2)
+            else:
+                IndexBuilder(spark, path, cfg, rows_per_part=2000).build(
+                    docs, id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        if kind == "deletes" and not os.path.exists(
+                os.path.join(path, "tombstones")):
+            ids = [r["doc_id"] for r in
+                   docs.where(F.col("doc_id") % 7 == 0)
+                   .select("doc_id").collect()]
+            ix.delete_row_ids(ids)
+        _INDEX_CACHE[key] = ix
     return _INDEX_CACHE[key]
 
 
@@ -246,6 +294,102 @@ def _q_winnow(spark, sf_dir):
         "doc_id", F.explode("winnow_sketch").alias("whash"))
 
 
+NLQ_QUERY = "text:spark OR (join order)"
+
+
+def _q_bm25_nlq(spark, sf_dir):
+    """Q7 natural-language query: col:term OR (bare-term AND group) with
+    default conjunction — the tree Or[spark, And[join, order]]."""
+    out = _index(spark, sf_dir).bm25_search(
+        NLQ_QUERY, enable_nlq=True, operator_or=False, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _q_delete_bm25(spark, sf_dir):
+    """B6: after delete_row_ids(doc_id % 7 == 0), BM25 results exclude
+    the tombstoned rows but keep full-corpus stats (deletes don't touch
+    df/avgdl until a merge — reference semantics)."""
+    out = _index(spark, sf_dir, "deletes").bm25_search(
+        BM25_SENTENCE, operator_or=True, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _q_delete_bitmap(spark, sf_dir):
+    return _index(spark, sf_dir, "deletes").query_term_bitmap_df(
+        "text", "spark")
+
+
+def _q_append_term_stats(spark, sf_dir):
+    """B5+B8: build half, append half, compact — the merged+compacted
+    term dictionary must equal a from-scratch full build."""
+    ix = _index(spark, sf_dir, "append")
+    return ix._stats.select("term", "df").orderBy("term")
+
+
+def _q_append_bm25(spark, sf_dir):
+    out = _index(spark, sf_dir, "append").bm25_search(
+        BM25_SENTENCE, operator_or=True, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _chain_stats(spark, sf_dir, kind):
+    ix = _index(spark, sf_dir, kind)
+    return ix._stats.select("term", "df").orderBy("term")
+
+
+def _q_chain_simple_stats(spark, sf_dir):
+    """T3 simple chain (english stopwords): term dictionary built through
+    the full tokenize -> segments -> merge -> stats pipeline."""
+    return _chain_stats(spark, sf_dir, "simple")
+
+
+def _q_chain_whitespace_stats(spark, sf_dir):
+    """T5 whitespace chain, case_sensitive (no LowerCaser)."""
+    return _chain_stats(spark, sf_dir, "whitespace")
+
+
+def _q_chain_ngram_stats(spark, sf_dir):
+    """T6 char-ngram chain (min=2, max=3, all positions)."""
+    return _chain_stats(spark, sf_dir, "ngram")
+
+
+def _q_chain_raw_stats(spark, sf_dir):
+    """T2 raw chain: whole field = one token, no filters."""
+    return _chain_stats(spark, sf_dir, "raw")
+
+
+def _q_chain_stem_doclens(spark, sf_dir):
+    """T4 stem chain: per-doc token counts decoded from the stem-chain
+    index postings.  Snowball stemming is count-preserving, so the SQL
+    oracle is the post-stopword token count; stem VALUES are pinned by
+    tokenizer goldens in pytest (no SQL stemmer exists)."""
+    from tantivy_search_spark.index import layout as L
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    ix = _index(spark, sf_dir, "stem")
+    bs = ix.config.block_size
+
+    def doclens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs_d, outs_t = [], []
+            for r in pdf.itertuples(index=False):
+                d, t, _ = L.decode_blocks(
+                    r.block_first, r.deltas, r.tfs, r.norms, bs)
+                outs_d.append(d)
+                outs_t.append(t)
+            if outs_d:
+                yield pd.DataFrame({"doc_id": np.concatenate(outs_d),
+                                    "tf": np.concatenate(outs_t)})
+
+    rows = ix._postings.select(
+        "block_first", "deltas", "tfs", "norms"
+    ).mapInPandas(doclens, "doc_id long, tf long")
+    return rows.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")).orderBy("doc_id")
+
+
 def _q_media_features(spark, sf_dir):
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake=True)
@@ -289,6 +433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_sketch": _q_winnow,
         "media_features": _q_media_features,
         "frame_plan": _q_frame_plan,
+        "bm25_nlq": _q_bm25_nlq,
+        "delete_bm25": _q_delete_bm25,
+        "delete_bitmap": _q_delete_bitmap,
+        "append_term_stats": _q_append_term_stats,
+        "append_bm25": _q_append_bm25,
+        "chain_simple_stats": _q_chain_simple_stats,
+        "chain_whitespace_stats": _q_chain_whitespace_stats,
+        "chain_ngram_stats": _q_chain_ngram_stats,
+        "chain_raw_stats": _q_chain_raw_stats,
+        "chain_stem_doclens": _q_chain_stem_doclens,
     }
 
 
@@ -325,6 +479,41 @@ FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g
 {alive_filter}
 GROUP BY t.doc_id, g.n, g.tot
 {and_clause}
+"""
+
+
+def _nlq_oracle() -> str:
+    """SQL replica of the NLQ tree Or[Term(spark), And[join, order]]:
+    matched = m_spark OR (m_join AND m_or); score = s_spark + (AND-group
+    total only when every member matched) — Lucene BooleanQuery
+    sum-of-matching-subtrees, exactly what querytree.compile_tree_map
+    evaluates on the Spark side."""
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+fn(val) AS (VALUES {_FN_VALUES}),
+quant AS (SELECT d.doc_id, max(f.val) AS qdl FROM dl d JOIN fn f ON f.val <= d.dl GROUP BY d.doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'join', 'order') GROUP BY doc_id, term),
+st AS (SELECT term, count(distinct doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'join', 'order') GROUP BY term),
+g AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS tot),
+sc AS (SELECT t.doc_id, t.term,
+              ln(1 + (g.n - st.df + 0.5) / (st.df + 0.5))
+              * {K1 + 1} * t.tf
+              / (t.tf + {K1} * (1 - {B} + {B} * q.qdl / (g.tot * 1.0 / g.n))) AS s
+       FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g),
+piv AS (SELECT doc_id,
+               sum(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+               sum(CASE WHEN term = 'join' THEN s END) AS s_join,
+               sum(CASE WHEN term = 'order' THEN s END) AS s_order
+        FROM sc GROUP BY doc_id)
+SELECT doc_id AS row_id,
+       round(coalesce(s_spark, 0)
+             + CASE WHEN s_join IS NOT NULL AND s_order IS NOT NULL
+                    THEN s_join + s_order ELSE 0 END, 4) AS score
+FROM piv
+WHERE s_spark IS NOT NULL OR (s_join IS NOT NULL AND s_order IS NOT NULL)
 """
 
 
@@ -591,4 +780,45 @@ WITH m AS (
   FROM documents)
 SELECT doc_id, media_type, f AS frame_idx, (f * 64)::BIGINT AS byte_offset
 FROM m, unnest(range(0, greatest(n_bytes // 64, 1))) AS u(f)""",
+        "bm25_nlq": _nlq_oracle(),
+        # deletes keep full-corpus stats (tombstones are a visibility
+        # filter until merge), so the oracle scores on the whole corpus
+        # and filters the deleted rows out of the result
+        "delete_bm25": _bm25_oracle(
+            False, alive_filter="WHERE t.doc_id % 7 != 0"),
+        "delete_bitmap": (
+            f"SELECT DISTINCT doc_id AS row_id FROM ({_TOKS}) "
+            "WHERE term = 'spark' AND doc_id % 7 != 0"),
+        # append+compact must be indistinguishable from a single build
+        "append_term_stats": (
+            f"SELECT term, count(distinct doc_id)::BIGINT AS df "
+            f"FROM ({_TOKS}) GROUP BY term"),
+        "append_bm25": _bm25_oracle(False),
+        # tokenizer chains: the corpus is single-space-separated ASCII
+        # alnum words, so SimpleTokenizer (unicode-alnum runs) == the
+        # space split below; RemoveLong(<40 bytes) and LowerCaser kept
+        # explicit for fidelity even where they are no-ops here
+        "chain_simple_stats": (
+            f"SELECT lower(term) AS term, count(distinct doc_id)::BIGINT AS df "
+            f"FROM ({_TOKS}) WHERE octet_length(encode(term)) < 40 "
+            f"AND term NOT IN ({_STOPWORDS_IN}) GROUP BY lower(term)"),
+        "chain_whitespace_stats": (
+            f"SELECT term, count(distinct doc_id)::BIGINT AS df "
+            f"FROM ({_TOKS}) WHERE octet_length(encode(term)) < 40 GROUP BY term"),
+        "chain_ngram_stats": """
+SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, substr(text, i, g.g) AS term
+  FROM documents,
+       unnest(range(1, len(text) + 1)) AS u(i),
+       (VALUES (2), (3)) AS g(g)
+  WHERE i + g.g - 1 <= len(text)
+) GROUP BY term""",
+        "chain_raw_stats": (
+            "SELECT text AS term, count(distinct doc_id)::BIGINT AS df "
+            "FROM documents WHERE text IS NOT NULL AND text != '' "
+            "GROUP BY text"),
+        "chain_stem_doclens": (
+            f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOKS}) "
+            f"WHERE octet_length(encode(term)) < 40 "
+            f"AND term NOT IN ({_STOPWORDS_IN}) GROUP BY doc_id"),
     }
