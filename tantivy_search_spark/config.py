@@ -127,7 +127,13 @@ class IndexConfig:
         store = any(
             c.get("tokenizer", {}).get("store_doc", False) for c in parsed.values()
         )
-        return cls(columns=list(columns), tokenizers=parsed, store_doc=store)
+        cfg = cls(columns=list(columns), tokenizers=parsed, store_doc=store)
+        # capability gaps (chinese/icu tokenizers, unbundled stemmers)
+        # must surface HERE with a clear NotImplementedError, not at the
+        # first analyzer build deep inside an index job
+        for col in cfg.columns:
+            cfg.analyzer(col)
+        return cfg
 
     def tokenizer_config(self, column: str) -> dict:
         return self.tokenizers.get(column, {"tokenizer": {"type": "default"}})

@@ -34,19 +34,13 @@ from functools import lru_cache
 _SIMPLE_SPLIT = re.compile(r"[^\W_]+", re.UNICODE)
 _WHITESPACE_SPLIT = re.compile(r"\S+", re.UNICODE)
 
-# Lucene/Tantivy English stop-word list (33 words) — the list used by
-# tantivy's StopWordFilter for Language::English.
-ENGLISH_STOP_WORDS = frozenset(
-    """a an and are as at be but by for if in into is it no not of on or
-    such that the their then there these they this to was will with""".split()
-)
+from tantivy_search_spark.stopwords import BY_LANGUAGE as _STOP_WORD_SETS
+from tantivy_search_spark.stopwords import ENGLISH as ENGLISH_STOP_WORDS
 
 #: languages the reference accepts for stop_word_filters
-#: (/root/reference/src/tokenizer/languages.rs:7-21)
-STOP_WORD_LANGUAGES = frozenset(
-    """danish dutch english finnish french german hungarian italian
-    norwegian portuguese russian spanish swedish""".split()
-)
+#: (/root/reference/src/tokenizer/languages.rs:7-21); all 13 lists are
+#: bundled in stopwords.py
+STOP_WORD_LANGUAGES = frozenset(_STOP_WORD_SETS)
 
 #: languages the reference accepts for stem_languages
 STEM_LANGUAGES = frozenset(
@@ -54,8 +48,6 @@ STEM_LANGUAGES = frozenset(
     italian norwegian portuguese romanian russian spanish swedish tamil
     turkish""".split()
 )
-
-_STOP_WORD_SETS: dict[str, frozenset[str]] = {"english": ENGLISH_STOP_WORDS}
 
 
 class TokenizerError(ValueError):
@@ -77,156 +69,13 @@ def _stop_words(tokens: list[str], stop: frozenset[str]) -> list[str]:
     return [t for t in tokens if t not in stop]
 
 
-def _porter_stem(word: str) -> str:
-    """Compact Porter stemmer (English).
-
-    Approximates tantivy's Snowball English stemmer; exact agreement is
-    not required by BASELINE.json (which mandates only the simple + raw
-    chains) — this keeps the ``stem`` chain functional and deterministic.
-    """
-    if len(word) <= 2:
-        return word
-
-    vowels = "aeiou"
-
-    def cons(w: str, i: int) -> bool:
-        c = w[i]
-        if c in vowels:
-            return False
-        if c == "y":
-            return i == 0 or not cons(w, i - 1)
-        return True
-
-    def measure(w: str) -> int:
-        m, i, n = 0, 0, len(w)
-        while i < n and cons(w, i):
-            i += 1
-        while i < n:
-            while i < n and not cons(w, i):
-                i += 1
-            if i >= n:
-                break
-            m += 1
-            while i < n and cons(w, i):
-                i += 1
-        return m
-
-    def has_vowel(w: str) -> bool:
-        return any(not cons(w, i) for i in range(len(w)))
-
-    def ends_double_cons(w: str) -> bool:
-        return len(w) >= 2 and w[-1] == w[-2] and cons(w, len(w) - 1)
-
-    def cvc(w: str) -> bool:
-        if len(w) < 3:
-            return False
-        return (
-            cons(w, len(w) - 3)
-            and not cons(w, len(w) - 2)
-            and cons(w, len(w) - 1)
-            and w[-1] not in "wxy"
-        )
-
-    w = word
-
-    # step 1a
-    if w.endswith("sses"):
-        w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
-    elif not w.endswith("ss") and w.endswith("s"):
-        w = w[:-1]
-
-    # step 1b
-    if w.endswith("eed"):
-        if measure(w[:-3]) > 0:
-            w = w[:-1]
-    else:
-        flag = False
-        if w.endswith("ed") and has_vowel(w[:-2]):
-            w, flag = w[:-2], True
-        elif w.endswith("ing") and has_vowel(w[:-3]):
-            w, flag = w[:-3], True
-        if flag:
-            if w.endswith(("at", "bl", "iz")):
-                w += "e"
-            elif ends_double_cons(w) and w[-1] not in "lsz":
-                w = w[:-1]
-            elif measure(w) == 1 and cvc(w):
-                w += "e"
-
-    # step 1c
-    if w.endswith("y") and has_vowel(w[:-1]):
-        w = w[:-1] + "i"
-
-    # step 2
-    pairs2 = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
-        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
-        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
-        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
-        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
-        ("biliti", "ble"),
-    ]
-    for suf, rep in pairs2:
-        if w.endswith(suf):
-            if measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
-
-    # step 3
-    pairs3 = [
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ]
-    for suf, rep in pairs3:
-        if w.endswith(suf):
-            if measure(w[: -len(suf)]) > 0:
-                w = w[: -len(suf)] + rep
-            break
-
-    # step 4
-    sufs4 = [
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ]
-    for suf in sorted(sufs4, key=len, reverse=True):
-        if w.endswith(suf):
-            stem = w[: -len(suf)]
-            if measure(stem) > 1:
-                w = stem
-            break
-    else:
-        if w.endswith("ion") and measure(w[:-3]) > 1 and w[:-3].endswith(("s", "t")):
-            w = w[:-3]
-
-    # step 5a
-    if w.endswith("e"):
-        stem = w[:-1]
-        m = measure(stem)
-        if m > 1 or (m == 1 and not cvc(stem)):
-            w = stem
-    # step 5b
-    if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
-        w = w[:-1]
-
-    return w
-
-
 def _resolve_stop_set(stop_word_filters: Sequence[str]) -> frozenset[str]:
     out: set[str] = set()
     for lang in stop_word_filters:
         key = lang.lower()
         if key not in STOP_WORD_LANGUAGES:
             raise TokenizerError(f"Unknown stop-word filter language: {lang}")
-        words = _STOP_WORD_SETS.get(key)
-        if words is None:
-            raise NotImplementedError(
-                f"stop-word list for '{key}' not bundled (english is); "
-                "pass an explicit word list via stop_words_extra"
-            )
-        out |= words
+        out |= _STOP_WORD_SETS[key]
     return frozenset(out)
 
 
@@ -275,9 +124,8 @@ def build_analyzer(
         key = lang.lower()
         if key not in STEM_LANGUAGES:
             raise TokenizerError(f"Unknown stem language: {lang}")
-        if key != "english":
-            raise NotImplementedError(f"stemmer for '{key}' not bundled")
-        stemmers.append(_porter_stem)
+        from tantivy_search_spark.stemmers import get_stemmer
+        stemmers.append(get_stemmer(key))  # raises clearly if unbundled
 
     if type == "whitespace":
         splitter = _WHITESPACE_SPLIT
