@@ -53,6 +53,7 @@ _KIND_CONFIG = {
     "raw": '{"text": {"tokenizer": {"type": "raw"}}}',
     "deletes": "{}",
     "append": "{}",
+    "positions": "{}",  # default chain + with_positions=True
 }
 
 
@@ -81,6 +82,8 @@ def _index(spark: SparkSession, sf_dir: str, kind: str = "default") -> SearchInd
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
             cfg = IndexConfig.from_json(["text"], _KIND_CONFIG[kind])
             cfg.parts_per_shard = 4
+            if kind == "positions":
+                cfg.with_positions = True
             if kind == "append":
                 n = docs.count()
                 half = max(n // 2, 1)
@@ -390,6 +393,15 @@ def _q_chain_stem_doclens(spark, sf_dir):
         F.sum("tf").cast("long").alias("dl")).orderBy("doc_id")
 
 
+def _q_phrase_bm25(spark, sf_dir):
+    """True quoted-phrase query over a positions-enabled index: docs
+    where 'spark join' appear adjacent in order, scored as the AND
+    group (sum of member BM25 scores)."""
+    out = _index(spark, sf_dir, "positions").bm25_search(
+        '"spark join"', enable_nlq=True, operator_or=False, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_media_features(spark, sf_dir):
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake=True)
@@ -443,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_ngram_stats": _q_chain_ngram_stats,
         "chain_raw_stats": _q_chain_raw_stats,
         "chain_stem_doclens": _q_chain_stem_doclens,
+        "phrase_bm25": _q_phrase_bm25,
     }
 
 
@@ -821,4 +834,11 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOKS}) "
             f"WHERE octet_length(encode(term)) < 40 "
             f"AND term NOT IN ({_STOPWORDS_IN}) GROUP BY doc_id"),
+        # adjacency in token space == adjacency in the single-space text
+        # for this corpus, so the SQL phrase filter is a LIKE on the
+        # padded text; scoring = the AND group restricted to those docs
+        "phrase_bm25": _bm25_oracle(
+            True, tokens=["spark", "join"],
+            alive_filter=("WHERE t.doc_id IN (SELECT doc_id FROM documents "
+                          "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
     }

@@ -118,6 +118,10 @@ class IndexConfig:
     parts_per_shard: int = 64  # doc-range parts folded into one posting shard row
     n_buckets: int = 64  # hash(term) buckets for file-level pruning
     block_size: int = 128  # docs per posting block (skip/block-max granularity)
+    #: index token positions (reference WithFreqsAndPositions) — enables
+    #: true quoted-phrase queries at ~2x postings storage; default OFF
+    #: keeps the round-1 positions-free layout
+    with_positions: bool = False
 
     @classmethod
     def from_json(cls, columns: list[str], index_json_parameter: str = "{}") -> "IndexConfig":
@@ -163,6 +167,7 @@ class IndexConfig:
                 "parts_per_shard": self.parts_per_shard,
                 "n_buckets": self.n_buckets,
                 "block_size": self.block_size,
+                "with_positions": self.with_positions,
             }
         )
 

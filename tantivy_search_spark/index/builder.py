@@ -137,11 +137,19 @@ def _segment_builder(cfg_json: str):
         rows: dict[str, list] = {k: [] for k in (
             "part_id", "bucket", "col", "term", "shard", "sub", "df",
             "block_first", "block_last", "block_max_tf", "block_min_norm",
-            "deltas", "tfs", "norms", "sum_tf")}
+            "deltas", "tfs", "norms", "positions", "sum_tf")}
 
         for col in cfg.columns:
             col_cfg = cfg.tokenizer_config(col)
-            if arrow_fast_eligible(col_cfg):
+            pos_flat = None
+            if cfg.with_positions:
+                # positions need the token stream, not just tf counts —
+                # one lexsort pass in term_doc_tf_pos
+                from tantivy_search_spark.udfs import term_doc_tf_pos
+                toks = tokenize_series(pdf[col], col_cfg)
+                terms, t_docs, t_tfs, doclens, pos_flat = term_doc_tf_pos(
+                    toks, doc_ids)
+            elif arrow_fast_eligible(col_cfg):
                 # Arrow C++ chain: no per-token PyObjects (hot path)
                 terms, t_docs, t_tfs, doclens = term_doc_tf_arrow(
                     pdf[col], doc_ids, col_cfg)
@@ -156,6 +164,7 @@ def _segment_builder(cfg_json: str):
             # term boundaries in the (term, doc)-sorted triples
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             bounds = np.concatenate(([0], change, [terms.size]))
+            cum_tf = np.concatenate(([0], np.cumsum(t_tfs, dtype=np.int64)))
             import zlib
             for i in range(bounds.size - 1):
                 s, e = int(bounds[i]), int(bounds[i + 1])
@@ -175,6 +184,9 @@ def _segment_builder(cfg_json: str):
                 rows["deltas"].append(enc["deltas"])
                 rows["tfs"].append(enc["tfs"])
                 rows["norms"].append(enc["norms"])
+                rows["positions"].append(
+                    pos_flat[cum_tf[s]:cum_tf[e]].tobytes()
+                    if pos_flat is not None else b"")
                 rows["sum_tf"].append(int(t_tfs[s:e].sum()))
         return pd.DataFrame(rows)
 
@@ -193,48 +205,63 @@ def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("part_id")
-        col = pdf["col"].iloc[0]
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        docs = []
-        tfs = []
-        norms = []
-        for r in pdf.itertuples(index=False):
-            d, t, m = layout.decode_blocks(
-                r.block_first, r.deltas, r.tfs, r.norms, bs
-            )
-            docs.append(d)
-            tfs.append(t)
-            norms.append(m)
-        doc_ids = np.concatenate(docs)
-        tf = np.concatenate(tfs)
-        nm = np.concatenate(norms)
-        out: dict[str, list] = {k: [] for k in (
-            "bucket", "col", "term", "shard", "sub", "df", "block_first",
-            "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
-            "norms")}
-        nsubs = (doc_ids.size + max_postings_per_sub - 1) // max_postings_per_sub
-        for sub in range(nsubs):
-            s = sub * max_postings_per_sub
-            e = min(s + max_postings_per_sub, doc_ids.size)
-            enc = encode_blocks(doc_ids[s:e], tf[s:e], nm[s:e], bs)
-            out["bucket"].append(bucket)
-            out["col"].append(col)
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["sub"].append(sub)
-            out["df"].append(enc["df"])
-            out["block_first"].append(enc["block_first"])
-            out["block_last"].append(enc["block_last"])
-            out["block_max_tf"].append(enc["block_max_tf"])
-            out["block_min_norm"].append(enc["block_min_norm"])
-            out["deltas"].append(enc["deltas"])
-            out["tfs"].append(enc["tfs"])
-            out["norms"].append(enc["norms"])
-        return pd.DataFrame(out)
+        return _concat_rows_to_subs(pdf, bs, max_postings_per_sub)
 
     return merge_group
+
+
+def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
+                         max_postings_per_sub: int) -> pd.DataFrame:
+    """Shared merge/compact kernel: rows of ONE (col, term, shard) group,
+    already ordered by ascending doc range, -> minimal ``sub`` rows.
+    Positions buffers concatenate in the same posting order, so the flat
+    layout survives merge and is re-split at sub boundaries by tf."""
+    col = pdf["col"].iloc[0]
+    term = pdf["term"].iloc[0]
+    shard = int(pdf["shard"].iloc[0])
+    bucket = int(pdf["bucket"].iloc[0])
+    docs, tfs, norms, poss = [], [], [], []
+    has_positions = "positions" in pdf.columns
+    for r in pdf.itertuples(index=False):
+        d, t, m = layout.decode_blocks(
+            r.block_first, r.deltas, r.tfs, r.norms, bs
+        )
+        docs.append(d)
+        tfs.append(t)
+        norms.append(m)
+        if has_positions:
+            poss.append(getattr(r, "positions", None) or b"")
+    doc_ids = np.concatenate(docs)
+    tf = np.concatenate(tfs)
+    nm = np.concatenate(norms)
+    pos_flat = b"".join(poss)
+    cum_tf = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    out: dict[str, list] = {k: [] for k in (
+        "bucket", "col", "term", "shard", "sub", "df", "block_first",
+        "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
+        "norms", "positions")}
+    nsubs = (doc_ids.size + max_postings_per_sub - 1) // max_postings_per_sub
+    for sub in range(nsubs):
+        s = sub * max_postings_per_sub
+        e = min(s + max_postings_per_sub, doc_ids.size)
+        enc = encode_blocks(doc_ids[s:e], tf[s:e], nm[s:e], bs)
+        out["bucket"].append(bucket)
+        out["col"].append(col)
+        out["term"].append(term)
+        out["shard"].append(shard)
+        out["sub"].append(sub)
+        out["df"].append(enc["df"])
+        out["block_first"].append(enc["block_first"])
+        out["block_last"].append(enc["block_last"])
+        out["block_max_tf"].append(enc["block_max_tf"])
+        out["block_min_norm"].append(enc["block_min_norm"])
+        out["deltas"].append(enc["deltas"])
+        out["tfs"].append(enc["tfs"])
+        out["norms"].append(enc["norms"])
+        out["positions"].append(
+            pos_flat[int(cum_tf[s]) * 4: int(cum_tf[e]) * 4]
+            if pos_flat else b"")
+    return pd.DataFrame(out)
 
 
 def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
@@ -249,43 +276,7 @@ def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
         pdf = pdf.assign(
             _first=pdf["block_first"].map(lambda a: int(a[0]) if len(a) else -1)
         ).sort_values("_first")
-        col = pdf["col"].iloc[0]
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        docs, tfs, norms = [], [], []
-        for r in pdf.itertuples(index=False):
-            d, t, m = layout.decode_blocks(
-                r.block_first, r.deltas, r.tfs, r.norms, bs)
-            docs.append(d)
-            tfs.append(t)
-            norms.append(m)
-        doc_ids = np.concatenate(docs)
-        tf = np.concatenate(tfs)
-        nm = np.concatenate(norms)
-        out: dict[str, list] = {k: [] for k in (
-            "bucket", "col", "term", "shard", "sub", "df", "block_first",
-            "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
-            "norms")}
-        nsubs = (doc_ids.size + max_postings_per_sub - 1) // max_postings_per_sub
-        for sub in range(nsubs):
-            s = sub * max_postings_per_sub
-            e = min(s + max_postings_per_sub, doc_ids.size)
-            enc = encode_blocks(doc_ids[s:e], tf[s:e], nm[s:e], bs)
-            out["bucket"].append(bucket)
-            out["col"].append(col)
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["sub"].append(sub)
-            out["df"].append(enc["df"])
-            out["block_first"].append(enc["block_first"])
-            out["block_last"].append(enc["block_last"])
-            out["block_max_tf"].append(enc["block_max_tf"])
-            out["block_min_norm"].append(enc["block_min_norm"])
-            out["deltas"].append(enc["deltas"])
-            out["tfs"].append(enc["tfs"])
-            out["norms"].append(enc["norms"])
-        return pd.DataFrame(out)
+        return _concat_rows_to_subs(pdf, bs, max_postings_per_sub)
 
     return compact_group
 
@@ -575,6 +566,10 @@ class IndexBuilder:
         layout.recover_swaps(self.index_path, drop_stray=True)
         postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
         postings = spark.read.parquet(postings_dir)
+        if "positions" not in postings.columns:
+            # round-1 layout (no positions column): compact rewrites into
+            # the current schema with empty buffers
+            postings = postings.withColumn("positions", F.lit(b""))
 
         counts = postings.groupBy("col", "term", "shard").agg(
             F.count("*").alias("_rows"))

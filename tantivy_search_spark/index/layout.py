@@ -97,6 +97,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("deltas", T.BinaryType(), False),  # uint32, per-block cumsum
         T.StructField("tfs", T.BinaryType(), False),  # uint32
         T.StructField("norms", T.BinaryType(), False),  # uint8 fieldnorm ids
+        # uint32 token positions, concatenated per posting in doc order
+        # (posting i owns the run [cumsum(tf)[i-1], cumsum(tf)[i]));
+        # empty bytes when the index is built without positions —
+        # reference WithFreqsAndPositions analog (index_manager.rs:64)
+        T.StructField("positions", T.BinaryType(), True),
     ]
 )
 
@@ -208,6 +213,25 @@ def decode_blocks(
     base = first - csum[starts]
     doc_ids = csum + base[block_of]
     return doc_ids, tf.astype(np.int64), nm
+
+
+def split_positions(positions: bytes | None, tfs: np.ndarray,
+                    s: int, e: int) -> bytes:
+    """Slice a row's flat positions buffer to postings [s, e) using the
+    per-posting tf counts (posting i owns tf[i] positions)."""
+    if not positions:
+        return b""
+    cum = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+    return positions[int(cum[s]) * 4: int(cum[e]) * 4]
+
+
+def decode_positions(positions: bytes | None,
+                     tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (flat uint32 positions, int64 offsets) with posting i's
+    positions at flat[offsets[i]:offsets[i+1]]."""
+    flat = np.frombuffer(positions or b"", dtype=np.uint32)
+    offsets = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+    return flat, offsets
 
 
 @dataclass

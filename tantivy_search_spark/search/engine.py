@@ -272,11 +272,17 @@ class SearchIndex:
         atoms: list[tuple[str | None, str]],
         stats: Statistics | None,
         alive_bitmap: bytes | None,
+        atom_ids: list[int] | None = None,
     ) -> DataFrame:
-        """Candidates -> (doc_id, atom, score) via vectorized decode UDF."""
+        """Candidates -> (doc_id, atom, score) via vectorized decode UDF.
+
+        ``atom_ids`` overrides the emitted atom id per input atom (used
+        when terms share an atom space with phrase atoms)."""
         cfg = self.config
         k1, b = cfg.k1, cfg.b
         block_size = cfg.block_size
+        if atom_ids is None:
+            atom_ids = list(range(len(atoms)))
 
         # global stats for idf/avgdl: injected (Q9) or this index's own
         local = self.local_statistics(
@@ -296,7 +302,7 @@ class SearchIndex:
 
         # atom subscription: concrete (col, term) -> [atom ids]
         subs: dict[tuple[str, str], list[int]] = {}
-        for i, (col, term) in enumerate(atoms):
+        for i, (col, term) in zip(atom_ids, atoms):
             targets = [col] if col is not None else cfg.columns
             for c in targets:
                 subs.setdefault((c, term), []).append(i)
@@ -400,6 +406,144 @@ class SearchIndex:
             ).alias("sc"))
         )
 
+    def _scored_phrase_df(
+        self,
+        col: str,
+        terms: list[str],
+        atom_id: int,
+        stats: Statistics | None,
+        alive_bitmap: bytes | None,
+    ) -> DataFrame:
+        """Position-verified phrase scoring -> (doc_id, atom, score).
+
+        Shards are disjoint doc ranges, so grouping candidate posting
+        rows by shard co-locates every phrase term's postings for the
+        same documents in one applyInPandas group: decode, intersect the
+        doc sets, verify adjacency on the stored positions, and score
+        surviving docs as the sum of member term BM25 scores.  Scales
+        like the WAND path — work is per-shard, no driver round-trip.
+        """
+        if not self.config.with_positions:
+            raise ValueError(
+                "phrase query requires an index built with "
+                "IndexConfig.with_positions=True")
+        local = self.local_statistics({col: list(terms)})
+        use = stats if stats is not None and stats.docs_freq else local
+        n_docs = use.total_num_docs or 1
+        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        for (t, c, d) in local.docs_freq:
+            if c == col:
+                df_map.setdefault(t, d)
+        idf_map = {t: float(bm25.idf(df_map.get(t, 0), n_docs))
+                   for t in terms}
+        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+        k1, b = self.config.k1, self.config.b
+        bs = self.config.block_size
+        tomb = self._tombstone_small_array()
+        anti_join_tombs = tomb is None
+        b_env = self._bcast((list(terms), idf_map, avgdl,
+                             np.empty(0, np.int64) if anti_join_tombs
+                             else tomb, alive_bitmap))
+        norm_table = FIELD_NORMS_TABLE
+
+        def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
+            terms_l, idf_m, avgdl_l, tombs, alive = b_env.value
+            empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                  "atom": np.empty(0, np.int32),
+                                  "score": np.empty(0, np.float64)})
+            per_term = {}
+            for t in terms_l:
+                sub = pdf[pdf["term"] == t]
+                if not len(sub):
+                    return empty  # AND semantics: term absent in shard
+                runs = [(layout.decode_blocks(r.block_first, r.deltas,
+                                              r.tfs, r.norms, bs),
+                         layout.decode_positions(
+                             r.positions, np.frombuffer(r.tfs, np.uint32)))
+                        for r in sub.itertuples(index=False)]
+                d = np.concatenate([x[0][0] for x in runs])
+                tf = np.concatenate([x[0][1] for x in runs])
+                nm = np.concatenate([x[0][2] for x in runs])
+                # positions flats stay per-run; build per-doc slices via
+                # global offsets after concatenation
+                flat = np.concatenate([x[1][0] for x in runs]) \
+                    if runs else np.empty(0, np.uint32)
+                offs = np.concatenate(
+                    ([0], np.cumsum(tf, dtype=np.int64)))
+                order = np.argsort(d, kind="stable")
+                if not np.all(order[:-1] < order[1:]):
+                    # disjoint sorted runs: reorder postings AND their
+                    # position runs
+                    starts = offs[:-1][order]
+                    lens = tf[order]
+                    idx = np.concatenate(
+                        [np.arange(s, s + ln) for s, ln in
+                         zip(starts, lens)]) if len(order) else \
+                        np.empty(0, np.int64)
+                    d, tf, nm, flat = d[order], tf[order], nm[order], \
+                        flat[idx]
+                    offs = np.concatenate(
+                        ([0], np.cumsum(tf, dtype=np.int64)))
+                per_term[t] = (d, tf, nm, flat, offs)
+
+            # intersect docs across all terms
+            cand = per_term[terms_l[0]][0]
+            for t in terms_l[1:]:
+                cand = cand[np.isin(cand, per_term[t][0])]
+                if cand.size == 0:
+                    return empty
+            if tombs.size:
+                cand = cand[~np.isin(cand, tombs)]
+            if alive is not None and cand.size:
+                cand = cand[mask_for_row_ids(cand, alive)]
+            if cand.size == 0:
+                return empty
+
+            out_doc, out_score = [], []
+            for doc in cand:
+                cur = None
+                score = 0.0
+                ok = True
+                for t in terms_l:
+                    d, tf, nm, flat, offs = per_term[t]
+                    j = int(np.searchsorted(d, doc))
+                    pos = flat[offs[j]:offs[j + 1]].astype(np.int64)
+                    if cur is None:
+                        cur = pos + 1
+                    else:
+                        cur = np.intersect1d(cur, pos,
+                                             assume_unique=True) + 1
+                        if cur.size == 0:
+                            ok = False
+                            break
+                    norm_d = bm25.doc_norm(
+                        norm_table[nm[j:j + 1]], avgdl_l or 1.0, k1, b)
+                    score += float(bm25.term_score(
+                        tf[j:j + 1], idf_m[t], norm_d, k1)[0])
+                if ok:
+                    out_doc.append(int(doc))
+                    out_score.append(score)
+            if not out_doc:
+                return empty
+            return pd.DataFrame({
+                "doc_id": np.asarray(out_doc, dtype=np.int64),
+                "atom": np.full(len(out_doc), atom_id, dtype=np.int32),
+                "score": np.asarray(out_score, dtype=np.float64),
+            })
+
+        buckets = sorted({term_bucket(t, self.config.n_buckets)
+                          for t in terms})
+        cand_rows = self._postings.where(
+            F.col("bucket").isin(buckets)
+            & F.col("term").isin(sorted(set(terms)))
+            & (F.col("col") == col)
+        )
+        out = cand_rows.groupBy("shard").applyInPandas(
+            phrase_score, "doc_id long, atom int, score double")
+        if anti_join_tombs:
+            out = self._anti_tombstones(out, "doc_id")
+        return out
+
     def bm25_search(
         self,
         sentence: str,
@@ -433,7 +577,9 @@ class SearchIndex:
                                    alive_bitmap, statistics)
         if enable_nlq:
             tree = qt.parse_nlq(
-                sentence, cols, analyzers, conjunction_by_default=not operator_or
+                sentence, cols, analyzers,
+                conjunction_by_default=not operator_or,
+                phrase_nodes=self.config.with_positions,
             )
         else:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
@@ -446,9 +592,21 @@ class SearchIndex:
         if not atoms:
             return empty
         atom_index = {a: i for i, a in enumerate(atoms)}
+        term_keys = [a for a in atoms if not qt.is_phrase_key(a)]
+        phrase_keys = [a for a in atoms if qt.is_phrase_key(a)]
 
         self._swap_broadcast_pool()
-        scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
+        parts = []
+        if term_keys:
+            parts.append(self._scored_atoms_df(
+                term_keys, statistics, alive_bitmap,
+                atom_ids=[atom_index[a] for a in term_keys]))
+        for a in phrase_keys:
+            parts.append(self._scored_phrase_df(
+                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap))
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
         per_doc = self._per_doc_scores(scored)
         matched, score = qt.compile_tree_map(tree, atom_index, "sc")
         out = (
@@ -1061,8 +1219,11 @@ class SearchIndex:
                                          statistics)
         analyzers = self._analyzers()
         if enable_nlq:
+            # phrase_nodes matches the distributed parse so the non-flat
+            # fallback below re-runs the identical tree
             tree = qt.parse_nlq(sentence, cols, analyzers,
-                                conjunction_by_default=not operator_or)
+                                conjunction_by_default=not operator_or,
+                                phrase_nodes=self.config.with_positions)
         else:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
             tree = qt.standard_query_tree(tokens_by_col, operator_or)

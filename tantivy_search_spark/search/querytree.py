@@ -36,6 +36,18 @@ class Term:
 
 
 @dataclass
+class Phrase:
+    """Quoted phrase over one column: terms must appear adjacent, in
+    order (reference WithFreqsAndPositions + tantivy PhraseQuery
+    semantics).  Only produced when the index stores positions; scored
+    as the sum of its member term scores (an AND group restricted to
+    adjacency matches)."""
+
+    col: str
+    terms: list  # analyzed tokens, in phrase order
+
+
+@dataclass
 class And:
     children: list = field(default_factory=list)
 
@@ -101,6 +113,7 @@ def parse_nlq(
     default_columns: list[str],
     analyzers: dict[str, callable],
     conjunction_by_default: bool,
+    phrase_nodes: bool = False,
 ):
     """Parse the NLQ grammar subset into a Term/And/Or tree (or None)."""
     toks = _lex(query)
@@ -219,12 +232,19 @@ def parse_nlq(
         return And(terms) if conjunction_by_default else Or(terms)
 
     def _quoted(text: str):
+        """Quoted phrase: a true Phrase node when the index stores
+        positions (phrase_nodes=True); otherwise the round-1 degradation
+        to an AND group (positions-free layout cannot check adjacency)."""
         by_col = []
         for c in default_columns:
             pieces = analyzers[c](text)
             if pieces:
-                terms = [Term(c, p) for p in pieces]
-                by_col.append(terms[0] if len(terms) == 1 else And(terms))
+                if len(pieces) == 1:
+                    by_col.append(Term(c, pieces[0]))
+                elif phrase_nodes:
+                    by_col.append(Phrase(c, list(pieces)))
+                else:
+                    by_col.append(And([Term(c, p) for p in pieces]))
         if not by_col:
             return None
         return by_col[0] if len(by_col) == 1 else Or(by_col)
@@ -286,6 +306,8 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
     def term_keys(kids):
         return [(c.col, c.text) for c in kids]
 
+    if isinstance(tree, Phrase):
+        return None  # position verification needs the compile path
     if isinstance(tree, Term):
         return [([(tree.col, tree.text)], False)]
     if isinstance(tree, (And, Or)):
@@ -306,16 +328,35 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
     return None
 
 
-def collect_atoms(tree) -> list[tuple[str | None, str]]:
-    """Distinct (col, term) leaves in tree order."""
-    atoms: list[tuple[str | None, str]] = []
+#: marker prefix distinguishing phrase atom keys from (col, term) keys
+_PHRASE_MARK = "\0phrase"
+
+
+def atom_key(node):
+    """Scoring-atom key for a leaf: (col, term) for a Term; a marked
+    (mark, col, terms...) tuple for a Phrase (one phrase = one atom,
+    scored by the position-aware phrase scorer)."""
+    if isinstance(node, Term):
+        return (node.col, node.text)
+    if isinstance(node, Phrase):
+        return (_PHRASE_MARK, node.col, tuple(node.terms))
+    raise TypeError(type(node))
+
+
+def is_phrase_key(key) -> bool:
+    return len(key) == 3 and key[0] == _PHRASE_MARK
+
+
+def collect_atoms(tree) -> list:
+    """Distinct leaf atom keys in tree order (Terms and Phrases)."""
+    atoms: list = []
     seen = set()
 
     def walk(node):
         if node is None:
             return
-        if isinstance(node, Term):
-            key = (node.col, node.text)
+        if isinstance(node, (Term, Phrase)):
+            key = atom_key(node)
             if key not in seen:
                 seen.add(key)
                 atoms.append(key)
@@ -380,8 +421,8 @@ def compile_tree_map(
     """
 
     def walk(node) -> tuple[Column, Column]:
-        if isinstance(node, Term):
-            i = atom_index[(node.col, node.text)]
+        if isinstance(node, (Term, Phrase)):
+            i = atom_index[atom_key(node)]
             v = F.col(map_col).getItem(i)
             matched = v.isNotNull()
             return matched, F.coalesce(v, F.lit(0.0))

@@ -135,6 +135,45 @@ def term_doc_tf_arrow(
     )
 
 
+def term_doc_tf_pos(
+    tokens: pd.Series, doc_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`term_doc_tf` but additionally returns the flat token
+    positions (uint32) aligned with the sorted (term, doc) triples:
+    triple i's positions are the next tf[i] entries, ascending.
+
+    Position = index of the token in the analyzed token stream of its
+    document (post-filter stream, matching tantivy's token positions
+    after stop-word removal shifts).  Pure numpy: one lexsort over
+    (key, pos), no per-token Python.
+    """
+    lens = tokens.map(len).to_numpy(dtype=np.int64)
+    n_docs = doc_ids.shape[0]
+    if lens.sum() == 0:
+        e = np.empty(0, dtype=np.int64)
+        return (np.empty(0, dtype=object), e, e, lens,
+                np.empty(0, dtype=np.uint32))
+    flat = np.concatenate([t if t else [] for t in tokens]).astype(object)
+    codes, uniques = pd.factorize(flat, sort=False)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    pos = (np.arange(flat.shape[0], dtype=np.int64)
+           - np.repeat(offsets, lens))
+    key = codes.astype(np.int64) * n_docs + doc_idx
+    order = np.lexsort((pos, key))
+    skey = key[order]
+    uk, counts = np.unique(skey, return_counts=True)
+    t_codes = uk // n_docs
+    d_idx = uk % n_docs
+    return (
+        np.asarray(uniques, dtype=object)[t_codes],
+        doc_ids[d_idx],
+        counts.astype(np.int64),
+        lens,
+        pos[order].astype(np.uint32),
+    )
+
+
 def term_doc_tf(
     tokens: pd.Series, doc_ids: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -1,0 +1,125 @@
+"""True phrase queries over a positions-enabled index (reference
+WithFreqsAndPositions, index_manager.rs:64; quoted NLQ no longer
+silently degrades to AND when positions are stored)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+ROWS = [
+    {"doc_id": 0, "text": "the moral horizons of ancient man"},
+    {"doc_id": 1, "text": "horizons moral the reversed order"},     # AND yes, phrase no
+    {"doc_id": 2, "text": "moral and also horizons far apart"},     # AND yes, phrase no
+    {"doc_id": 3, "text": "deep moral horizons moral horizons wide"},
+    {"doc_id": 4, "text": "nothing relevant here at all"},
+    {"doc_id": 5, "text": "moral ending"},
+    {"doc_id": 6, "text": "start horizons moral horizons trailing"},
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+    from tantivy_search_spark.search.engine import SearchIndex
+
+    path = str(tmp_path_factory.mktemp("pidx") / "pos")
+    cfg = IndexConfig.from_json(["text"], "{}")
+    cfg.with_positions = True
+    cfg.parts_per_shard = 2
+    cfg.n_buckets = 8
+    IndexBuilder(spark, path, cfg, rows_per_part=3).build(
+        spark.createDataFrame(ROWS), id_col="doc_id")
+    return SearchIndex(spark, path)
+
+
+class TestPhrase:
+    def test_phrase_matches_only_adjacent(self, pos_index):
+        got = pos_index.bm25_search('"moral horizons"', enable_nlq=True,
+                                    top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 3, 6]
+
+    def test_and_still_matches_non_adjacent(self, pos_index):
+        got = pos_index.bm25_search("moral horizons", operator_or=False,
+                                    top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 1, 2, 3, 6]
+
+    def test_phrase_score_is_member_sum(self, pos_index):
+        """Documented semantics: phrase docs score as the AND group."""
+        phrase = {r["row_id"]: round(r["score"], 6) for r in
+                  pos_index.bm25_search('"moral horizons"', enable_nlq=True,
+                                        top_k=10).collect()}
+        anded = {r["row_id"]: round(r["score"], 6) for r in
+                 pos_index.bm25_search("moral horizons", operator_or=False,
+                                       top_k=10).collect()}
+        for rid, sc in phrase.items():
+            assert sc == anded[rid], rid
+
+    def test_phrase_in_boolean_tree(self, pos_index):
+        got = pos_index.bm25_search('"moral horizons" OR relevant',
+                                    enable_nlq=True, top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 3, 4, 6]
+
+    def test_local_falls_back_consistently(self, pos_index):
+        pos_index.enable_stats_cache()
+        loc = pos_index.bm25_search_local('"moral horizons"',
+                                          enable_nlq=True, top_k=10)
+        dist = [(r["row_id"], round(r["score"], 4)) for r in
+                pos_index.bm25_search('"moral horizons"', enable_nlq=True,
+                                      top_k=10).collect()]
+        assert [(r, round(s, 4)) for r, s in loc] == dist
+
+    def test_positions_free_index_degrades_to_and(self, spark,
+                                                  tmp_path_factory):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        path = str(tmp_path_factory.mktemp("pidx") / "nopos")
+        cfg = IndexConfig.from_json(["text"], "{}")
+        IndexBuilder(spark, path, cfg, rows_per_part=3).build(
+            spark.createDataFrame(ROWS), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        got = ix.bm25_search('"moral horizons"', enable_nlq=True,
+                             top_k=10).collect()
+        # round-1 behavior preserved for the default layout
+        assert sorted(r["row_id"] for r in got) == [0, 1, 2, 3, 6]
+
+    def test_phrase_after_delete(self, pos_index):
+        import os
+        import shutil
+        src = pos_index
+        # copy the index dir so the module fixture stays intact
+        dst = src.index_path + "_delcopy"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src.index_path, dst)
+        from tantivy_search_spark.search.engine import SearchIndex
+        ix = SearchIndex(src.spark, dst)
+        ix.delete_row_ids([0])
+        got = ix.bm25_search('"moral horizons"', enable_nlq=True,
+                             top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [3, 6]
+        shutil.rmtree(dst)
+
+
+class TestPositionsSurviveMaintenance:
+    def test_append_and_compact_keep_positions(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        path = str(tmp_path / "pos_app")
+        cfg = IndexConfig.from_json(["text"], "{}")
+        cfg.with_positions = True
+        cfg.parts_per_shard = 2
+        b = IndexBuilder(spark, path, cfg, rows_per_part=4)
+        b.build(spark.createDataFrame(ROWS[:4]), id_col="doc_id")
+        b.append(spark.createDataFrame(
+            [{"doc_id": r["doc_id"] - 4, "text": r["text"]}
+             for r in ROWS[4:]]), id_col="doc_id")
+        b.compact(min_rows_per_group=1)  # force full rewrite
+        ix = SearchIndex(spark, path)
+        got = ix.bm25_search('"moral horizons"', enable_nlq=True,
+                             top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 3, 6]
