@@ -123,6 +123,55 @@ def assign_doc_ids(
     return parted.mapInPandas(add_ids, out_schema)
 
 
+def assign_doc_ids_staged(
+    df: DataFrame,
+    order_cols: list[str],
+    stage_dir: str,
+    num_parts: int | None = None,
+    base_id: int = 0,
+) -> DataFrame:
+    """Cluster-durable variant of :func:`assign_doc_ids`.
+
+    ``assign_doc_ids`` pins the sampled range partitioning with an
+    eager localCheckpoint — executor-storage blocks that die with an
+    executor on a real cluster.  Here the range-partitioned data (with
+    its ``_pid`` recorded as a normal column) is staged to parquet
+    once; every downstream job then reads the same files, so the
+    partition ids are durable facts, not resampled lineage.  Final ids
+    = exclusive-prefix-sum offset of ``_pid`` + rank within ``_pid``
+    (one hash shuffle on _pid, ~num_parts groups of ~|df|/num_parts
+    rows — no single-partition window anywhere).
+
+    Same semantics as assign_doc_ids for unique sort keys; regression-
+    tested equal in tests/test_delete_resume.py.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = num_parts or max(spark.sparkContext.defaultParallelism, 8)
+    (df.repartitionByRange(p, *order_cols)
+       .sortWithinPartitions(*order_cols)
+       .withColumn("_pid", F.spark_partition_id())
+       .write.mode("overwrite").parquet(stage_dir))
+    staged = spark.read.parquet(stage_dir)
+    counts = {r["_pid"]: r["cnt"] for r in
+              staged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = []
+    acc = base_id
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out_cols = [c for c in df.columns]
+    return (
+        staged.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id",
+                    F.col("_off") + F.row_number().over(w) - F.lit(1))
+        .select("doc_id", *out_cols)
+    )
+
+
 def _segment_builder(cfg_json: str):
     """Grouped-map fn: one doc-range part -> posting fragment rows."""
     cfg = IndexConfig.from_meta_json(cfg_json)
@@ -285,11 +334,16 @@ class IndexBuilder:
     """Reference B1/B2 ``create_index*`` + B4/B5 build/commit + B8 merge."""
 
     def __init__(self, spark: SparkSession, index_path: str, config: IndexConfig,
-                 rows_per_part: int = 250_000):
+                 rows_per_part: int = 250_000, durable_ids: bool = False):
         self.spark = spark
         self.index_path = index_path
         self.config = config
         self.rows_per_part = rows_per_part
+        #: doc-id assignment strategy: False = eager localCheckpoint
+        #: (fast, fine on local[k] / short-lived jobs), True = parquet-
+        #: staged (assign_doc_ids_staged) — survives executor loss on a
+        #: real cluster; pick True for long multi-executor builds
+        self.durable_ids = durable_ids
 
     # -- checkpoint helpers -------------------------------------------------
     def _ckpt_path(self, name: str) -> str:
@@ -329,9 +383,15 @@ class IndexBuilder:
             # killed-and-restarted build for chunk-level resume
             staged_path = os.path.join(self.index_path, "_staged")
             if self._ckpt_done("staged") is None:
-                assign_doc_ids(df, order_cols or self.config.columns).write.mode(
-                    "overwrite"
-                ).parquet(staged_path)
+                cols = order_cols or self.config.columns
+                if self.durable_ids:
+                    presort = staged_path + "_presort"
+                    assign_doc_ids_staged(df, cols, presort).write.mode(
+                        "overwrite").parquet(staged_path)
+                    shutil.rmtree(presort, ignore_errors=True)
+                else:
+                    assign_doc_ids(df, cols).write.mode(
+                        "overwrite").parquet(staged_path)
                 self._ckpt_write("staged", {"done": True})
             df = self.spark.read.parquet(staged_path)
         elif id_col != "doc_id":
@@ -625,8 +685,16 @@ class IndexBuilder:
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
 
         if id_col is None:
-            df = assign_doc_ids(df, order_cols or self.config.columns,
-                                base_id=base)
+            if self.durable_ids:
+                # fixed name, overwrite-per-append; must outlive this
+                # call's jobs (the staged read feeds docs + segments)
+                presort = os.path.join(self.index_path, "_append_presort")
+                df = assign_doc_ids_staged(
+                    df, order_cols or self.config.columns, presort,
+                    base_id=base)
+            else:
+                df = assign_doc_ids(df, order_cols or self.config.columns,
+                                    base_id=base)
         else:
             if id_col != "doc_id":
                 df = df.withColumnRenamed(id_col, "doc_id")

@@ -178,3 +178,52 @@ class TestResume:
         assert os.path.getmtime(
             os.path.join(path, "_checkpoints", "merge.json")) == t0
         assert m2.total_docs == m1.total_docs
+
+
+class TestDurableIds:
+    def test_staged_ids_equal_checkpoint_ids(self, spark, tmp_path):
+        """assign_doc_ids_staged (parquet-staged, executor-loss-safe)
+        must produce the same (doc_id, key) mapping as the
+        localCheckpoint path for unique sort keys."""
+        from tantivy_search_spark.index.builder import (
+            assign_doc_ids, assign_doc_ids_staged)
+        import pyspark.sql.functions as F
+
+        df = spark.range(0, 5000).select(
+            F.concat(F.lit("k"), F.format_string("%06d",
+                     (F.col("id") * 37) % 5000)).alias("key"),
+            (F.col("id") % 97).alias("v"))
+        a = {r["key"]: r["doc_id"] for r in
+             assign_doc_ids(df, ["key"], num_parts=7).collect()}
+        b = {r["key"]: r["doc_id"] for r in
+             assign_doc_ids_staged(df, ["key"],
+                                   str(tmp_path / "presort"),
+                                   num_parts=7).collect()}
+        assert a == b
+        assert sorted(a.values()) == list(range(5000))
+
+    def test_durable_build_queries_equal(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+        from corpora import corpus_a_rows
+        import os
+
+        df = spark.createDataFrame(corpus_a_rows()).drop("doc_id")
+        paths = {}
+        for durable in (False, True):
+            p = str(tmp_path / f"idx_{durable}")
+            cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+            IndexBuilder(spark, p, cfg, rows_per_part=2,
+                         durable_ids=durable).build(
+                df, order_cols=["col1"])
+            paths[durable] = p
+        assert not os.path.exists(
+            os.path.join(paths[True], "_staged_presort"))
+        res = {}
+        for durable, p in paths.items():
+            ix = SearchIndex(spark, p)
+            res[durable] = [(r["row_id"], round(r["score"], 6)) for r in
+                            ix.bm25_search("ancient rise fall", top_k=10,
+                                           operator_or=True).collect()]
+        assert res[True] == res[False] and res[True]
