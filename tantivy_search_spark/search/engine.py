@@ -362,7 +362,12 @@ class SearchIndex:
                         }
                     )
 
-        cand = self._candidate_postings(atoms)
+        # project to exactly the decode inputs BEFORE mapInPandas: Spark
+        # cannot prune columns through a pandas UDF, so without this the
+        # scan reads block-max metadata and positions the exact scorer
+        # never touches (plan-asserted in test_plans)
+        cand = self._candidate_postings(atoms).select(
+            "col", "term", "block_first", "deltas", "tfs", "norms")
         out = cand.mapInPandas(decode_score, "doc_id long, atom int, score double")
         if anti_join_tombs:
             out = self._anti_tombstones(out, "doc_id")
@@ -537,7 +542,8 @@ class SearchIndex:
             F.col("bucket").isin(buckets)
             & F.col("term").isin(sorted(set(terms)))
             & (F.col("col") == col)
-        )
+        ).select("shard", "term", "block_first", "deltas", "tfs", "norms",
+                 "positions")
         out = cand_rows.groupBy("shard").applyInPandas(
             phrase_score, "doc_id long, atom int, score double")
         if anti_join_tombs:
@@ -873,7 +879,8 @@ class SearchIndex:
             F.col("bucket").isin(buckets)
             & F.col("term").isin(tokens)
             & (F.col("col") == col)
-        )
+        ).select("shard", "term", "df", "block_first", "block_last",
+                 "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
         scored = cand.groupBy("shard").applyInPandas(
             scorer, "doc_id long, score double")
         return (

@@ -32,6 +32,20 @@ class TestPlans:
         assert re.search(r"PartitionFilters: \[[^\]]*bucket", p), p[:800]
         assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(term", p), p[:800]
 
+    def test_bm25_scan_prunes_unused_columns(self, corpus_a_index):
+        """The exact scoring path must not read positions or block-max
+        metadata from parquet (Spark can't prune through mapInPandas, so
+        the projection has to happen before the UDF)."""
+        p = _plan(corpus_a_index.bm25_search("ancient rise", top_k=5,
+                                             operator_or=True))
+        m = re.search(r"ReadSchema: ([^\n]*)", p)
+        assert m, p[:800]
+        rs = m.group(1)
+        assert "deltas" in rs and "tfs" in rs, rs
+        for absent in ("positions", "block_max_tf", "block_min_norm",
+                       "block_last"):
+            assert absent not in rs, rs
+
     def test_bitmap_scan_prunes_scoring_columns(self, corpus_a_index):
         b = corpus_a_index.query_term_bitmap_df("col2", "ancient")
         p = _plan(b)
