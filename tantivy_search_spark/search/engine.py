@@ -124,6 +124,11 @@ class SearchIndex:
         self._tombstones = None
         self._tombstone_n = None
         self._pa_dataset = None
+        # bump the reload generation: bitmap-cache entries from the old
+        # reader (reference cache key's reader.address component) die
+        self._reload_gen = getattr(self, "_reload_gen", 0) + 1
+        if hasattr(self, "_bitmap_cache"):
+            self._bitmap_cache.clear()
         for attr in ("_local_cache", "_local_raw_cache",
                      "_local_score_cache"):
             if hasattr(self, attr):
@@ -1344,11 +1349,35 @@ class SearchIndex:
         )
         return self._decode_distinct_ids(cand)
 
+    # -- bitmap result cache (reference CACHE_FOR_SKIP_INDEX,
+    # constants.rs:25-30: capacity-1000 cache keyed by reader address +
+    # query + use_regex; the reader-address component becomes a reload
+    # generation counter here, so stale entries die on commit/delete)
+    BITMAP_CACHE_CAPACITY = 1000
+
+    def _bitmap_cached(self, key: tuple, compute) -> bytes:
+        if not hasattr(self, "_bitmap_cache"):
+            from collections import OrderedDict
+            self._bitmap_cache: "OrderedDict" = OrderedDict()
+            self._reload_gen = getattr(self, "_reload_gen", 0)
+        full = (self._reload_gen,) + key
+        cache = self._bitmap_cache
+        if full in cache:
+            cache.move_to_end(full)
+            return cache[full]
+        out = compute()
+        cache[full] = out
+        while len(cache) > self.BITMAP_CACHE_CAPACITY:
+            cache.popitem(last=False)
+        return out
+
     def query_term_bitmap_df(self, col: str, term: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(term))
 
     def query_term_bitmap(self, col: str, term: str) -> bytes:
-        return self._collect_bitmap(self.query_term_bitmap_df(col, term))
+        return self._bitmap_cached(
+            ("term", col, term, False),
+            lambda: self._collect_bitmap(self.query_term_bitmap_df(col, term)))
 
     def query_terms_bitmap_df(self, col: str, terms: list[str]) -> DataFrame:
         an = self.config.analyzer(col)
@@ -1356,13 +1385,19 @@ class SearchIndex:
         return self._doc_ids_for_terms(col, toks)
 
     def query_terms_bitmap(self, col: str, terms: list[str]) -> bytes:
-        return self._collect_bitmap(self.query_terms_bitmap_df(col, terms))
+        return self._bitmap_cached(
+            ("terms", col, tuple(terms), False),
+            lambda: self._collect_bitmap(
+                self.query_terms_bitmap_df(col, terms)))
 
     def query_sentence_bitmap_df(self, col: str, sentence: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(sentence))
 
     def query_sentence_bitmap(self, col: str, sentence: str) -> bytes:
-        return self._collect_bitmap(self.query_sentence_bitmap_df(col, sentence))
+        return self._bitmap_cached(
+            ("sentence", col, sentence, False),
+            lambda: self._collect_bitmap(
+                self.query_sentence_bitmap_df(col, sentence)))
 
     def regex_term_bitmap_df(self, col: str, like_pattern: str) -> DataFrame:
         """Q4: LIKE -> regex over the term dictionary, then posting union.
@@ -1384,7 +1419,10 @@ class SearchIndex:
         return self._decode_distinct_ids(cand)
 
     def regex_term_bitmap(self, col: str, like_pattern: str) -> bytes:
-        return self._collect_bitmap(self.regex_term_bitmap_df(col, like_pattern))
+        return self._bitmap_cached(
+            ("regex", col, like_pattern, True),
+            lambda: self._collect_bitmap(
+                self.regex_term_bitmap_df(col, like_pattern)))
 
     def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
         """Posting rows -> distinct alive doc ids; reads ONLY the

@@ -238,3 +238,33 @@ class TestAssignDocIds:
                 ":", F.col("doc_id"), F.col("key"), F.col("payload")))))
                 .collect()[0][0])
         assert hashes[0] == hashes[1]
+
+
+class TestBitmapResultCache:
+    """Reference CACHE_FOR_SKIP_INDEX analog: repeated bitmap queries hit
+    a bounded result cache; commit/delete (reload) invalidates."""
+
+    def test_warm_bitmap_runs_no_spark_job(self, corpus_a_index):
+        ix = corpus_a_index
+        first = ix.query_term_bitmap("col1", "Ancient")
+        tracker = ix.spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        again = ix.query_term_bitmap("col1", "Ancient")
+        after = tracker.getJobIdsForGroup(None)
+        assert again == first
+        assert len(after) == len(before), "warm bitmap query ran a job"
+
+    def test_delete_invalidates(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+        from corpora import corpus_a_rows
+
+        path = str(tmp_path / "bc_idx")
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+            spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        assert ix.query_term_bitmap("col1", "Ancient") == bytes([17])
+        ix.delete_row_ids([0])
+        assert ix.query_term_bitmap("col1", "Ancient") == bytes([16])
