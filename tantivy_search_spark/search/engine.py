@@ -672,7 +672,8 @@ class SearchIndex:
         for sentence, op_or in norm:
             if enable_nlq:
                 tree = qt.parse_nlq(sentence, cols, analyzers,
-                                    conjunction_by_default=not op_or)
+                                    conjunction_by_default=not op_or,
+                                    phrase_nodes=self.config.with_positions)
             else:
                 tokens_by_col = {c: analyzers[c](sentence) for c in cols}
                 tree = qt.standard_query_tree(tokens_by_col, op_or)
@@ -691,9 +692,21 @@ class SearchIndex:
         if not atom_index:
             return empty
         atoms = [a for a, _ in sorted(atom_index.items(), key=lambda kv: kv[1])]
+        term_keys = [a for a in atoms if not qt.is_phrase_key(a)]
+        phrase_keys = [a for a in atoms if qt.is_phrase_key(a)]
 
         self._swap_broadcast_pool()
-        scored = self._scored_atoms_df(atoms, statistics, alive_bitmap)
+        parts = []
+        if term_keys:
+            parts.append(self._scored_atoms_df(
+                term_keys, statistics, alive_bitmap,
+                atom_ids=[atom_index[a] for a in term_keys]))
+        for a in phrase_keys:
+            parts.append(self._scored_phrase_df(
+                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap))
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
         per_doc = self._per_doc_scores(scored)
 
         flats = [qt.flat_groups(t) if t is not None else None for t in trees]

@@ -123,3 +123,21 @@ class TestPositionsSurviveMaintenance:
         got = ix.bm25_search('"moral horizons"', enable_nlq=True,
                              top_k=10).collect()
         assert sorted(r["row_id"] for r in got) == [0, 3, 6]
+
+
+class TestPhraseBatch:
+    def test_batch_with_phrase_equals_sequential(self, pos_index):
+        qs = [('"moral horizons" OR relevant', False),
+              ("moral horizons", False),
+              ('"moral horizons"', True)]
+        batch = pos_index.bm25_search_batch(qs, top_k=10,
+                                            enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(qs):
+            want = [(r["row_id"], round(r["score"], 4)) for r in
+                    pos_index.bm25_search(s, top_k=10, operator_or=op_or,
+                                          enable_nlq=True).collect()]
+            assert by_q.get(qid, []) == want, (qid, s)
