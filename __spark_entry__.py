@@ -393,6 +393,36 @@ def _q_chain_stem_doclens(spark, sf_dir):
         F.sum("tf").cast("long").alias("dl")).orderBy("doc_id")
 
 
+def _q_stats_injected_bm25(spark, sf_dir):
+    """Q9: externally injected global Statistics (df and N doubled,
+    token totals doubled) must flow into scoring — the multi-part
+    distributed-correctness hook, checked directly against SQL that
+    doubles the same quantities."""
+    from tantivy_search_spark.search.engine import Statistics
+
+    ix = _index(spark, sf_dir)
+    toks = {c: ix.config.analyzer(c)(BM25_SENTENCE)
+            for c in ix.config.columns}
+    local = ix.local_statistics(toks)
+    doubled = Statistics(
+        docs_freq=[(t, c, d * 2) for (t, c, d) in local.docs_freq],
+        total_num_tokens={c: n * 2 for c, n in
+                          local.total_num_tokens.items()},
+        total_num_docs=local.total_num_docs * 2,
+    )
+    out = ix.bm25_search(BM25_SENTENCE, operator_or=True, limit=False,
+                         statistics=doubled)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _q_delete_counts(spark, sf_dir):
+    """Q11/Q13 on a tombstoned index: total vs alive doc counts."""
+    ix = _index(spark, sf_dir, "deletes")
+    return spark.createDataFrame(
+        [(ix.get_total_num_docs(), ix.get_indexed_doc_counts())],
+        "total_docs long, indexed_docs long")
+
+
 def _q_phrase_bm25(spark, sf_dir):
     """True quoted-phrase query over a positions-enabled index: docs
     where 'spark join' appear adjacent in order, scored as the AND
@@ -456,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_raw_stats": _q_chain_raw_stats,
         "chain_stem_doclens": _q_chain_stem_doclens,
         "phrase_bm25": _q_phrase_bm25,
+        "stats_injected_bm25": _q_stats_injected_bm25,
+        "delete_counts": _q_delete_counts,
     }
 
 
@@ -471,10 +503,14 @@ _H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def _bm25_oracle(and_mode: bool, alive_filter: str = "",
-                 tokens: list | None = None) -> str:
+                 tokens: list | None = None, stat_scale: int = 1) -> str:
+    """``stat_scale`` multiplies df, N, and token totals — replicating an
+    injected Statistics whose counts are scale x the local ones (Q9);
+    avgdl is scale-invariant, so only the idf term changes."""
     toks = tokens if tokens is not None else BM25_TOKENS
     toks_in = ", ".join(f"'{t}'" for t in toks)
     n_tok = len(set(toks))
+    s = stat_scale
     and_clause = f"HAVING count(distinct t.term) = {n_tok}" if and_mode else ""
     return f"""
 WITH toks AS ({_TOKS}),
@@ -485,7 +521,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({toks_in}) G
 st AS (SELECT term, count(distinct doc_id) AS df FROM toks WHERE term IN ({toks_in}) GROUP BY term),
 g AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS tot)
 SELECT t.doc_id AS row_id,
-       round(sum(ln(1 + (g.n - st.df + 0.5) / (st.df + 0.5))
+       round(sum(ln(1 + ({s} * g.n - {s} * st.df + 0.5) / ({s} * st.df + 0.5))
            * {K1 + 1} * t.tf
            / (t.tf + {K1} * (1 - {B} + {B} * q.qdl / (g.tot * 1.0 / g.n)))), 4) AS score
 FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g
@@ -841,4 +877,9 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             True, tokens=["spark", "join"],
             alive_filter=("WHERE t.doc_id IN (SELECT doc_id FROM documents "
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
+        "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
+        "delete_counts": (
+            "SELECT (SELECT count(*) FROM documents)::BIGINT AS total_docs, "
+            "(SELECT count(*) FROM documents WHERE doc_id % 7 != 0)::BIGINT "
+            "AS indexed_docs"),
     }

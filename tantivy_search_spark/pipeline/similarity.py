@@ -88,13 +88,16 @@ def lsh_buckets(
     n_tables: int = 8,
     seed: int = 42,
     dim: int = 64,
+    carry_vector: bool = True,
 ) -> DataFrame:
-    """Multi-table sign-random-projection buckets (JVM expressions —
-    hyperplanes folded in as literal arrays).
+    """Multi-table sign-random-projection buckets (one GEMM per Arrow
+    batch — hyperplanes ship in the closure).
 
     Output: one row per (vector, table) with the table's bucket id.  At
     scale the corpus side is written partitioned by (table, bucket) so a
-    query probes exactly n_tables files."""
+    query probes exactly n_tables files.  ``carry_vector=False`` emits
+    only (vec_id, table, bucket): the big corpus side of an ANN join
+    should shuffle ids, not n_tables copies of every embedding."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -113,18 +116,21 @@ def lsh_buckets(
             B = (S.reshape(n, n_tables, n_planes)
                  * weights).sum(axis=2)  # (n, T)
             rep = np.repeat(np.arange(n), n_tables)
-            yield pd.DataFrame({
+            out = {
                 "vec_id": pdf[id_col].to_numpy()[rep],
-                "embedding": pdf[vec_col].to_numpy()[rep],
                 "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
                 "bucket": B.reshape(-1),
-            })
+            }
+            if carry_vector:
+                out["embedding"] = pdf[vec_col].to_numpy()[rep]
+            yield pd.DataFrame(out)
 
     src = df.select(F.col(id_col).alias(id_col),
                     _dvec(F.col(vec_col)).alias(vec_col))
-    return src.mapInPandas(
-        buckets,
-        f"vec_id long, embedding array<double>, table int, bucket long")
+    schema = "vec_id long, table int, bucket long"
+    if carry_vector:
+        schema += ", embedding array<double>"
+    return src.mapInPandas(buckets, schema)
 
 
 def lsh_topk(
@@ -138,34 +144,41 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: candidates collide with the query in at least one of
     n_tables hash tables; candidates are scored exactly and ranked.
-    No cross join anywhere — the join key is (table, bucket)."""
+
+    Shuffle shape for 100 TB: the corpus side of the bucket join carries
+    ONLY (vec_id, table, bucket) — n_tables x 20 bytes per vector, not
+    n_tables x the embedding; candidate (query, neighbor) id pairs are
+    deduped across tables FIRST, and corpus embeddings join in exactly
+    once for scoring.  The query side (small) is broadcast with its
+    vectors.  No cross join anywhere — the join key is (table, bucket).
+    """
     corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
     queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
     cb = lsh_buckets(corpus, n_planes=n_planes, n_tables=n_tables,
-                     seed=seed, dim=dim)
+                     seed=seed, dim=dim, carry_vector=False)
     qb = lsh_buckets(queries, n_planes=n_planes, n_tables=n_tables,
-                     seed=seed, dim=dim)
-    qn = qb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_v"),
-        "table", "bucket",
-        F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
-                           lambda a, x: a + x * x)).alias("q_nrm"),
-    )
-    cand = (
-        cb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("n_v"), "table", "bucket",
-            F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
-                               lambda a, x: a + x * x)).alias("n_nrm"),
-        )
-        .join(qn, ["table", "bucket"])
+                     seed=seed, dim=dim, carry_vector=False)
+    cand_ids = (
+        cb.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+        .join(F.broadcast(qb.select(F.col("vec_id").alias("query_id"),
+                                    "table", "bucket")),
+              ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = _with_norm(corpus, "vec_id", "embedding", "n") \
+        .withColumnRenamed("n_id", "neighbor_id")
+    q = _with_norm(queries, "vec_id", "embedding", "q") \
+        .withColumnRenamed("q_id", "query_id")
+    cand = (
+        cand_ids.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id", "neighbor_id",
             F.round(_cosine(F.col("q_v"), F.col("n_v"),
                             F.col("q_nrm"), F.col("n_nrm")), 6).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))

@@ -30,8 +30,12 @@ def tokenize_series(s: pd.Series, tokenizer_cfg: dict) -> pd.Series:
     return filled.map(analyzer)
 
 
-#: chains expressible entirely in Arrow C++ kernels (the build hot path)
-_ARROW_FAST_TYPES = frozenset({"default", "simple", "whitespace", "raw"})
+#: chains expressible entirely in Arrow C++ kernels (the build hot path);
+#: `stem` additionally runs the Python stemmer — but over the token
+#: DICTIONARY (distinct terms), not the token stream, so its cost is
+#: O(vocab) instead of O(tokens) (zipf corpora: orders of magnitude)
+_ARROW_FAST_TYPES = frozenset({"default", "simple", "whitespace", "raw",
+                               "stem"})
 
 # RE2 equivalents of the Python chain's re.UNICODE classes:
 #   [^\W_]+ (runs of Unicode alphanumerics)  <->  split on [^\p{L}\p{N}]+
@@ -46,9 +50,11 @@ def arrow_fast_eligible(cfg: dict) -> bool:
     t = cfg.get("tokenizer", {"type": "default"})
     if t.get("type", "default") not in _ARROW_FAST_TYPES:
         return False
-    # stemming can be configured on simple-family types in theory; the
-    # validator restricts stem_languages to type=stem, but double-guard
-    return not t.get("stem_languages")
+    langs = t.get("stem_languages") or ()
+    if langs:
+        from tantivy_search_spark.stemmers import STEMMERS
+        return all(str(lg).lower() in STEMMERS for lg in langs)
+    return True
 
 
 def term_doc_tf_arrow(
@@ -78,6 +84,10 @@ def term_doc_tf_arrow(
     arr = pa.Array.from_pandas(s, type=pa.string())
     if arr.null_count:
         arr = pc.fill_null(arr, "")
+    stemmers = []
+    for lang in tok.get("stem_languages", ()):
+        from tantivy_search_spark.stemmers import get_stemmer
+        stemmers.append(get_stemmer(str(lang).lower()))
     if ttype == "raw":
         flat = arr
         counts_per_doc = np.ones(n, dtype=np.int64)
@@ -122,6 +132,19 @@ def term_doc_tf_arrow(
     dict_arr = flat.dictionary_encode()
     codes = np.asarray(dict_arr.indices, dtype=np.int64)
     uniques = np.asarray(dict_arr.dictionary, dtype=object)
+
+    if stemmers:
+        # stem the DICTIONARY (distinct terms), then remap token codes —
+        # token-identical to stemming the stream (stemmers lowercase
+        # internally, so post-stem LowerCaser is a no-op), at O(vocab)
+        # Python cost.  Distinct tokens may collapse to one stem, hence
+        # the re-factorize.
+        stemmed = uniques
+        for stem in stemmers:
+            stemmed = np.asarray([stem(u) for u in stemmed], dtype=object)
+        scodes, suniq = pd.factorize(stemmed, sort=False)
+        codes = scodes.astype(np.int64)[codes]
+        uniques = np.asarray(suniq, dtype=object)
 
     key = codes * n + doc_idx
     uk, counts = np.unique(key, return_counts=True)

@@ -25,6 +25,10 @@ CONFIGS = [
     {"tokenizer": {"type": "simple", "stop_word_filters": ["english"],
                    "length_limit": 12}},
     {"tokenizer": {"type": "whitespace", "length_limit": 5}},
+    {"tokenizer": {"type": "stem", "stem_languages": ["english"],
+                   "stop_word_filters": ["english"]}},
+    {"tokenizer": {"type": "stem", "stem_languages": ["german"],
+                   "case_sensitive": True}},
 ]
 
 # mixed-script alphabet incl. combining marks, CJK, astral plane, controls
@@ -51,6 +55,11 @@ def test_arrow_equals_python_chain(cfg, docs):
     assert a[3].tolist() == b[3].tolist()
 
 
-def test_stem_and_ngram_not_arrow_eligible():
-    assert not arrow_fast_eligible({"tokenizer": {"type": "stem"}})
+def test_arrow_eligibility_boundaries():
+    # bundled stemmers ride the arrow path (dictionary stemming);
+    # unbundled ones and ngram stay on the python chain
+    assert arrow_fast_eligible(
+        {"tokenizer": {"type": "stem", "stem_languages": ["english"]}})
+    assert not arrow_fast_eligible(
+        {"tokenizer": {"type": "stem", "stem_languages": ["turkish"]}})
     assert not arrow_fast_eligible({"tokenizer": {"type": "ngram"}})
