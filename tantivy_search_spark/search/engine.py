@@ -86,6 +86,81 @@ class Statistics:
         )
 
 
+def _eval_phrase(
+    terms_l: list[str],
+    per_term: dict,
+    idf_m: dict,
+    avgdl_l: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared phrase evaluator (distributed shard scorer + local path).
+
+    ``per_term[t] = (doc_ids, tfs, norm_ids, pos_flat, pos_offsets)``
+    with doc_ids sorted and positions aligned per posting.  Returns
+    (docs, scores) for docs where the terms appear adjacent in order;
+    score = sum of member BM25 term scores.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    for t in terms_l:
+        if t not in per_term or per_term[t][0].size == 0:
+            return empty
+    cand = per_term[terms_l[0]][0]
+    for t in terms_l[1:]:
+        cand = cand[np.isin(cand, per_term[t][0])]
+        if cand.size == 0:
+            return empty
+    out_doc, out_score = [], []
+    norm_table = FIELD_NORMS_TABLE
+    for doc in cand:
+        cur = None
+        score = 0.0
+        ok = True
+        for t in terms_l:
+            d, tf, nm, flat, offs = per_term[t]
+            j = int(np.searchsorted(d, doc))
+            pos = flat[offs[j]:offs[j + 1]].astype(np.int64)
+            if cur is None:
+                cur = pos + 1
+            else:
+                cur = np.intersect1d(cur, pos, assume_unique=True) + 1
+                if cur.size == 0:
+                    ok = False
+                    break
+            norm_d = bm25.doc_norm(norm_table[nm[j:j + 1]],
+                                   avgdl_l or 1.0, k1, b)
+            score += float(bm25.term_score(tf[j:j + 1], idf_m[t],
+                                           norm_d, k1)[0])
+        if ok:
+            out_doc.append(int(doc))
+            out_score.append(score)
+    if not out_doc:
+        return empty
+    return (np.asarray(out_doc, dtype=np.int64),
+            np.asarray(out_score, dtype=np.float64))
+
+
+def _assemble_phrase_runs(runs: list) -> tuple:
+    """Concatenate disjoint decoded posting runs (with positions) into
+    one doc-sorted (d, tf, nm, pos_flat, offsets) tuple."""
+    d = np.concatenate([x[0] for x in runs])
+    tf = np.concatenate([x[1] for x in runs])
+    nm = np.concatenate([x[2] for x in runs])
+    flat = np.concatenate([x[3] for x in runs]) if runs else \
+        np.empty(0, np.uint32)
+    offs = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    order = np.argsort(d, kind="stable")
+    if not np.all(order[:-1] < order[1:]):
+        starts = offs[:-1][order]
+        lens = tf[order]
+        idx = np.concatenate(
+            [np.arange(s, s + ln) for s, ln in zip(starts, lens)]) \
+            if len(order) else np.empty(0, np.int64)
+        d, tf, nm, flat = d[order], tf[order], nm[order], flat[idx]
+        offs = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    return d, tf, nm, flat, offs
+
+
 class SearchIndex:
     """Reader over one index directory (reference Q14 load_index_reader)."""
 
@@ -130,7 +205,7 @@ class SearchIndex:
         if hasattr(self, "_bitmap_cache"):
             self._bitmap_cache.clear()
         for attr in ("_local_cache", "_local_raw_cache",
-                     "_local_score_cache"):
+                     "_local_score_cache", "_local_pos_cache"):
             if hasattr(self, attr):
                 getattr(self, attr).clear()
 
@@ -466,79 +541,29 @@ class SearchIndex:
                 sub = pdf[pdf["term"] == t]
                 if not len(sub):
                     return empty  # AND semantics: term absent in shard
-                runs = [(layout.decode_blocks(r.block_first, r.deltas,
-                                              r.tfs, r.norms, bs),
-                         layout.decode_positions(
-                             r.positions, np.frombuffer(r.tfs, np.uint32)))
-                        for r in sub.itertuples(index=False)]
-                d = np.concatenate([x[0][0] for x in runs])
-                tf = np.concatenate([x[0][1] for x in runs])
-                nm = np.concatenate([x[0][2] for x in runs])
-                # positions flats stay per-run; build per-doc slices via
-                # global offsets after concatenation
-                flat = np.concatenate([x[1][0] for x in runs]) \
-                    if runs else np.empty(0, np.uint32)
-                offs = np.concatenate(
-                    ([0], np.cumsum(tf, dtype=np.int64)))
-                order = np.argsort(d, kind="stable")
-                if not np.all(order[:-1] < order[1:]):
-                    # disjoint sorted runs: reorder postings AND their
-                    # position runs
-                    starts = offs[:-1][order]
-                    lens = tf[order]
-                    idx = np.concatenate(
-                        [np.arange(s, s + ln) for s, ln in
-                         zip(starts, lens)]) if len(order) else \
-                        np.empty(0, np.int64)
-                    d, tf, nm, flat = d[order], tf[order], nm[order], \
-                        flat[idx]
-                    offs = np.concatenate(
-                        ([0], np.cumsum(tf, dtype=np.int64)))
-                per_term[t] = (d, tf, nm, flat, offs)
+                runs = []
+                for r in sub.itertuples(index=False):
+                    d, tf, nm = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, bs)
+                    flat, _ = layout.decode_positions(
+                        r.positions, np.frombuffer(r.tfs, np.uint32))
+                    runs.append((d, tf, nm, flat))
+                per_term[t] = _assemble_phrase_runs(runs)
 
-            # intersect docs across all terms
-            cand = per_term[terms_l[0]][0]
-            for t in terms_l[1:]:
-                cand = cand[np.isin(cand, per_term[t][0])]
-                if cand.size == 0:
-                    return empty
-            if tombs.size:
-                cand = cand[~np.isin(cand, tombs)]
-            if alive is not None and cand.size:
-                cand = cand[mask_for_row_ids(cand, alive)]
-            if cand.size == 0:
-                return empty
-
-            out_doc, out_score = [], []
-            for doc in cand:
-                cur = None
-                score = 0.0
-                ok = True
-                for t in terms_l:
-                    d, tf, nm, flat, offs = per_term[t]
-                    j = int(np.searchsorted(d, doc))
-                    pos = flat[offs[j]:offs[j + 1]].astype(np.int64)
-                    if cur is None:
-                        cur = pos + 1
-                    else:
-                        cur = np.intersect1d(cur, pos,
-                                             assume_unique=True) + 1
-                        if cur.size == 0:
-                            ok = False
-                            break
-                    norm_d = bm25.doc_norm(
-                        norm_table[nm[j:j + 1]], avgdl_l or 1.0, k1, b)
-                    score += float(bm25.term_score(
-                        tf[j:j + 1], idf_m[t], norm_d, k1)[0])
-                if ok:
-                    out_doc.append(int(doc))
-                    out_score.append(score)
-            if not out_doc:
+            docs, scores = _eval_phrase(terms_l, per_term, idf_m,
+                                        avgdl_l, k1, b)
+            if docs.size and tombs.size:
+                keep = ~np.isin(docs, tombs)
+                docs, scores = docs[keep], scores[keep]
+            if docs.size and alive is not None:
+                keep = mask_for_row_ids(docs, alive)
+                docs, scores = docs[keep], scores[keep]
+            if not docs.size:
                 return empty
             return pd.DataFrame({
-                "doc_id": np.asarray(out_doc, dtype=np.int64),
-                "atom": np.full(len(out_doc), atom_id, dtype=np.int32),
-                "score": np.asarray(out_score, dtype=np.float64),
+                "doc_id": docs,
+                "atom": np.full(docs.size, atom_id, dtype=np.int32),
+                "score": scores,
             })
 
         buckets = sorted({term_bucket(t, self.config.n_buckets)
@@ -1043,6 +1068,60 @@ class SearchIndex:
             out.append(cache[(col, t)])
         return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
 
+    def _local_phrase_scores(
+        self,
+        col: str,
+        terms: list[str],
+        df_map: dict,
+        avgdl: dict,
+        n_docs: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """In-process phrase evaluation: posting rows (with positions)
+        fetched via the direct pyarrow path, decoded once into an LRU,
+        then the shared adjacency evaluator — no Spark job warm."""
+        if not self.config.with_positions:
+            raise ValueError(
+                "phrase query requires an index built with "
+                "IndexConfig.with_positions=True")
+        if not hasattr(self, "_local_pos_cache"):
+            from collections import OrderedDict
+            self._local_pos_cache: "OrderedDict" = OrderedDict()
+        cache = self._local_pos_cache
+        bs = self.config.block_size
+        missing = [t for t in terms if (col, t) not in cache]
+        if missing:
+            pdf = self._fetch_rows_arrow(
+                [(col, t) for t in missing],
+                ["col", "term", "block_first", "deltas", "tfs", "norms",
+                 "positions"])
+            for t in missing:
+                sub = pdf[(pdf["col"] == col) & (pdf["term"] == t)]
+                runs = []
+                for r in sub.itertuples(index=False):
+                    d, tf, nm = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, bs)
+                    flat, _ = layout.decode_positions(
+                        r.positions, np.frombuffer(r.tfs, np.uint32))
+                    runs.append((d, tf, nm, flat))
+                cache[(col, t)] = _assemble_phrase_runs(runs) if runs \
+                    else (np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, np.uint8), np.empty(0, np.uint32),
+                          np.zeros(1, np.int64))
+            cap = getattr(self, "_local_cache_max", 4096)
+            current = {(col, t) for t in terms}
+            evictable = [k for k in cache if k not in current]
+            while len(cache) > cap and evictable:
+                cache.pop(evictable.pop(0), None)
+        per_term = {}
+        for t in terms:
+            cache.move_to_end((col, t))
+            per_term[t] = cache[(col, t)]
+        idf_map = {t: float(bm25.idf(df_map.get((col, t), 0), n_docs))
+                   for t in terms}
+        return _eval_phrase(list(terms), per_term, idf_map,
+                            avgdl.get(col, 1.0), self.config.k1,
+                            self.config.b)
+
     def _bm25_local_taat(
         self, tokens: list[str], col: str, top_k: int, operator_or: bool,
         statistics: Statistics | None,
@@ -1265,31 +1344,42 @@ class SearchIndex:
         # expand col=None atoms (bare NLQ terms) to concrete columns; a
         # None atom inside an AND group has no flat expansion -> fall
         # back to the distributed tree evaluator
-        concrete: list[tuple[list[tuple[str, str]], bool]] = []
+        concrete: list[tuple[list, bool]] = []
         for keys, is_and in groups:
-            if is_and and any(c is None for c, _ in keys):
+            if is_and and any(not qt.is_phrase_key(k) and k[0] is None
+                              for k in keys):
                 rows = self.bm25_search(
                     sentence, column_names=cols, top_k=top_k,
                     operator_or=operator_or, alive_bitmap=alive_bitmap,
                     enable_nlq=enable_nlq, statistics=statistics).collect()
                 return [(r["row_id"], r["score"]) for r in rows]
-            ks: list[tuple[str, str]] = []
-            for c, t in keys:
-                if c is None:
+            ks: list = []
+            for k in keys:
+                if qt.is_phrase_key(k):
+                    ks.append(k)
+                elif k[0] is None:
                     # Should-across-columns: one OR group per column
                     for cc in cols:
-                        concrete.append(([(cc, t)], False))
+                        concrete.append(([(cc, k[1])], False))
                 else:
-                    ks.append((c, t))
+                    ks.append(k)
             if ks:
                 concrete.append((ks, is_and))
 
-        atoms = sorted({a for ks, _ in concrete for a in ks})
-        postings = self._local_postings(atoms)
+        all_keys = {a for ks, _ in concrete for a in ks}
+        phrase_atoms = sorted((a for a in all_keys if qt.is_phrase_key(a)),
+                              key=repr)
+        term_atoms = sorted(a for a in all_keys if not qt.is_phrase_key(a))
+        atoms = term_atoms + phrase_atoms
+        postings = self._local_postings(term_atoms)
 
-        local = self.local_statistics(
-            {c: [t for (cc, t) in atoms if cc == c] for c in
-             self.config.columns})
+        stats_tokens: dict[str, list[str]] = {c: [] for c in
+                                              self.config.columns}
+        for (cc, t) in term_atoms:
+            stats_tokens[cc].append(t)
+        for (_, cc, ts) in phrase_atoms:
+            stats_tokens[cc].extend(ts)
+        local = self.local_statistics(stats_tokens)
         use = statistics if statistics is not None and statistics.docs_freq \
             else local
         n_docs = use.total_num_docs or 1
@@ -1301,23 +1391,29 @@ class SearchIndex:
 
         tomb = self._tombstone_array()
         k1, b = self.config.k1, self.config.b
-        per_atom: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+        per_atom: dict = {}
         for a in atoms:
-            d, t, m = postings[a]
+            if qt.is_phrase_key(a):
+                d, s = self._local_phrase_scores(
+                    a[1], list(a[2]), df_map, avgdl, n_docs)
+            else:
+                d, t, m = postings[a]
+                if d.size:
+                    idf = float(bm25.idf(df_map.get((a[0], a[1]), 0),
+                                         n_docs))
+                    norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[m],
+                                           avgdl.get(a[0], 1.0) or 1.0,
+                                           k1, b)
+                    s = bm25.term_score(t, idf, norm_d, k1)
+                else:
+                    s = np.empty(0, np.float64)
             if tomb.size and d.size:
                 mask = ~np.isin(d, tomb)
-                d, t, m = d[mask], t[mask], m[mask]
+                d, s = d[mask], s[mask]
             if alive_bitmap is not None and d.size:
-                from tantivy_search_spark.bitmap import mask_for_row_ids
                 mask = mask_for_row_ids(d, alive_bitmap)
-                d, t, m = d[mask], t[mask], m[mask]
-            if d.size == 0:
-                per_atom[a] = (d, np.empty(0, np.float64))
-                continue
-            idf = float(bm25.idf(df_map.get((a[0], a[1]), 0), n_docs))
-            norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[m],
-                                   avgdl.get(a[0], 1.0) or 1.0, k1, b)
-            per_atom[a] = (d, bm25.term_score(t, idf, norm_d, k1))
+                d, s = d[mask], s[mask]
+            per_atom[a] = (d, s)
 
         # dense per-doc score/presence matrices over the candidate set
         all_docs = np.unique(np.concatenate(

@@ -304,23 +304,25 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
     (parenthesized NLQ etc.) — callers fall back to compile_tree.
     """
     def term_keys(kids):
-        return [(c.col, c.text) for c in kids]
+        return [atom_key(c) for c in kids]
 
-    if isinstance(tree, Phrase):
-        return None  # position verification needs the compile path
-    if isinstance(tree, Term):
-        return [([(tree.col, tree.text)], False)]
+    leaf = (Term, Phrase)  # a Phrase is one scoring atom (position-
+    # verified by its scorer), so it participates in flat groups like
+    # any term atom
+
+    if isinstance(tree, leaf):
+        return [([atom_key(tree)], False)]
     if isinstance(tree, (And, Or)):
         kids = [c for c in tree.children if c is not None]
-        if all(isinstance(c, Term) for c in kids):
+        if all(isinstance(c, leaf) for c in kids):
             return [(term_keys(kids), isinstance(tree, And))]
         if isinstance(tree, Or):
             groups = []
             for c in kids:
-                if isinstance(c, Term):
-                    groups.append(([(c.col, c.text)], False))
+                if isinstance(c, leaf):
+                    groups.append(([atom_key(c)], False))
                 elif isinstance(c, (And, Or)) and all(
-                        isinstance(g, Term) for g in c.children):
+                        isinstance(g, leaf) for g in c.children):
                     groups.append((term_keys(c.children), isinstance(c, And)))
                 else:
                     return None

@@ -141,3 +141,33 @@ class TestPhraseBatch:
                     pos_index.bm25_search(s, top_k=10, operator_or=op_or,
                                           enable_nlq=True).collect()]
             assert by_q.get(qid, []) == want, (qid, s)
+
+
+class TestLocalPhrase:
+    def test_local_phrase_native_no_spark_job_warm(self, pos_index):
+        """Phrase trees are flat now (one pseudo-atom), so the local
+        path evaluates them in-process: warm queries run zero jobs."""
+        pos_index.enable_stats_cache()
+        first = pos_index.bm25_search_local('"moral horizons"',
+                                            enable_nlq=True, top_k=10)
+        tracker = pos_index.spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        again = pos_index.bm25_search_local('"moral horizons"',
+                                            enable_nlq=True, top_k=10)
+        after = tracker.getJobIdsForGroup(None)
+        assert again == first
+        assert len(after) == len(before), "warm local phrase ran a job"
+        dist = [(r["row_id"], round(r["score"], 4)) for r in
+                pos_index.bm25_search('"moral horizons"', enable_nlq=True,
+                                      top_k=10).collect()]
+        assert [(r, round(s, 4)) for r, s in again] == dist
+
+    def test_local_phrase_in_boolean_tree(self, pos_index):
+        pos_index.enable_stats_cache()
+        loc = [(r, round(s, 4)) for r, s in
+               pos_index.bm25_search_local('"moral horizons" OR relevant',
+                                           enable_nlq=True, top_k=10)]
+        dist = [(r["row_id"], round(r["score"], 4)) for r in
+                pos_index.bm25_search('"moral horizons" OR relevant',
+                                      enable_nlq=True, top_k=10).collect()]
+        assert loc == dist
