@@ -287,6 +287,44 @@ def _q_lang_id(spark, sf_dir):
     return textops.lang_id_markers(_docs(spark, sf_dir))
 
 
+#: the default char-ngram profiles of pipeline.text.lang_id_ngram
+_NGRAM_PROFILES = {
+    "en": {"the": 3.0, "ing": 2.0, "and": 2.0, "ion": 1.5, "ent": 1.2},
+    "es": {"que": 2.5, "ión": 2.0, "de ": 2.0, "la ": 1.8, "os ": 1.5},
+    "de": {"der": 2.5, "sch": 2.2, "ein": 2.0, "ich": 1.8, "und": 1.8},
+    "fr": {"les": 2.2, "ent": 2.0, "de ": 2.0, "que": 1.6, "ait": 1.5},
+}
+
+
+def _q_lang_id_ngram(spark, sf_dir):
+    return textops.lang_id_ngram(_docs(spark, sf_dir))
+
+
+def _lang_id_ngram_oracle() -> str:
+    """Non-overlapping substring counts via the replace trick, weighted
+    per profile; argmax with earliest-language tie-break, 'und' at 0."""
+    langs = sorted(_NGRAM_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        parts = [
+            f"((len(text) - len(replace(text, '{g}', ''))) / {len(g)})"
+            f" * {w}" for g, w in _NGRAM_PROFILES[lang].items()]
+        score_exprs.append(
+            f"round({' + '.join(parts)}, 6) AS ngram_score_{lang}")
+    best = "greatest(" + ", ".join(
+        f"ngram_score_{lg}" for lg in langs) + ")"
+    pred = "CASE WHEN {b} <= 0 THEN 'und' ".format(b=best)
+    for lang in langs:
+        pred += f"WHEN ngram_score_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return (
+        "WITH s AS (SELECT doc_id, "
+        + ", ".join(score_exprs)
+        + " FROM documents) SELECT doc_id, "
+        + ", ".join(f"ngram_score_{lg}" for lg in langs)
+        + f", {pred} AS pred_lang FROM s")
+
+
 def _q_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir)).select(
         "doc_id", "md5_fingerprint")
@@ -471,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "lang_id_ngram": _q_lang_id_ngram,
         "fingerprint_md5": _q_fingerprint,
         "winnow_sketch": _q_winnow,
         "media_features": _q_media_features,
@@ -528,6 +567,36 @@ FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g
 {alive_filter}
 GROUP BY t.doc_id, g.n, g.tot
 {and_clause}
+"""
+
+
+def _winnow_oracle(k: int = 8, window: int = 4) -> str:
+    """SQL replica of pipeline.text.winnow_sketch_text (B=1000003,
+    polynomial hash mod 2^64 masked to 63 bits, min per ``window``
+    consecutive k-gram hashes, distinct sorted).  Assumes docs with
+    len >= k + window - 1 (true of the synthetic corpus; shorter docs
+    contribute nothing on the Spark side either way above len>=k)."""
+    M = 1 << 64
+    horner = "0"
+    for j in range(k):
+        horner = (f"(({horner}) * 1000003 + "
+                  f"ord(substr(norm, i + {j}, 1))) % {M}::HUGEINT")
+    return f"""
+WITH n AS (SELECT doc_id,
+                  regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+h AS (
+  SELECT doc_id, i,
+         CAST((({horner}) % {1 << 63}::HUGEINT) AS BIGINT) AS h
+  FROM n, unnest(range(1, len(norm) - {k} + 2)) AS u(i)),
+m AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM h)
+SELECT DISTINCT doc_id, wmin AS whash FROM m WHERE i <= nh - {window - 1}
 """
 
 
@@ -878,6 +947,11 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             alive_filter=("WHERE t.doc_id IN (SELECT doc_id FROM documents "
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
         "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
+        # rolling Rabin-Karp winnowing: Horner chain mod 2^64 in HUGEINT
+        # (intermediates stay < 2^84), 63-bit mask, window-4 min,
+        # distinct — value-identical to the numpy cumulative-scan path
+        "winnow_sketch": _winnow_oracle(),
+        "lang_id_ngram": _lang_id_ngram_oracle(),
         "delete_counts": (
             "SELECT (SELECT count(*) FROM documents)::BIGINT AS total_docs, "
             "(SELECT count(*) FROM documents WHERE doc_id % 7 != 0)::BIGINT "
