@@ -65,6 +65,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _index(spark: SparkSession, sf_dir: str, kind: str = "default") -> SearchIndex:
     """Build-once-per-(sf_dir, kind) index cache.
 
@@ -470,6 +474,21 @@ def _q_phrase_bm25(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1h event-time aggregation — the same expression runs
+    under readStream + watermark (streaming/windows.py; stream==batch
+    pinned in tests)."""
+    from tantivy_search_spark.streaming.windows import windowed_event_counts
+    return windowed_event_counts(_events(spark, sf_dir),
+                                 keys=["event_type"])
+
+
+def _q_events_sessions(spark, sf_dir):
+    """Per-user session windows (5-minute gap, F.session_window)."""
+    from tantivy_search_spark.streaming.windows import sessionize
+    return sessionize(_events(spark, sf_dir), gap="5 minutes")
+
+
 def _q_media_features(spark, sf_dir):
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake=True)
@@ -527,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": _q_phrase_bm25,
         "stats_injected_bm25": _q_stats_injected_bm25,
         "delete_counts": _q_delete_counts,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -952,6 +973,24 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
         # distinct — value-identical to the numpy cumulative-scan path
         "winnow_sketch": _winnow_oracle(),
         "lang_id_ngram": _lang_id_ngram_oracle(),
+        "events_windowed": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2""",
+        # session_window merges events whose gap is <= 5 min (boundary
+        # inclusive) -> classic gaps-and-islands
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM s GROUP BY user_id, sid""",
         "delete_counts": (
             "SELECT (SELECT count(*) FROM documents)::BIGINT AS total_docs, "
             "(SELECT count(*) FROM documents WHERE doc_id % 7 != 0)::BIGINT "
