@@ -477,16 +477,24 @@ def _q_phrase_bm25(spark, sf_dir):
 def _q_events_windowed(spark, sf_dir):
     """Tumbling 1h event-time aggregation — the same expression runs
     under readStream + watermark (streaming/windows.py; stream==batch
-    pinned in tests)."""
+    pinned in tests).  Timestamps stringified so the cross-engine
+    value-hash is serialization-independent."""
     from tantivy_search_spark.streaming.windows import windowed_event_counts
-    return windowed_event_counts(_events(spark, sf_dir),
-                                 keys=["event_type"])
+    out = windowed_event_counts(_events(spark, sf_dir),
+                                keys=["event_type"])
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type", "n_events", "value_sum")
 
 
 def _q_events_sessions(spark, sf_dir):
     """Per-user session windows (5-minute gap, F.session_window)."""
     from tantivy_search_spark.streaming.windows import sessionize
-    return sessionize(_events(spark, sf_dir), gap="5 minutes")
+    out = sessionize(_events(spark, sf_dir), gap="5 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_epoch"),
+        "n_events", "value_sum")
 
 
 def _q_media_features(spark, sf_dir):
@@ -973,8 +981,11 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
         # distinct — value-identical to the numpy cumulative-scan path
         "winnow_sketch": _winnow_oracle(),
         "lang_id_ngram": _lang_id_ngram_oracle(),
+        # epoch seconds: timezone- and serialization-independent across
+        # engines (tz-hour-aligned truncation matches for whole-hour
+        # session offsets)
         "events_windowed": """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
         # session_window merges events whose gap is <= 5 min (boundary
@@ -988,7 +999,8 @@ WITH o AS (
 s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
-SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+SELECT user_id, epoch(min(ts))::BIGINT AS session_epoch,
+       count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS value_sum
 FROM s GROUP BY user_id, sid""",
         "delete_counts": (
