@@ -483,7 +483,8 @@ def _q_events_windowed(spark, sf_dir):
     out = windowed_event_counts(_events(spark, sf_dir),
                                 keys=["event_type"])
     return out.select(
-        F.col("window_start").cast("long").alias("window_epoch"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
         "event_type", "n_events", "value_sum")
 
 
@@ -493,7 +494,8 @@ def _q_events_sessions(spark, sf_dir):
     out = sessionize(_events(spark, sf_dir), gap="5 minutes")
     return out.select(
         "user_id",
-        F.col("session_start").cast("long").alias("session_epoch"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
         "n_events", "value_sum")
 
 
@@ -981,11 +983,11 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
         # distinct — value-identical to the numpy cumulative-scan path
         "winnow_sketch": _winnow_oracle(),
         "lang_id_ngram": _lang_id_ngram_oracle(),
-        # epoch seconds: timezone- and serialization-independent across
-        # engines (tz-hour-aligned truncation matches for whole-hour
-        # session offsets)
+        # ts is TIMESTAMP_NTZ (naive) on both engines, so a plain
+        # string render is deterministic and session-tz-independent
         "events_windowed": """
-SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_epoch, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
         # session_window merges events whose gap is <= 5 min (boundary
@@ -999,7 +1001,7 @@ WITH o AS (
 s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
-SELECT user_id, epoch(min(ts))::BIGINT AS session_epoch,
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS value_sum
 FROM s GROUP BY user_id, sid""",
