@@ -103,6 +103,20 @@ class TestOtherLanguages:
                        ("hustruer", "hustru")]),
         ("swedish", [("böckerna", "böck"), ("husen", "hus"),
                      ("klokhet", "klok")]),
+        ("italian", [("abbandonata", "abbandon"),
+                     ("abbandonato", "abbandon"),
+                     ("nazionale", "nazional"),
+                     ("importanza", "import"),
+                     ("logicamente", "logic"), ("amichi", "amic")]),
+        ("portuguese", [("bebida", "beb"), ("bebidas", "beb"),
+                        ("nacionais", "nacion"),
+                        ("importância", "import"),
+                        ("rapidamente", "rapid"),
+                        ("comunidade", "comun")]),
+        ("dutch", [("lichamelijk", "licham"), ("lichamen", "licham"),
+                   ("lichaam", "licham"), ("boeken", "boek"),
+                   ("ogenblikkelijk", "ogenblik"),
+                   ("mogelijkheden", "mogelijk")]),
     ])
     def test_spot_vectors(self, lang, pairs):
         stem = get_stemmer(lang)
