@@ -84,6 +84,20 @@ def main() -> int:
           "deltas" in rs4 and "tfs" not in rs4 and "norms" not in rs4,
           rs4[:120])
 
+    # 4b: exact scoring scan prunes positions/block-max metadata (the
+    # projection must land BEFORE mapInPandas — Spark can't prune
+    # through a pandas UDF)
+    m3 = re.search(r"ReadSchema: ([^\n]*)", p3)
+    rs3 = m3.group(1) if m3 else ""
+    check("bm25 scan prunes positions/block-max",
+          "deltas" in rs3 and "positions" not in rs3
+          and "block_max_tf" not in rs3, rs3[:120])
+
+    # 4c: per-query stats lookup prunes stats partitions by bucket
+    p4c = plan_of(ix._stats_lookup_df(["spark", "join"]))
+    check("stats lookup bucket pruning",
+          bool(re.search(r"PartitionFilters: \[[^\]]*bucket", p4c)))
+
     # 5: docs/sha projection codegen
     from pyspark.sql import functions as F
     docs = ix.docs.select("doc_id", F.sha2(F.coalesce(
