@@ -54,6 +54,7 @@ _KIND_CONFIG = {
     "deletes": "{}",
     "append": "{}",
     "positions": "{}",  # default chain + with_positions=True
+    "multicol": "{}",   # TWO indexed columns: text + lang
 }
 
 
@@ -84,7 +85,8 @@ def _index(spark: SparkSession, sf_dir: str, kind: str = "default") -> SearchInd
         path = f"/tmp/tss_index_{tag}"
         docs = _docs(spark, sf_dir)
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
-            cfg = IndexConfig.from_json(["text"], _KIND_CONFIG[kind])
+            cols = ["text", "lang"] if kind == "multicol" else ["text"]
+            cfg = IndexConfig.from_json(cols, _KIND_CONFIG[kind])
             cfg.parts_per_shard = 4
             if kind == "positions":
                 cfg.with_positions = True
@@ -465,6 +467,51 @@ def _q_delete_counts(spark, sf_dir):
         "total_docs long, indexed_docs long")
 
 
+MULTICOL_SENTENCE = "spark en order"
+
+
+def _q_multicol_bm25(spark, sf_dir):
+    """Q6 multi-column scoring: one index over (text, lang), the
+    sentence analyzed per column, per-column OR groups OR'd together
+    with per-column df/avgdl/doclen stats — 'en' hits the lang column
+    (and text where present), 'spark'/'order' hit text."""
+    out = _index(spark, sf_dir, "multicol").bm25_search(
+        MULTICOL_SENTENCE, operator_or=True, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _multicol_oracle() -> str:
+    """Per-column BM25 parts summed: the text part is the standard
+    formula over the sentence tokens; the lang column is a one-token
+    field (dl = avgdl = 1, tf = 1), so a lang atom's score reduces to
+    exactly its idf."""
+    toks_in = ", ".join(f"'{t}'" for t in MULTICOL_SENTENCE.split())
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+fn(val) AS (VALUES {_FN_VALUES}),
+quant AS (SELECT d.doc_id, max(f.val) AS qdl FROM dl d JOIN fn f ON f.val <= d.dl GROUP BY d.doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({toks_in}) GROUP BY doc_id, term),
+st AS (SELECT term, count(distinct doc_id) AS df FROM toks WHERE term IN ({toks_in}) GROUP BY term),
+g AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS tot),
+parts AS (
+  SELECT t.doc_id,
+         ln(1 + (g.n - st.df + 0.5) / (st.df + 0.5))
+           * {K1 + 1} * t.tf
+           / (t.tf + {K1} * (1 - {B} + {B} * q.qdl / (g.tot * 1.0 / g.n))) AS s
+  FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g
+  UNION ALL
+  SELECT d.doc_id, ln(1 + (g.n - ls.df + 0.5) / (ls.df + 0.5)) AS s
+  FROM documents d
+  JOIN (SELECT lang, count(*) AS df FROM documents GROUP BY lang) ls
+    ON ls.lang = d.lang
+  CROSS JOIN g
+  WHERE d.lang IN ({toks_in}))
+SELECT doc_id AS row_id, round(sum(s), 4) AS score
+FROM parts GROUP BY doc_id
+"""
+
+
 def _q_phrase_bm25(spark, sf_dir):
     """True quoted-phrase query over a positions-enabled index: docs
     where 'spark join' appear adjacent in order, scored as the AND
@@ -558,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_counts": _q_delete_counts,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "multicol_bm25": _q_multicol_bm25,
     }
 
 
@@ -978,6 +1026,7 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             alive_filter=("WHERE t.doc_id IN (SELECT doc_id FROM documents "
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
         "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
+        "multicol_bm25": _multicol_oracle(),
         # rolling Rabin-Karp winnowing: Horner chain mod 2^64 in HUGEINT
         # (intermediates stay < 2^84), 63-bit mask, window-4 min,
         # distinct — value-identical to the numpy cumulative-scan path
