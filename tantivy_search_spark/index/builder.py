@@ -665,6 +665,96 @@ class IndexBuilder:
             f"compact{int(time.time())}", metrics)
         return metrics
 
+    # -- crash repair ---------------------------------------------------------
+    def repair(self) -> dict:
+        """Remove the artifacts of a crashed append().
+
+        A successful append is linearized by the final meta save: every
+        committed doc id is <= the meta's max part range.  A crash
+        mid-append leaves docs/postings FILES whose ids all exceed that
+        bound (append-mode parquet writes create new files containing
+        only the new rows) — and, left in place, the next append would
+        re-assign the same id range (duplicate doc ids).  Repair drops
+        exactly those files (docs via parquet footer statistics,
+        postings via a column-pruned block_first read) and, if the
+        stats table was already swapped, rebuilds it from the surviving
+        postings.  Idempotent; called automatically at append() start.
+        """
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        meta = IndexMeta.load(self.index_path)
+        max_committed = max((r[2] for r in meta.part_ranges or []),
+                            default=-1)
+        removed = {"docs": 0, "postings": 0, "stats_rebuilt": False}
+
+        docs_dir = os.path.join(self.index_path, DOCS_DIR)
+        for f in _glob.glob(os.path.join(docs_dir, "*.parquet")):
+            md = pq.read_metadata(f)
+            mins = []
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema == "doc_id" and \
+                            col.statistics is not None:
+                        mins.append(col.statistics.min)
+            if mins and min(mins) > max_committed:
+                os.remove(f)
+                removed["docs"] += 1
+
+        postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
+        for f in _glob.glob(os.path.join(postings_dir, "**", "*.parquet"),
+                            recursive=True):
+            tbl = pq.read_table(f, columns=["block_first"])
+            # min first doc id across rows (each row is a sorted run,
+            # so element 0 of block_first is the row's min id)
+            firsts = [x[0] for x in tbl.column("block_first").to_pylist()
+                      if x]
+            if firsts and min(firsts) > max_committed:
+                os.remove(f)
+                removed["postings"] += 1
+
+        # orphan segment chunks (append writes chunk=a<N> BEFORE the
+        # meta commit): every fragment in them belongs to uncommitted
+        # parts, and meta total_tokens is recomputed from segments —
+        # leaving them would double-count the retried append's tokens
+        max_part = max((r[0] for r in meta.part_ranges or []), default=-1)
+        seg_dir = os.path.join(self.index_path, SEGMENTS_DIR)
+        removed["segment_chunks"] = 0
+        if os.path.exists(seg_dir):
+            for chunk in _glob.glob(os.path.join(seg_dir, "chunk=a*")):
+                part_mins = []
+                for f in _glob.glob(os.path.join(chunk, "*.parquet")):
+                    md = pq.read_metadata(f)
+                    for rg in range(md.num_row_groups):
+                        row_group = md.row_group(rg)
+                        for ci in range(row_group.num_columns):
+                            c = row_group.column(ci)
+                            if c.path_in_schema == "part_id" and \
+                                    c.statistics is not None:
+                                part_mins.append(c.statistics.min)
+                if part_mins and min(part_mins) > max_part:
+                    shutil.rmtree(chunk)
+                    removed["segment_chunks"] += 1
+
+        if removed["postings"]:
+            # the crashed append may have swapped stats already (it
+            # swaps before saving meta) — rebuild from live postings
+            postings = self.spark.read.parquet(postings_dir)
+            stats_dir = os.path.join(self.index_path, STATS_DIR)
+            postings.groupBy("col", "term").agg(
+                F.sum("df").alias("df"),
+                F.first("bucket").alias("bucket"),
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                stats_dir + "_new")
+            os.rename(stats_dir, stats_dir + "_old")
+            os.rename(stats_dir + "_new", stats_dir)
+            shutil.rmtree(stats_dir + "_old")
+            removed["stats_rebuilt"] = True
+        return removed
+
     # -- incremental ingest ---------------------------------------------------
     def append(self, df: DataFrame, id_col: str | None = None,
                order_cols: list[str] | None = None) -> IndexMeta:
@@ -680,6 +770,9 @@ class IndexBuilder:
         Stats and meta totals are recomputed (cheap aggregates).
         """
         layout.recover_swaps(self.index_path, drop_stray=True)
+        repaired = self.repair()  # drop artifacts of a crashed append
+        if repaired["docs"] or repaired["postings"]:
+            self._ckpt_write(f"repair{int(time.time())}", repaired)
         meta = IndexMeta.load(self.index_path)
         old_max = max((r[2] for r in meta.part_ranges or []), default=-1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
@@ -762,10 +855,6 @@ class IndexBuilder:
         ]
         total_docs = docs_df.count()
         secs = time.time() - t0
-        self._ckpt_write(f"append{append_id}", {
-            "secs": secs, "base": base, "total_docs": total_docs,
-            "docs_per_sec": (total_docs - (meta.total_docs or 0)) / max(secs, 1e-9),
-        })
         new_meta = IndexMeta(
             config_json=cfg_json,
             num_parts=len(part_ranges),
@@ -774,5 +863,12 @@ class IndexBuilder:
             part_ranges=sorted(part_ranges),
             build_metrics=meta.build_metrics,
         )
-        new_meta.save(self.index_path)
+        new_meta.save(self.index_path)  # <- the commit point
+        # bookkeeping AFTER the commit: a crash before meta.save leaves
+        # no append checkpoint, so the retried append reuses the same
+        # chunk id (repair() removes the orphan artifacts anyway)
+        self._ckpt_write(f"append{append_id}", {
+            "secs": secs, "base": base, "total_docs": total_docs,
+            "docs_per_sec": (total_docs - (meta.total_docs or 0)) / max(secs, 1e-9),
+        })
         return new_meta

@@ -104,3 +104,83 @@ class TestStreamingIngest:
         ix.reload()
         assert ix.get_total_num_docs() == 30
         assert ix.bm25_search("Human health", top_k=100).count() == 2
+
+
+class TestAppendCrashRepair:
+    def test_crashed_append_repaired_before_next(self, spark, tmp_path):
+        """A crash mid-append leaves orphan docs/postings files with ids
+        above the committed meta range; without repair the NEXT append
+        would re-assign the same id range (duplicate doc ids).  repair()
+        — run automatically at append() start — must drop exactly the
+        orphan files and leave queries identical to the pre-crash
+        state, and the follow-up append must produce a correct index."""
+        import os
+
+        from corpora import corpus_a_rows
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        path = str(tmp_path / "crash_idx")
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=2)
+        rows = corpus_a_rows()
+        b.build(spark.createDataFrame(rows[:3]), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        before = [(r["row_id"], round(r["score"], 4)) for r in
+                  ix.bm25_search("Ancient", top_k=10,
+                                 operator_or=True).collect()]
+
+        # simulate a crash mid-append: docs + postings written for the
+        # new rows, but NO meta save (kill before the final step)
+        orig_save = type(ix.meta).save
+
+        def bomb(self_meta, p):
+            raise RuntimeError("injected crash before meta save")
+
+        type(ix.meta).save = bomb
+        try:
+            with __import__("pytest").raises(RuntimeError):
+                b.append(spark.createDataFrame(
+                    [{**r, "doc_id": r["doc_id"] - 3} for r in rows[3:]]),
+                    id_col="doc_id")
+        finally:
+            type(ix.meta).save = orig_save
+
+        # orphan postings visible pre-repair; repair restores the
+        # committed state exactly
+        rep = b.repair()
+        assert rep["docs"] >= 1 and rep["postings"] >= 1
+        assert rep["segment_chunks"] >= 1
+        ix2 = SearchIndex(spark, path)
+        after = [(r["row_id"], round(r["score"], 4)) for r in
+                 ix2.bm25_search("Ancient", top_k=10,
+                                 operator_or=True).collect()]
+        assert after == before
+        assert b.repair() == {"docs": 0, "postings": 0,
+                              "segment_chunks": 0,
+                              "stats_rebuilt": False}  # idempotent
+
+        # the retried append (auto-repair already clean) now succeeds
+        # and equals a from-scratch full build
+        b.append(spark.createDataFrame(
+            [{**r, "doc_id": r["doc_id"] - 3} for r in rows[3:]]),
+            id_col="doc_id")
+        ix3 = SearchIndex(spark, path)
+        full_path = str(tmp_path / "full_idx")
+        IndexBuilder(spark, full_path, cfg, rows_per_part=2).build(
+            spark.createDataFrame(rows), id_col="doc_id")
+        full = SearchIndex(spark, full_path)
+        # append assigns part-aligned ids (4, 5) for the second half, so
+        # compare by score multiset + totals rather than raw row ids
+        got = sorted(round(r["score"], 4) for r in
+                     ix3.bm25_search("Ancient", top_k=10,
+                                     operator_or=True).collect())
+        want = sorted(round(r["score"], 4) for r in
+                      full.bm25_search("Ancient", top_k=10,
+                                       operator_or=True).collect())
+        assert got == want and len(got) == 2
+        assert ix3.meta.total_tokens == full.meta.total_tokens
+        # doc ids unique across the repaired + appended index
+        n = ix3.docs.count()
+        assert ix3.docs.select("doc_id").distinct().count() == n == 5
