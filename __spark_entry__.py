@@ -521,6 +521,14 @@ def _q_phrase_bm25(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_curate(spark, sf_dir):
+    """Composed curation pipeline: keep-first exact dedup + quality
+    floor + language allowlist in one Catalyst plan."""
+    from tantivy_search_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir), min_quality=0.3,
+                         languages=("en",))
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling 1h event-time aggregation — the same expression runs
     under readStream + watermark (streaming/windows.py; stream==batch
@@ -606,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "multicol_bm25": _q_multicol_bm25,
+        "curate_corpus": _q_curate,
     }
 
 
@@ -747,6 +756,48 @@ def oracle_sql() -> dict[str, str]:
                  "WHEN score_en = {b} THEN 'en' "
                  "WHEN score_es = {b} THEN 'es' "
                  "ELSE 'fr' END").format(b=lang_best)
+
+    quality_expr = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS toks,
+         text
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks)::DOUBLE AS n,
+         len(list_filter(toks, x -> x IN ({_STOPWORDS_IN})))::DOUBLE AS n_stop,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS mean_wlen,
+         len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           / greatest(len(text), 1) AS digit_ratio
+  FROM t)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0
+                         WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+           + 0.3 * least((CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END) * 4.0, 1.0)
+           + 0.2 * (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END)
+           + 0.1 * (1.0 - least(digit_ratio * 10.0, 1.0)), 6) AS quality
+FROM m"""
+
+    curate = f"""
+WITH g AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS content_md5
+           FROM documents),
+gr AS (SELECT content_md5, min(doc_id) AS canonical,
+              count(*)::BIGINT AS group_size
+       FROM g GROUP BY content_md5),
+keepers AS (SELECT g.doc_id, gr.group_size
+            FROM g JOIN gr USING (content_md5)
+            WHERE g.doc_id = gr.canonical),
+q AS ({quality_expr}),
+l AS (SELECT doc_id, {lang_pred} AS pred_lang
+      FROM (SELECT doc_id, {lang_scores} FROM documents) s)
+SELECT k.doc_id, q.quality, l.pred_lang, k.group_size
+FROM keepers k JOIN q USING (doc_id) JOIN l USING (doc_id)
+WHERE q.quality >= 0.3 AND l.pred_lang IN ('en')
+"""
 
     minhash_sig = f"""
 WITH sh AS ({_SHINGLES}),
@@ -1027,6 +1078,7 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
         "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
         "multicol_bm25": _multicol_oracle(),
+        "curate_corpus": curate,
         # rolling Rabin-Karp winnowing: Horner chain mod 2^64 in HUGEINT
         # (intermediates stay < 2^84), 63-bit mask, window-4 min,
         # distinct — value-identical to the numpy cumulative-scan path

@@ -277,3 +277,24 @@ class TestMultimodal:
         # doc 5 has 30 bytes -> ceil/trunc(30/8)=3 frames
         assert (plan[plan["doc_id"] == 5]["frame_idx"].max() + 1) == 3
         assert (plan["byte_offset"] == plan["frame_idx"] * 8).all()
+
+
+class TestCuration:
+    def test_curate_corpus_composition(self, spark):
+        from tantivy_search_spark.pipeline.curate import curate_corpus
+        rows = [
+            {"doc_id": 0, "text": "the cat and the dog of the house is "
+                                  "to go for a walk in that park"},
+            {"doc_id": 1, "text": "the cat and the dog of the house is "
+                                  "to go for a walk in that park"},  # dup of 0
+            {"doc_id": 2, "text": "el gato y la casa de que si bueno"},  # es
+            {"doc_id": 3, "text": "zz9 14 77"},  # low quality, und
+            {"doc_id": 4, "text": "the quick brown fox is happy to see "
+                                  "the other animals in the big forest"},
+        ]
+        df = spark.createDataFrame(rows)
+        out = {r["doc_id"]: r for r in curate_corpus(df).collect()}
+        assert set(out) == {0, 4}          # 1=dup, 2=es, 3=junk
+        assert out[0]["group_size"] == 2
+        assert out[0]["pred_lang"] == "en"
+        assert all(r["quality"] >= 0.3 for r in out.values())
