@@ -1160,11 +1160,14 @@ class SearchIndex:
             self._local_score_cache: "OrderedDict" = OrderedDict()
         scache = self._local_score_cache
         per_term = {}
+        tmax = {}
         for t in tokens:
             if cacheable and (col, t) in scache:
                 scache.move_to_end((col, t))
-                per_term[t] = scache[(col, t)]
-                if per_term[t][0].size == 0 and not operator_or:
+                d, s, mx = scache[(col, t)]
+                per_term[t] = (d, s)
+                tmax[t] = mx
+                if d.size == 0 and not operator_or:
                     return []
                 continue
             d, tf, nm = raw[(col, t)]
@@ -1180,16 +1183,18 @@ class SearchIndex:
                 norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[nm], avgdl or 1.0,
                                        k1, b)
                 per_term[t] = (d, bm25.term_score(tf, idf, norm_d, k1))
+            # the per-term max is a scan over a possibly-multi-100k
+            # score vector: compute it once at fill, not per query
+            tmax[t] = float(per_term[t][1].max()) \
+                if per_term[t][1].size else 0.0
             if cacheable:
-                scache[(col, t)] = per_term[t]
+                scache[(col, t)] = per_term[t] + (tmax[t],)
                 while len(scache) > 512:
                     scache.popitem(last=False)
 
         order = sorted(per_term, key=lambda t: per_term[t][0].size)
         if not order:
             return []
-        tmax = {t: (float(per_term[t][1].max())
-                    if per_term[t][1].size else 0.0) for t in order}
         suffix = {}
         run = 0.0
         for t in reversed(order):
