@@ -209,6 +209,22 @@ class SearchIndex:
             if hasattr(self, attr):
                 getattr(self, attr).clear()
 
+    def close(self) -> None:
+        """Reference ffi_free_index_reader analog (Q14): release every
+        driver-side resource this reader holds — broadcasts, decoded-
+        postings LRUs, stats/bitmap caches, the pyarrow dataset handle.
+        The object stays usable; the next query simply re-warms."""
+        self._swap_broadcast_pool()
+        self._stats_cache = None
+        self._tombstones = None
+        self._tombstone_n = None
+        self._pa_dataset = None
+        for attr in ("_local_cache", "_local_raw_cache",
+                     "_local_score_cache", "_local_pos_cache",
+                     "_bitmap_cache"):
+            if hasattr(self, attr):
+                getattr(self, attr).clear()
+
     @property
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))

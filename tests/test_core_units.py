@@ -268,3 +268,21 @@ class TestBitmapResultCache:
         assert ix.query_term_bitmap("col1", "Ancient") == bytes([17])
         ix.delete_row_ids([0])
         assert ix.query_term_bitmap("col1", "Ancient") == bytes([16])
+
+
+class TestReaderClose:
+    def test_close_releases_and_reader_survives(self, corpus_a_index):
+        """ffi_free_index_reader analog: close() drops caches and
+        broadcasts; the reader keeps answering (re-warms)."""
+        ix = corpus_a_index
+        ix.enable_stats_cache()
+        ix.enable_local_cache()
+        before = ix.bm25_search_local("ancient rise", top_k=5,
+                                      operator_or=True)
+        ix.query_term_bitmap("col1", "Ancient")
+        ix.close()
+        assert ix._stats_cache is None
+        assert not ix._local_cache and not ix._bitmap_cache
+        after = ix.bm25_search_local("ancient rise", top_k=5,
+                                     operator_or=True)
+        assert after == before
