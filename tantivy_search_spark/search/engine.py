@@ -110,34 +110,45 @@ def _eval_phrase(
         cand = cand[np.isin(cand, per_term[t][0])]
         if cand.size == 0:
             return empty
-    out_doc, out_score = [], []
+
+    # vectorized adjacency chain over composite (doc << 32 | pos) keys:
+    # no per-candidate Python loop, so a boilerplate phrase matching
+    # millions of docs stays at numpy speed.  Positions are uint32 by
+    # construction (token index within one doc), so the packing is
+    # collision-free.
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def cand_keys(t: str) -> np.ndarray:
+        d, tf, nm, flat, offs = per_term[t]
+        j = np.searchsorted(d, cand)  # every cand present in d
+        lens = (offs[j + 1] - offs[j]).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        base = np.repeat(offs[j], lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)))[:-1], lens)
+        pos = flat[base + within].astype(np.int64)
+        docs_rep = np.repeat(cand, lens)
+        return docs_rep * SHIFT + pos
+
+    cur = cand_keys(terms_l[0]) + 1  # (doc, expected next position)
+    for t in terms_l[1:]:
+        kt = cand_keys(t)
+        cur = cur[np.isin(cur, kt)] + 1
+        if cur.size == 0:
+            return empty
+    docs = np.unique(cur >> np.int64(32))
+
+    # score survivors: sum of member term scores, gathered per term
+    scores = np.zeros(docs.size, dtype=np.float64)
     norm_table = FIELD_NORMS_TABLE
-    for doc in cand:
-        cur = None
-        score = 0.0
-        ok = True
-        for t in terms_l:
-            d, tf, nm, flat, offs = per_term[t]
-            j = int(np.searchsorted(d, doc))
-            pos = flat[offs[j]:offs[j + 1]].astype(np.int64)
-            if cur is None:
-                cur = pos + 1
-            else:
-                cur = np.intersect1d(cur, pos, assume_unique=True) + 1
-                if cur.size == 0:
-                    ok = False
-                    break
-            norm_d = bm25.doc_norm(norm_table[nm[j:j + 1]],
-                                   avgdl_l or 1.0, k1, b)
-            score += float(bm25.term_score(tf[j:j + 1], idf_m[t],
-                                           norm_d, k1)[0])
-        if ok:
-            out_doc.append(int(doc))
-            out_score.append(score)
-    if not out_doc:
-        return empty
-    return (np.asarray(out_doc, dtype=np.int64),
-            np.asarray(out_score, dtype=np.float64))
+    for t in terms_l:
+        d, tf, nm, flat, offs = per_term[t]
+        j = np.searchsorted(d, docs)
+        norm_d = bm25.doc_norm(norm_table[nm[j]], avgdl_l or 1.0, k1, b)
+        scores += bm25.term_score(tf[j], idf_m[t], norm_d, k1)
+    return docs, scores
 
 
 def _assemble_phrase_runs(runs: list) -> tuple:
