@@ -11,8 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tantivy_search_spark.pipeline.dedup import exact_dedup
-from tantivy_search_spark.pipeline.text import lang_id_markers, quality_score
+from tantivy_search_spark.pipeline.dedup import _norm_text
+from tantivy_search_spark.pipeline.text import (
+    lang_marker_columns,
+    quality_columns,
+)
 
 
 def curate_corpus(
@@ -27,16 +30,29 @@ def curate_corpus(
     (keep-first exact dedup), its quality score clears ``min_quality``,
     and its marker-based language id is in ``languages``.
     Returns (doc_id, quality, pred_lang, group_size).
+
+    Plan shape for 100 TB: quality and language are plain Column
+    expressions fused into ONE corpus scan (no per-feature re-scan or
+    doc_id join); the only wide operations are the dedup groupBy on the
+    content hash and the group join back — and the quality/language
+    predicates filter the features side BEFORE that join.
     """
-    dedup = exact_dedup(df, text_col).select(
-        "doc_id", "is_duplicate", "group_size")
-    quality = quality_score(df, text_col).select("doc_id", "quality")
-    lang = lang_id_markers(df, text_col).select("doc_id", "pred_lang")
+    _, pred = lang_marker_columns(text_col)
+    q = quality_columns(text_col)["quality"]
+    feats = df.select(
+        "doc_id",
+        F.md5(_norm_text(text_col)).alias("content_md5"),
+        q.alias("quality"),
+        pred.alias("pred_lang"),
+    )
+    groups = feats.groupBy("content_md5").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
     return (
-        dedup.where(~F.col("is_duplicate"))
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .where((F.col("quality") >= min_quality)
-               & F.col("pred_lang").isin(list(languages)))
+        feats.where((F.col("quality") >= min_quality)
+                    & F.col("pred_lang").isin(list(languages)))
+        .join(groups, "content_md5")
+        .where(F.col("doc_id") == F.col("canonical_doc_id"))
         .select("doc_id", "quality", "pred_lang", "group_size")
     )

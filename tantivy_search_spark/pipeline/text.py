@@ -46,9 +46,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality heuristics: doc length band, stopword ratio,
-    mean word length, digit ratio -> score in [0, 1]."""
+def quality_columns(text_col: str = "text") -> dict:
+    """The quality heuristics as plain Column expressions (rounded to
+    6dp), so callers can fuse them into an existing scan instead of
+    joining a second one."""
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda t: F.length(t) > 0)
     n = F.size(toks).cast("double")
@@ -73,13 +74,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0)
         + 0.1 * (1.0 - F.least(digit_ratio * F.lit(10.0), F.lit(1.0)))
     )
+    return {
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_word_len": F.round(mean_wlen, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: doc length band, stopword ratio,
+    mean word length, digit ratio -> score in [0, 1]."""
+    cols = quality_columns(text_col)
     return df.select(
-        "doc_id",
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(score, 6).alias("quality"),
-    )
+        "doc_id", *(expr.alias(name) for name, expr in cols.items()))
 
 
 #: tiny marker vocabularies per language (deterministic, SQL-replicable)
@@ -91,27 +99,30 @@ LANG_MARKERS = {
 }
 
 
+def lang_marker_columns(text_col: str = "text") -> tuple[list, object]:
+    """(per-language score Columns, pred Column) for marker-word
+    language id — composable into any scan (see curate_corpus)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    langs = sorted(LANG_MARKERS)
+    score_cols = {}
+    for lang in langs:
+        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        score_cols[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*score_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when((score_cols[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(pred)
+    return [score_cols[lang].alias(f"score_{lang}") for lang in langs], pred
+
+
 def lang_id_markers(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language id: argmax over per-language marker hits,
     'und' (undetermined) when no markers hit.  Ties break by language
     code order for determinism."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        arr = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        scores.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-            .alias(f"score_{lang}")
-        )
-    scored = df.select("doc_id", *scores)
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier langs win ties
-        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0),
-                      F.lit(lang)).otherwise(pred)
-    return scored.select("doc_id", *[F.col(f"score_{lang}") for lang in langs],
-                         pred.alias("pred_lang"))
+    scores, pred = lang_marker_columns(text_col)
+    return df.select("doc_id", *scores, pred.alias("pred_lang"))
 
 
 def lang_id_ngram(df: DataFrame, text_col: str = "text",
