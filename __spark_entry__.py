@@ -55,6 +55,8 @@ _KIND_CONFIG = {
     "append": "{}",
     "positions": "{}",  # default chain + with_positions=True
     "multicol": "{}",   # TWO indexed columns: text + lang
+    "chinese": '{"text": {"tokenizer": {"type": "chinese",'
+               ' "jieba": "empty", "mode": "unicode"}}}',
 }
 
 
@@ -405,6 +407,13 @@ def _q_chain_raw_stats(spark, sf_dir):
     return _chain_stats(spark, sf_dir, "raw")
 
 
+def _q_chain_chinese_stats(spark, sf_dir):
+    """T7 chinese chain (cangjie), unicode mode: per-character split +
+    alnum strip + LowerCaser — on the ASCII corpus every letter/digit
+    becomes a term, exactly replicable in SQL."""
+    return _chain_stats(spark, sf_dir, "chinese")
+
+
 def _q_chain_stem_doclens(spark, sf_dir):
     """T4 stem chain: per-doc token counts decoded from the stem-chain
     index postings.  Snowball stemming is count-preserving, so the SQL
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_whitespace_stats": _q_chain_whitespace_stats,
         "chain_ngram_stats": _q_chain_ngram_stats,
         "chain_raw_stats": _q_chain_raw_stats,
+        "chain_chinese_stats": _q_chain_chinese_stats,
         "chain_stem_doclens": _q_chain_stem_doclens,
         "phrase_bm25": _q_phrase_bm25,
         "stats_injected_bm25": _q_stats_injected_bm25,
@@ -1065,6 +1075,11 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             "SELECT text AS term, count(distinct doc_id)::BIGINT AS df "
             "FROM documents WHERE text IS NOT NULL AND text != '' "
             "GROUP BY text"),
+        "chain_chinese_stats": """
+SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
+  SELECT doc_id, lower(substr(text, i, 1)) AS term
+  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+) WHERE regexp_matches(term, '[a-z0-9]') GROUP BY term""",
         "chain_stem_doclens": (
             f"SELECT doc_id, count(*)::BIGINT AS dl FROM ({_TOKS}) "
             f"WHERE octet_length(encode(term)) < 40 "

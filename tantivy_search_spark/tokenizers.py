@@ -79,6 +79,54 @@ def _resolve_stop_set(stop_word_filters: Sequence[str]) -> frozenset[str]:
     return frozenset(out)
 
 
+#: rust char::is_alphanumeric analog used by the reference's
+#: remove_nonsense_token post-filter (utils.rs:1-15)
+_ALNUM_RUNS = re.compile(r"[^\W_]+", re.UNICODE)
+#: empty-dictionary jieba grouping: ASCII alnum runs stay whole, every
+#: other char stands alone (no multi-char dictionary words exist)
+_ASCII_RUN_OR_CHAR = re.compile(r"[0-9A-Za-z]+|.", re.DOTALL)
+
+
+def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
+                      case_sensitive: bool) -> Callable[[str], list[str]]:
+    """Reference `chinese` chain (CangjieTokenizer + nonsense strip +
+    LowerCaser; parser.rs:197-227, cangjie/tokenizer.rs:29-48).
+
+    Implemented without the jieba crate for the configurations that
+    don't need its data files:
+    * mode=unicode — per-character split (exact reference semantics,
+      no dictionary involved).
+    * jieba=empty + default/all/search, hmm=False — with an empty
+      dictionary every CJK char is its own word and ASCII alnum runs
+      group, which is what Jieba::empty() produces.
+    jieba=default (the bundled dictionary) and hmm=True (the HMM model)
+    raise NotImplementedError at config creation — capability gap.
+    """
+    if jieba == "default":
+        raise NotImplementedError(
+            "chinese tokenizer with jieba='default' needs the jieba "
+            "dictionary, which is not available in this environment; "
+            "use jieba='empty' or mode='unicode' (COVERAGE.md)")
+    if hmm and mode in ("default", "search"):
+        raise NotImplementedError(
+            "chinese tokenizer with hmm=true needs the jieba HMM model; "
+            "set hmm=false (COVERAGE.md)")
+
+    def analyze(text: str) -> list[str]:
+        if mode == "unicode":
+            raw = list(text)
+        else:  # default / all / search over the empty dictionary
+            raw = _ASCII_RUN_OR_CHAR.findall(text)
+        out: list[str] = []
+        for t in raw:  # remove_nonsense_token: keep alnum runs only
+            out.extend(_ALNUM_RUNS.findall(t))
+        if not case_sensitive:
+            out = [t.lower() for t in out]
+        return out
+
+    return analyze
+
+
 @lru_cache(maxsize=256)
 def build_analyzer(
     type: str = "default",
@@ -90,12 +138,17 @@ def build_analyzer(
     min_gram: int = 2,
     max_gram: int = 3,
     prefix_only: bool = False,
+    jieba: str = "default",
+    mode: str = "search",
+    hmm: bool = False,
 ) -> Callable[[str], list[str]]:
     """Return ``analyze(text) -> [token, ...]`` for one column config."""
-    if type in ("chinese", "icu"):
+    if type == "chinese":
+        return _cangjie_analyzer(jieba, mode, hmm, case_sensitive)
+    if type == "icu":
         raise NotImplementedError(
-            f"'{type}' tokenizer requires jieba/PyICU, out of scope for the "
-            "source-code corpus (documented in SURVEY.md §2.2)"
+            "'icu' tokenizer requires PyICU (not in this environment); "
+            "capability gap recorded in COVERAGE.md"
         )
     if type not in ("default", "raw", "simple", "stem", "whitespace", "ngram"):
         raise TokenizerError(f"Unknown tokenizer type: {type}")
@@ -166,4 +219,7 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
         min_gram=int(t.get("min_gram", 2)),
         max_gram=int(t.get("max_gram", 3)),
         prefix_only=bool(t.get("prefix_only", False)),
+        jieba=str(t.get("jieba", "default")),
+        mode=str(t.get("mode", "search")),
+        hmm=bool(t.get("hmm", False)),
     )

@@ -191,3 +191,43 @@ class TestStopwordBundles:
         with pytest.raises(NotImplementedError):
             IndexConfig.from_json(
                 ["text"], '{"text": {"tokenizer": {"type": "chinese"}}}')
+
+
+class TestChineseTokenizer:
+    """`chinese` chain for the dictionary-free configurations
+    (cangjie/tokenizer.rs:29-48 Unicode arm + Jieba::empty())."""
+
+    SENT = "在地月潮汐锁定（Tidal Locking）系统中"
+
+    def test_unicode_mode_per_char(self):
+        an = build_analyzer("chinese", jieba="empty", mode="unicode")
+        got = an(self.SENT)
+        # every CJK char alone; latin split per char too; punct dropped
+        assert got[:7] == ["在", "地", "月", "潮", "汐", "锁", "定"]
+        assert "t" in got and "（" not in got and got[-1] == "中"
+
+    def test_empty_dict_groups_ascii_runs(self):
+        an = build_analyzer("chinese", jieba="empty", mode="search")
+        got = an(self.SENT)
+        assert "tidal" in got and "locking" in got
+        assert got[:7] == ["在", "地", "月", "潮", "汐", "锁", "定"]
+
+    def test_case_sensitive(self):
+        an = build_analyzer("chinese", jieba="empty", mode="search",
+                            case_sensitive=True)
+        assert "Tidal" in an(self.SENT)
+
+    def test_dictionary_configs_raise_clearly(self):
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            build_analyzer("chinese", jieba="default", mode="search")
+        with pytest.raises(NotImplementedError, match="HMM"):
+            build_analyzer("chinese", jieba="empty", mode="search",
+                           hmm=True)
+
+    def test_config_level_empty_builds(self):
+        from tantivy_search_spark.config import IndexConfig
+        cfg = IndexConfig.from_json(
+            ["text"],
+            '{"text": {"tokenizer": {"type": "chinese",'
+            ' "jieba": "empty", "mode": "unicode"}}}')
+        assert cfg.analyzer("text")("潮汐 ab") == ["潮", "汐", "a", "b"]
