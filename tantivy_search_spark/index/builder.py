@@ -213,30 +213,33 @@ def _segment_builder(cfg_json: str):
             # term boundaries in the (term, doc)-sorted triples
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             bounds = np.concatenate(([0], change, [terms.size]))
-            cum_tf = np.concatenate(([0], np.cumsum(t_tfs, dtype=np.int64)))
+            nterms = bounds.size - 1
+            # one vectorized pass encodes every term's blocks (the old
+            # per-term encode_blocks call was the build hot loop at
+            # realistic vocabulary — 10^5+ python calls per part)
+            enc = layout.encode_blocks_many(t_docs, t_tfs, t_norms,
+                                            bounds, bs)
             import zlib
-            for i in range(bounds.size - 1):
-                s, e = int(bounds[i]), int(bounds[i + 1])
-                term = terms[s]
-                enc = encode_blocks(t_docs[s:e], t_tfs[s:e], t_norms[s:e], bs)
-                rows["part_id"].append(part_id)
-                rows["bucket"].append(zlib.crc32(term.encode("utf-8")) % nb)
-                rows["col"].append(col)
-                rows["term"].append(term)
-                rows["shard"].append(part_id // pps)
-                rows["sub"].append(0)
-                rows["df"].append(enc["df"])
-                rows["block_first"].append(enc["block_first"])
-                rows["block_last"].append(enc["block_last"])
-                rows["block_max_tf"].append(enc["block_max_tf"])
-                rows["block_min_norm"].append(enc["block_min_norm"])
-                rows["deltas"].append(enc["deltas"])
-                rows["tfs"].append(enc["tfs"])
-                rows["norms"].append(enc["norms"])
-                rows["positions"].append(
-                    pos_flat[cum_tf[s]:cum_tf[e]].tobytes()
-                    if pos_flat is not None else b"")
-                rows["sum_tf"].append(int(t_tfs[s:e].sum()))
+            term_list = terms[bounds[:-1]]
+            rows["part_id"].extend([part_id] * nterms)
+            rows["bucket"].extend(
+                zlib.crc32(t.encode("utf-8")) % nb for t in term_list)
+            rows["col"].extend([col] * nterms)
+            rows["term"].extend(term_list)
+            rows["shard"].extend([part_id // pps] * nterms)
+            rows["sub"].extend([0] * nterms)
+            for k in ("df", "block_first", "block_last", "block_max_tf",
+                      "block_min_norm", "deltas", "tfs", "norms",
+                      "sum_tf"):
+                rows[k].extend(enc[k])
+            if pos_flat is not None:
+                cum_tf = np.concatenate(
+                    ([0], np.cumsum(t_tfs, dtype=np.int64)))
+                rows["positions"].extend(
+                    pos_flat[cum_tf[bounds[i]]:cum_tf[bounds[i + 1]]]
+                    .tobytes() for i in range(nterms))
+            else:
+                rows["positions"].extend([b""] * nterms)
         return pd.DataFrame(rows)
 
     return build_part

@@ -152,6 +152,78 @@ def encode_blocks(
     }
 
 
+def encode_blocks_many(
+    t_docs: np.ndarray,
+    t_tfs: np.ndarray,
+    t_norms: np.ndarray,
+    bounds: np.ndarray,
+    block_size: int,
+) -> dict:
+    """Vectorized :func:`encode_blocks` over MANY terms at once.
+
+    ``bounds`` delimits per-term runs in the (term, doc)-sorted triple
+    arrays (term i owns [bounds[i], bounds[i+1])).  All block metadata
+    (first/last/max_tf/min_norm) and the delta stream are computed with
+    global numpy passes — one ``reduceat`` per metric instead of one
+    ``encode_blocks`` call per term, which is the segment-build hot
+    loop at realistic vocabulary (10^5+ terms per part).  Output is
+    byte-identical to per-term encode_blocks (property-tested).
+
+    Returns dict with per-term LISTS: df, block_first, block_last,
+    block_max_tf, block_min_norm, deltas (bytes), tfs (bytes),
+    norms (bytes), sum_tf.
+    """
+    nterms = bounds.size - 1
+    lengths = (bounds[1:] - bounds[:-1]).astype(np.int64)
+    nb = (lengths + block_size - 1) // block_size
+    nb_off = np.concatenate(([0], np.cumsum(nb)))
+    total_blocks = int(nb_off[-1])
+    term_of_block = np.repeat(np.arange(nterms), nb)
+    block_k = np.arange(total_blocks, dtype=np.int64) \
+        - np.repeat(nb_off[:-1], nb)
+    b_start = bounds[:-1][term_of_block] + block_k * block_size
+    b_end = np.minimum(b_start + block_size, bounds[1:][term_of_block])
+
+    block_first = t_docs[b_start].astype(np.int64)
+    block_last = t_docs[b_end - 1].astype(np.int64)
+    block_max_tf = np.maximum.reduceat(t_tfs, b_start).astype(np.int32)
+    block_min_norm = np.minimum.reduceat(t_norms, b_start).astype(np.int32)
+
+    d64 = np.empty(t_docs.size, dtype=np.int64)
+    if t_docs.size:
+        d64[0] = 0
+        d64[1:] = np.diff(t_docs)
+        d64[b_start] = 0  # block starts (incl. every term start) reset
+        if int(d64.max(initial=0)) >= 2 ** 32:
+            raise ValueError(
+                "doc_id gap overflows uint32 delta (block spans parts?)")
+    deltas = d64.astype(np.uint32)
+    tfs32 = t_tfs.astype(np.uint32)
+    norms8 = t_norms.astype(np.uint8)
+    sum_tf = np.add.reduceat(t_tfs, bounds[:-1]).astype(np.int64) \
+        if t_docs.size else np.empty(0, np.int64)
+
+    out = {
+        "df": lengths.tolist(),
+        "block_first": [block_first[nb_off[i]:nb_off[i + 1]]
+                        for i in range(nterms)],
+        "block_last": [block_last[nb_off[i]:nb_off[i + 1]]
+                       for i in range(nterms)],
+        "block_max_tf": [block_max_tf[nb_off[i]:nb_off[i + 1]]
+                         for i in range(nterms)],
+        "block_min_norm": [block_min_norm[nb_off[i]:nb_off[i + 1]]
+                           for i in range(nterms)],
+        "deltas": [deltas[bounds[i]:bounds[i + 1]].tobytes()
+                   for i in range(nterms)],
+        "tfs": [tfs32[bounds[i]:bounds[i + 1]].tobytes()
+                for i in range(nterms)],
+        "norms": [norms8[bounds[i]:bounds[i + 1]].tobytes()
+                  for i in range(nterms)],
+        "sum_tf": sum_tf.tolist(),
+    }
+    return out
+
+
 def decode_doc_ids(block_first, deltas: bytes, block_size: int) -> np.ndarray:
     """doc_ids-only decode (bitmap queries): lets the parquet scan prune
     the tfs/norms columns entirely."""

@@ -286,3 +286,39 @@ class TestReaderClose:
         after = ix.bm25_search_local("ancient rise", top_k=5,
                                      operator_or=True)
         assert after == before
+
+
+class TestEncodeBlocksMany:
+    def test_equals_per_term_encode(self):
+        """encode_blocks_many must be byte-identical to per-term
+        encode_blocks over random multi-term posting sets."""
+        import numpy as np
+        from tantivy_search_spark.index.layout import (
+            encode_blocks, encode_blocks_many)
+
+        rng = np.random.default_rng(13)
+        for trial in range(20):
+            nterms = int(rng.integers(1, 40))
+            runs = []
+            for _ in range(nterms):
+                n = int(rng.integers(1, 300))
+                docs = np.sort(rng.choice(100_000, size=n, replace=False))
+                tfs = rng.integers(1, 50, size=n).astype(np.int64)
+                norms = rng.integers(0, 256, size=n).astype(np.int64)
+                runs.append((docs.astype(np.int64), tfs, norms))
+            bounds = np.concatenate(
+                ([0], np.cumsum([r[0].size for r in runs])))
+            t_docs = np.concatenate([r[0] for r in runs])
+            t_tfs = np.concatenate([r[1] for r in runs])
+            t_norms = np.concatenate([r[2] for r in runs])
+            bs = int(rng.choice([4, 16, 128]))
+            many = encode_blocks_many(t_docs, t_tfs, t_norms, bounds, bs)
+            for i, (docs, tfs, norms) in enumerate(runs):
+                one = encode_blocks(docs, tfs, norms, bs)
+                assert many["df"][i] == one["df"], (trial, i)
+                for k in ("block_first", "block_last", "block_max_tf",
+                          "block_min_norm"):
+                    assert np.array_equal(many[k][i], one[k]), (k, i)
+                for k in ("deltas", "tfs", "norms"):
+                    assert many[k][i] == one[k], (k, i)
+                assert many["sum_tf"][i] == int(tfs.sum())
