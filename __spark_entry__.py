@@ -354,6 +354,14 @@ def _q_bm25_nlq(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_nlq_not(spark, sf_dir):
+    """MustNot clause ('-term', tantivy QueryParser semantics): docs
+    with 'spark' but not 'window'; score = the positive clause only."""
+    out = _index(spark, sf_dir).bm25_search(
+        "spark -window", enable_nlq=True, operator_or=True, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_delete_bm25(spark, sf_dir):
     """B6: after delete_row_ids(doc_id % 7 == 0), BM25 results exclude
     the tombstoned rows but keep full-corpus stats (deletes don't touch
@@ -608,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "frame_plan": _q_frame_plan,
         "bm25_nlq": _q_bm25_nlq,
+        "bm25_nlq_not": _q_bm25_nlq_not,
         "delete_bm25": _q_delete_bm25,
         "delete_bitmap": _q_delete_bitmap,
         "append_term_stats": _q_append_term_stats,
@@ -1039,6 +1048,10 @@ WITH m AS (
 SELECT doc_id, media_type, f AS frame_idx, (f * 64)::BIGINT AS byte_offset
 FROM m, unnest(range(0, greatest(n_bytes // 64, 1))) AS u(f)""",
         "bm25_nlq": _nlq_oracle(),
+        "bm25_nlq_not": _bm25_oracle(
+            False, tokens=["spark"],
+            alive_filter=("WHERE t.doc_id NOT IN "
+                          "(SELECT doc_id FROM toks WHERE term = 'window')")),
         # deletes keep full-corpus stats (tombstones are a visibility
         # filter until merge), so the oracle scores on the whole corpus
         # and filters the deleted rows out of the result

@@ -48,6 +48,17 @@ class Phrase:
 
 
 @dataclass
+class Bool:
+    """Boolean group with exclusions: matches when ``positive`` matches
+    and NO ``must_nots`` member matches; scores as ``positive`` alone
+    (tantivy QueryParser '-term' => BooleanQuery MustNot semantics:
+    excluded clauses never contribute score)."""
+
+    positive: object  # Term/Phrase/And/Or (None => pure-negative query)
+    must_nots: list = field(default_factory=list)
+
+
+@dataclass
 class And:
     children: list = field(default_factory=list)
 
@@ -99,6 +110,9 @@ def _lex(q: str) -> list[str]:
                 raise NlqError("unterminated quote")
             out.append(q[i : j + 1])
             i = j + 1
+        elif c == "-" and i + 1 < n and q[i + 1] == '"':
+            out.append("-")  # negated quoted phrase: -"..."
+            i += 1
         else:
             j = i
             while j < n and not q[j].isspace() and q[j] not in "()":
@@ -252,6 +266,7 @@ def parse_nlq(
     def parse_and_seq():
         nonlocal pos
         units = []
+        negs = []
         while True:
             t = peek()
             if t is None or t == ")" or t == "OR":
@@ -259,14 +274,37 @@ def parse_nlq(
             if t == "AND":
                 pos += 1
                 continue
+            neg = False
+            if t == "-":  # lexer-split negation marker (-"phrase")
+                pos += 1
+                neg = True
+                t = peek()
+                if t is None or t in (")", "OR", "AND"):
+                    continue
+            elif isinstance(t, str) and len(t) > 1 and t[0] == "-":
+                # tantivy QueryParser '-term' / '-col:term' => MustNot
+                toks[pos] = t[1:]
+                neg = True
+            elif isinstance(t, str) and len(t) > 1 and t[0] == "+":
+                # '+term': Must — under default conjunction every clause
+                # is already a must; under OR-default we honor the
+                # common intent by keeping the clause (documented
+                # simplification: no mixed Should/Must scoring group)
+                toks[pos] = t[1:]
             u = parse_unit()
             if u is not None:
-                units.append(u)
-        if not units:
+                (negs if neg else units).append(u)
+        if not units and not negs:
             return None
-        if len(units) == 1:
-            return units[0]
-        return And(units) if conjunction_by_default else Or(units)
+        if not units:
+            positive = None  # pure-negative query matches nothing
+        elif len(units) == 1:
+            positive = units[0]
+        else:
+            positive = And(units) if conjunction_by_default else Or(units)
+        if negs:
+            return Bool(positive, negs)
+        return positive
 
     def parse_or():
         nonlocal pos
@@ -310,6 +348,8 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
     # verified by its scorer), so it participates in flat groups like
     # any term atom
 
+    if isinstance(tree, Bool):
+        return None  # exclusions need the compile path
     if isinstance(tree, leaf):
         return [([atom_key(tree)], False)]
     if isinstance(tree, (And, Or)):
@@ -362,6 +402,10 @@ def collect_atoms(tree) -> list:
             if key not in seen:
                 seen.add(key)
                 atoms.append(key)
+        elif isinstance(node, Bool):
+            walk(node.positive)
+            for c in node.must_nots:
+                walk(c)
         else:
             for c in node.children:
                 walk(c)
@@ -428,6 +472,17 @@ def compile_tree_map(
             v = F.col(map_col).getItem(i)
             matched = v.isNotNull()
             return matched, F.coalesce(v, F.lit(0.0))
+        if isinstance(node, Bool):
+            if node.positive is None:
+                pm, ps = F.lit(False), F.lit(0.0)
+            else:
+                pm, ps = walk(node.positive)
+            excluded = F.lit(False)
+            for c in node.must_nots:
+                em, _ = walk(c)
+                excluded = excluded | em
+            matched = pm & ~excluded
+            return matched, F.when(matched, ps).otherwise(F.lit(0.0))
         kids = [walk(c) for c in node.children if c is not None]
         if not kids:
             return F.lit(False), F.lit(0.0)
