@@ -362,6 +362,36 @@ def _q_bm25_nlq_not(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_boost(spark, sf_dir):
+    """Boost clause ('term^2', tantivy QueryParser): matching unchanged,
+    the boosted clause's score scales."""
+    out = _index(spark, sf_dir).bm25_search(
+        "spark^2 window", enable_nlq=True, operator_or=True, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+def _boost_oracle() -> str:
+    return f"""
+WITH toks AS ({_TOKS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+fn(val) AS (VALUES {_FN_VALUES}),
+quant AS (SELECT d.doc_id, max(f.val) AS qdl FROM dl d JOIN fn f ON f.val <= d.dl GROUP BY d.doc_id),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('spark', 'window') GROUP BY doc_id, term),
+st AS (SELECT term, count(distinct doc_id) AS df FROM toks
+       WHERE term IN ('spark', 'window') GROUP BY term),
+g AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS tot),
+sc AS (SELECT t.doc_id, t.term,
+              ln(1 + (g.n - st.df + 0.5) / (st.df + 0.5))
+              * {K1 + 1} * t.tf
+              / (t.tf + {K1} * (1 - {B} + {B} * q.qdl / (g.tot * 1.0 / g.n))) AS s
+       FROM tf t JOIN st USING (term) JOIN quant q ON q.doc_id = t.doc_id CROSS JOIN g)
+SELECT doc_id AS row_id,
+       round(sum(CASE WHEN term = 'spark' THEN 2 * s ELSE s END), 4) AS score
+FROM sc GROUP BY doc_id
+"""
+
+
 def _q_delete_bm25(spark, sf_dir):
     """B6: after delete_row_ids(doc_id % 7 == 0), BM25 results exclude
     the tombstoned rows but keep full-corpus stats (deletes don't touch
@@ -617,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": _q_frame_plan,
         "bm25_nlq": _q_bm25_nlq,
         "bm25_nlq_not": _q_bm25_nlq_not,
+        "bm25_boost": _q_bm25_boost,
         "delete_bm25": _q_delete_bm25,
         "delete_bitmap": _q_delete_bitmap,
         "append_term_stats": _q_append_term_stats,
@@ -1048,6 +1079,7 @@ WITH m AS (
 SELECT doc_id, media_type, f AS frame_idx, (f * 64)::BIGINT AS byte_offset
 FROM m, unnest(range(0, greatest(n_bytes // 64, 1))) AS u(f)""",
         "bm25_nlq": _nlq_oracle(),
+        "bm25_boost": _boost_oracle(),
         "bm25_nlq_not": _bm25_oracle(
             False, tokens=["spark"],
             alive_filter=("WHERE t.doc_id NOT IN "

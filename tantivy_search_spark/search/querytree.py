@@ -48,6 +48,15 @@ class Phrase:
 
 
 @dataclass
+class Boost:
+    """Score multiplier on a subtree (tantivy QueryParser 'term^2.0');
+    matching is unchanged, the subtree's score scales by ``factor``."""
+
+    child: object
+    factor: float
+
+
+@dataclass
 class Bool:
     """Boolean group with exclusions: matches when ``positive`` matches
     and NO ``must_nots`` member matches; scores as ``positive`` alone
@@ -160,6 +169,16 @@ def parse_nlq(
             return terms[0]
         return And(terms) if conjunction_by_default else Or(terms)
 
+    def _strip_boost(tok: str):
+        """'term^2.5' -> ('term', 2.5); no-op when ^ absent/invalid."""
+        if "^" in tok and not tok.startswith('"'):
+            base, _, suffix = tok.rpartition("^")
+            try:
+                return base, float(suffix)
+            except ValueError:
+                pass
+        return tok, None
+
     def parse_unit():
         nonlocal pos
         t = peek()
@@ -171,10 +190,43 @@ def parse_nlq(
             if peek() != ")":
                 raise NlqError("missing )")
             pos += 1
+            node = _maybe_trailing_boost(node)
             return node
         if t == ")":
             return None
+        boost = None
+        if isinstance(t, str):
+            stripped, boost = _strip_boost(t)
+            if boost is not None:
+                toks[pos] = stripped
+                t = stripped
         pos += 1
+        if t.startswith('"') and t.endswith('"'):
+            node = _quoted(t[1:-1])
+            node = _maybe_trailing_boost(node)
+            if boost is not None and node is not None:
+                node = Boost(node, boost)
+            return node
+        node = _parse_bare_or_field(t)
+        if boost is not None and node is not None:
+            node = Boost(node, boost)
+        return node
+
+    def _maybe_trailing_boost(node):
+        """'(...)^2' / '"..."^2': the lexer emits '^2' as its own token."""
+        nonlocal pos
+        t = peek()
+        if node is not None and isinstance(t, str) and t.startswith("^"):
+            try:
+                factor = float(t[1:])
+            except ValueError:
+                return node
+            pos += 1
+            return Boost(node, factor)
+        return node
+
+    def _parse_bare_or_field(t: str):
+        nonlocal pos
         if t.startswith('"') and t.endswith('"'):
             # quoted phrase -> AND group (positions are not indexed; the
             # reference suite never issues phrase queries — SURVEY.md §2)
@@ -348,8 +400,8 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
     # verified by its scorer), so it participates in flat groups like
     # any term atom
 
-    if isinstance(tree, Bool):
-        return None  # exclusions need the compile path
+    if isinstance(tree, (Bool, Boost)):
+        return None  # exclusions/boosts need the compile path
     if isinstance(tree, leaf):
         return [([atom_key(tree)], False)]
     if isinstance(tree, (And, Or)):
@@ -406,6 +458,8 @@ def collect_atoms(tree) -> list:
             walk(node.positive)
             for c in node.must_nots:
                 walk(c)
+        elif isinstance(node, Boost):
+            walk(node.child)
         else:
             for c in node.children:
                 walk(c)
@@ -472,6 +526,9 @@ def compile_tree_map(
             v = F.col(map_col).getItem(i)
             matched = v.isNotNull()
             return matched, F.coalesce(v, F.lit(0.0))
+        if isinstance(node, Boost):
+            m, sc = walk(node.child)
+            return m, sc * F.lit(float(node.factor))
         if isinstance(node, Bool):
             if node.positive is None:
                 pm, ps = F.lit(False), F.lit(0.0)

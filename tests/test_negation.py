@@ -86,3 +86,52 @@ class TestNegation:
         got = _ids(ix.bm25_search('alpha -"moral horizons"', top_k=10,
                                   operator_or=True, enable_nlq=True))
         assert got == [1, 2]  # doc 0 has the adjacent phrase
+
+
+class TestBoost:
+    def test_boost_scales_score(self, corpus_a_index):
+        ix = corpus_a_index
+        plain = {r["row_id"]: r["score"] for r in
+                 ix.bm25_search("ancient", top_k=10, operator_or=True,
+                                enable_nlq=True).collect()}
+        boosted = {r["row_id"]: r["score"] for r in
+                   ix.bm25_search("ancient^2.5", top_k=10,
+                                  operator_or=True,
+                                  enable_nlq=True).collect()}
+        assert set(boosted) == set(plain)
+        for rid in plain:
+            assert abs(boosted[rid] - 2.5 * plain[rid]) < 1e-9
+
+    def test_boost_in_or_group(self, corpus_a_index):
+        ix = corpus_a_index
+        a = {r["row_id"]: r["score"] for r in
+             ix.bm25_search("ancient", top_k=10, operator_or=True,
+                            enable_nlq=True).collect()}
+        b = {r["row_id"]: r["score"] for r in
+             ix.bm25_search("rise", top_k=10, operator_or=True,
+                            enable_nlq=True).collect()}
+        got = {r["row_id"]: r["score"] for r in
+               ix.bm25_search("ancient^3 OR rise", top_k=10,
+                              operator_or=True, enable_nlq=True).collect()}
+        for rid, sc in got.items():
+            want = 3 * a.get(rid, 0.0) + b.get(rid, 0.0)
+            assert abs(sc - want) < 1e-9, rid
+
+    def test_group_boost(self, corpus_a_index):
+        ix = corpus_a_index
+        grp = {r["row_id"]: r["score"] for r in
+               ix.bm25_search("(ancient rise)", top_k=10,
+                              operator_or=False, enable_nlq=True).collect()}
+        got = {r["row_id"]: r["score"] for r in
+               ix.bm25_search("(ancient rise)^1.5", top_k=10,
+                              operator_or=False, enable_nlq=True).collect()}
+        assert set(got) == set(grp)
+        for rid in grp:
+            assert abs(got[rid] - 1.5 * grp[rid]) < 1e-9
+
+    def test_invalid_boost_is_literal(self, corpus_a_index):
+        # 'spark^x' has no numeric suffix: token kept verbatim (and the
+        # analyzer splits on the non-alnum '^'), no crash
+        out = corpus_a_index.bm25_search("ancient^x", top_k=10,
+                                         operator_or=True, enable_nlq=True)
+        assert out.count() >= 0
