@@ -83,7 +83,9 @@ def _index(spark: SparkSession, sf_dir: str, kind: str = "default") -> SearchInd
     """
     key = (os.path.abspath(sf_dir), kind)
     if key not in _INDEX_CACHE:
-        tag = hashlib.md5(f"{key[0]}:{kind}".encode()).hexdigest()[:10]
+        # the version salt invalidates /tmp caches from earlier rounds
+        # whenever the on-disk layout changes (r2: positions column)
+        tag = hashlib.md5(f"{key[0]}:{kind}:v2".encode()).hexdigest()[:10]
         path = f"/tmp/tss_index_{tag}"
         docs = _docs(spark, sf_dir)
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
