@@ -364,6 +364,15 @@ def _q_bm25_nlq_not(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_with_docs(spark, sf_dir):
+    """with_docs retrieval: top-k rows joined back to the docs table
+    (non-indexed metadata columns + the sha256 audit column)."""
+    out = _index(spark, sf_dir).bm25_search(
+        BM25_SENTENCE, operator_or=True, limit=False, with_docs=True)
+    return out.select("row_id", F.round("score", 4).alias("score"),
+                      "lang", "source", "sha256_text")
+
+
 def _q_bm25_boost(spark, sf_dir):
     """Boost clause ('term^2', tantivy QueryParser): matching unchanged,
     the boosted clause's score scales."""
@@ -650,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_nlq": _q_bm25_nlq,
         "bm25_nlq_not": _q_bm25_nlq_not,
         "bm25_boost": _q_bm25_boost,
+        "bm25_with_docs": _q_bm25_with_docs,
         "delete_bm25": _q_delete_bm25,
         "delete_bitmap": _q_delete_bitmap,
         "append_term_stats": _q_append_term_stats,
@@ -1082,6 +1092,11 @@ SELECT doc_id, media_type, f AS frame_idx, (f * 64)::BIGINT AS byte_offset
 FROM m, unnest(range(0, greatest(n_bytes // 64, 1))) AS u(f)""",
         "bm25_nlq": _nlq_oracle(),
         "bm25_boost": _boost_oracle(),
+        "bm25_with_docs": (
+            "WITH hits AS (" + _bm25_oracle(False) + ") "
+            "SELECT h.row_id, h.score, d.lang, d.source, "
+            "sha256(d.text) AS sha256_text "
+            "FROM hits h JOIN documents d ON d.doc_id = h.row_id"),
         "bm25_nlq_not": _bm25_oracle(
             False, tokens=["spark"],
             alive_filter=("WHERE t.doc_id NOT IN "
