@@ -556,7 +556,6 @@ class SearchIndex:
         b_env = self._bcast((list(terms), idf_map, avgdl,
                              np.empty(0, np.int64) if anti_join_tombs
                              else tomb, alive_bitmap))
-        norm_table = FIELD_NORMS_TABLE
 
         def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
             terms_l, idf_m, avgdl_l, tombs, alive = b_env.value
