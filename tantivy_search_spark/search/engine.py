@@ -500,23 +500,33 @@ class SearchIndex:
                 pass
         self._bcast_pool = []
 
-    def _per_doc_scores(self, scored: DataFrame) -> DataFrame:
+    def _per_doc_scores(self, scored: DataFrame,
+                        pre_agg: bool = True) -> DataFrame:
         """(doc_id, atom, score) rows -> (doc_id, sc map<atom,score>).
 
-        Two narrow hash aggregations with fixed-width generated code —
-        regardless of the number of atoms — instead of a 2-expressions-
-        per-atom wide aggregate, which exceeds janino's 64 KB generated-
-        method limit at a few hundred atoms and silently drops the whole
-        stage to interpreted execution (the scale cliff ADVICE.md
-        flagged on the batch path)."""
-        return (
-            scored.groupBy("doc_id", "atom")
-            .agg(F.sum("score").alias("s"))
-            .groupBy("doc_id")
-            .agg(F.map_from_entries(
+        Fixed-width hash aggregations regardless of the number of atoms
+        — instead of a 2-expressions-per-atom wide aggregate, which
+        exceeds janino's 64 KB generated-method limit at a few hundred
+        atoms and silently drops the whole stage to interpreted
+        execution (the scale cliff ADVICE.md flagged on the batch path).
+
+        ``pre_agg=False`` skips the (doc_id, atom) sum shuffle: the
+        shard layout guarantees one posting row per (col, term, doc),
+        so when every atom subscribes to exactly one concrete
+        (col, term) the (doc, atom) pairs are already unique and the
+        map build's own shuffle is the only one needed.  Callers MUST
+        keep pre_agg=True when any atom spans columns (bare NLQ terms)
+        — duplicate map keys would throw at build time otherwise."""
+        if pre_agg:
+            scored = (scored.groupBy("doc_id", "atom")
+                      .agg(F.sum("score").alias("s")))
+        else:
+            scored = scored.select("doc_id", "atom",
+                                   F.col("score").alias("s"))
+        return scored.groupBy("doc_id").agg(
+            F.map_from_entries(
                 F.collect_list(F.struct(F.col("atom"), F.col("s")))
             ).alias("sc"))
-        )
 
     def _scored_phrase_df(
         self,
@@ -669,7 +679,10 @@ class SearchIndex:
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
-        per_doc = self._per_doc_scores(scored)
+        # (doc, atom) pairs are already unique when every atom binds one
+        # concrete (col, term) — skip the pre-agg shuffle then
+        unique_atoms = all(a[0] is not None for a in term_keys)
+        per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms)
         matched, score = qt.compile_tree_map(tree, atom_index, "sc")
         out = (
             per_doc.where(matched)
@@ -758,7 +771,8 @@ class SearchIndex:
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
-        per_doc = self._per_doc_scores(scored)
+        unique_atoms = all(a[0] is not None for a in term_keys)
+        per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms)
 
         flats = [qt.flat_groups(t) if t is not None else None for t in trees]
         if all(f is not None for t, f in zip(trees, flats) if t is not None):
