@@ -46,6 +46,15 @@ class TestPlans:
                        "block_last"):
             assert absent not in rs, rs
 
+    def test_standard_bm25_single_shuffle(self, corpus_a_index):
+        """Concrete-column atoms make (doc, atom) pairs unique by the
+        shard layout, so the per-doc map build must be the ONLY
+        exchange in the scoring plan (the pre-agg shuffle is skipped)."""
+        q = corpus_a_index.bm25_search("ancient rise", top_k=5,
+                                       operator_or=True)
+        p = _plan(q)
+        assert p.count("+- Exchange") == 1, p[:1200]
+
     def test_bitmap_scan_prunes_scoring_columns(self, corpus_a_index):
         b = corpus_a_index.query_term_bitmap_df("col2", "ancient")
         p = _plan(b)
