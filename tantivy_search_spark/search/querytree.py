@@ -329,10 +329,11 @@ def parse_nlq(
             neg = False
             if t == "-":  # lexer-split negation marker (-"phrase")
                 pos += 1
-                neg = True
                 t = peek()
-                if t is None or t in (")", "OR", "AND"):
-                    continue
+                if isinstance(t, str) and t.startswith('"'):
+                    neg = True
+                else:
+                    continue  # stray standalone dash: ignore (lenient)
             elif isinstance(t, str) and len(t) > 1 and t[0] == "-":
                 # tantivy QueryParser '-term' / '-col:term' => MustNot
                 toks[pos] = t[1:]

@@ -135,3 +135,17 @@ class TestBoost:
         out = corpus_a_index.bm25_search("ancient^x", top_k=10,
                                          operator_or=True, enable_nlq=True)
         assert out.count() >= 0
+
+
+class TestParserLenience:
+    def test_stray_dash_ignored(self, corpus_a_index):
+        ix = corpus_a_index
+        a = sorted(r["row_id"] for r in
+                   ix.bm25_search("ancient - rise", top_k=10,
+                                  operator_or=True, enable_nlq=True)
+                   .collect())
+        b = sorted(r["row_id"] for r in
+                   ix.bm25_search("ancient rise", top_k=10,
+                                  operator_or=True, enable_nlq=True)
+                   .collect())
+        assert a == b
