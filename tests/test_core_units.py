@@ -322,3 +322,59 @@ class TestEncodeBlocksMany:
                 for k in ("deltas", "tfs", "norms"):
                     assert many[k][i] == one[k], (k, i)
                 assert many["sum_tf"][i] == int(tfs.sum())
+
+
+class TestPositionsCodec:
+    def test_positions_survive_merge_and_split(self):
+        """Positions buffers must track their postings exactly through
+        _concat_rows_to_subs (merge + sub-split), for random runs."""
+        import numpy as np
+        import pandas as pd
+        from tantivy_search_spark.index.builder import _concat_rows_to_subs
+        from tantivy_search_spark.index.layout import (
+            decode_blocks, decode_positions, encode_blocks)
+
+        rng = np.random.default_rng(7)
+        for trial in range(10):
+            bs = int(rng.choice([4, 16]))
+            # disjoint sorted doc runs with per-posting position lists
+            base = 0
+            rows = []
+            truth = []  # (doc, positions tuple) in doc order
+            for _ in range(int(rng.integers(1, 5))):
+                n = int(rng.integers(1, 60))
+                docs = base + np.sort(
+                    rng.choice(1000, size=n, replace=False))
+                base = int(docs[-1]) + 1
+                tfs = rng.integers(1, 6, size=n).astype(np.int64)
+                norms = rng.integers(0, 256, size=n).astype(np.int64)
+                pos_runs = [np.sort(rng.choice(500, size=int(t),
+                                               replace=False)).astype(
+                    np.uint32) for t in tfs]
+                flat = np.concatenate(pos_runs)
+                enc = encode_blocks(docs, tfs, norms, bs)
+                rows.append({
+                    "bucket": 0, "col": "c", "term": "t", "shard": 0,
+                    "sub": 0, "df": enc["df"],
+                    "block_first": enc["block_first"],
+                    "block_last": enc["block_last"],
+                    "block_max_tf": enc["block_max_tf"],
+                    "block_min_norm": enc["block_min_norm"],
+                    "deltas": enc["deltas"], "tfs": enc["tfs"],
+                    "norms": enc["norms"],
+                    "positions": flat.tobytes(),
+                })
+                truth.extend((int(d), tuple(pr.tolist()))
+                             for d, pr in zip(docs, pos_runs))
+            out = _concat_rows_to_subs(pd.DataFrame(rows), bs,
+                                       max_postings_per_sub=37)
+            got = []
+            for r in out.itertuples(index=False):
+                d, tf, nm = decode_blocks(r.block_first, r.deltas,
+                                          r.tfs, r.norms, bs)
+                flat, offs = decode_positions(
+                    r.positions, np.frombuffer(r.tfs, np.uint32))
+                for j in range(d.size):
+                    got.append((int(d[j]),
+                                tuple(flat[offs[j]:offs[j + 1]].tolist())))
+            assert sorted(got) == sorted(truth), trial

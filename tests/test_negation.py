@@ -149,3 +149,43 @@ class TestParserLenience:
                                   operator_or=True, enable_nlq=True)
                    .collect())
         assert a == b
+
+
+class TestCombinedClauses:
+    def test_boost_negation_phrase_combined(self, spark, tmp_path_factory):
+        """All round-2 NLQ clause types composed in one query, batch ==
+        sequential == expected set."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        rows = [
+            {"doc_id": 0, "text": "alpha moral horizons beta keep"},
+            {"doc_id": 1, "text": "alpha moral horizons beta drop bad"},
+            {"doc_id": 2, "text": "alpha horizons moral keep"},   # no phrase
+            {"doc_id": 3, "text": "gamma keep only"},
+        ]
+        path = str(tmp_path_factory.mktemp("comb") / "idx")
+        cfg = IndexConfig.from_json(["text"], "{}")
+        cfg.with_positions = True
+        IndexBuilder(spark, path, cfg, rows_per_part=4).build(
+            spark.createDataFrame(rows), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        q = '"moral horizons"^2 OR gamma -bad'
+        seq = [(r["row_id"], round(r["score"], 4)) for r in
+               ix.bm25_search(q, top_k=10, operator_or=True,
+                              enable_nlq=True).collect()]
+        # doc 0: phrase (boosted); doc 1 excluded by -bad; doc 2 no
+        # phrase; doc 3 gamma
+        assert sorted(r for r, _ in seq) == [0, 3]
+        batch = [(r["row_id"], round(r["score"], 4)) for r in
+                 ix.bm25_search_batch([(q, True)], top_k=10,
+                                      enable_nlq=True).collect()]
+        assert batch == seq
+        # the boost actually doubled the phrase doc's score
+        plain = {r["row_id"]: r["score"] for r in
+                 ix.bm25_search('"moral horizons" OR gamma -bad',
+                                top_k=10, operator_or=True,
+                                enable_nlq=True).collect()}
+        got = dict(seq)
+        assert abs(got[0] - round(2 * plain[0], 4)) < 1e-3
