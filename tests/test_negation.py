@@ -171,7 +171,9 @@ class TestCombinedClauses:
         IndexBuilder(spark, path, cfg, rows_per_part=4).build(
             spark.createDataFrame(rows), id_col="doc_id")
         ix = SearchIndex(spark, path)
-        q = '"moral horizons"^2 OR gamma -bad'
+        # parenthesize so the exclusion scopes over the whole query
+        # (an unparenthesized -bad binds to its own OR branch)
+        q = '("moral horizons"^2 OR gamma) -bad'
         seq = [(r["row_id"], round(r["score"], 4)) for r in
                ix.bm25_search(q, top_k=10, operator_or=True,
                               enable_nlq=True).collect()]
@@ -184,7 +186,7 @@ class TestCombinedClauses:
         assert batch == seq
         # the boost actually doubled the phrase doc's score
         plain = {r["row_id"]: r["score"] for r in
-                 ix.bm25_search('"moral horizons" OR gamma -bad',
+                 ix.bm25_search('("moral horizons" OR gamma) -bad',
                                 top_k=10, operator_or=True,
                                 enable_nlq=True).collect()}
         got = dict(seq)
