@@ -117,6 +117,35 @@ class TestOtherLanguages:
                    ("lichaam", "licham"), ("boeken", "boek"),
                    ("ogenblikkelijk", "ogenblik"),
                    ("mogelijkheden", "mogelijk")]),
+        # the seven languages added in round 3 — vectors hand-traced
+        # through the published algorithm descriptions
+        ("finnish", [("kirjojen", "kirj"), ("kirja", "kirj"),
+                     ("taloissa", "talo"), ("talo", "talo"),
+                     ("edeltäjistään", "edeltäj"),
+                     ("nopeasti", "nopeast")]),
+        ("hungarian", [("házakkal", "ház"), ("házak", "ház"),
+                       ("ház", "ház"), ("kertben", "kert"),
+                       ("barátom", "barát"), ("szépén", "szép")]),
+        ("romanian", [("copiii", "copii"), ("frumoasă", "frumoas"),
+                      ("naţionale", "naţional"),
+                      ("naţional", "naţional"),
+                      ("lucrează", "lucr"), ("abilitate", "abil")]),
+        ("turkish", [("kitaplar", "kitap"), ("kitabı", "kitap"),
+                     ("kitapları", "kitap"), ("evinde", "ev"),
+                     ("kedisi", "kedi"), ("kediler", "kedi"),
+                     ("okulumuzdan", "okul"),
+                     ("öğretmenlerimizin", "öğretmen")]),
+        ("arabic", [("الكتاب", "كتاب"), ("كتابهم", "كتاب"),
+                    ("بالقلم", "قلم"), ("المدرسة", "مدرس"),
+                    ("مدرسة", "مدرس")]),
+        ("greek", [("καλοκαίρι", "καλοκαιρ"),
+                   ("καλοκαιριού", "καλοκαιρ"),
+                   ("πρόβλημα", "προβλημ"),
+                   ("προβλήματα", "προβλημ"),
+                   ("ελληνικός", "ελληνικ"),
+                   ("ελληνική", "ελληνικ")]),
+        ("tamil", [("புத்தகங்கள்", "புத்தகம்"),
+                   ("வந்தானா", "வ்")]),
     ])
     def test_spot_vectors(self, lang, pairs):
         stem = get_stemmer(lang)
@@ -135,11 +164,17 @@ class TestOtherLanguages:
             stem = get_stemmer(lang)
             assert len({stem(w) for w in group}) == 1, (lang, group)
 
-    def test_unimplemented_raise_clearly(self):
-        for lang in sorted(UNIMPLEMENTED):
-            assert lang in STEM_LANGUAGES  # still accepted names
-            with pytest.raises(NotImplementedError, match="not bundled"):
-                get_stemmer(lang)
+    def test_all_18_reference_languages_bundled(self):
+        assert not UNIMPLEMENTED
+        assert set(STEMMERS) == set(STEM_LANGUAGES)
+        assert len(STEMMERS) == 18
+        for lang in sorted(STEM_LANGUAGES):
+            out = get_stemmer(lang)("test")
+            assert isinstance(out, str)
+
+    def test_unknown_language_raises_clearly(self):
+        with pytest.raises(NotImplementedError, match="not bundled"):
+            get_stemmer("klingon")
 
 
 class TestStopwordBundles:
@@ -178,13 +213,14 @@ class TestStopwordBundles:
         assert cfg.analyzer("text")("le spark et la donnée") == \
             ["spark", "donnée"]
 
-    def test_config_unbundled_stemmer_raises_at_creation(self):
+    def test_config_turkish_stemmer_builds(self):
+        """Round-2 gap closed: every reference stem language builds."""
         from tantivy_search_spark.config import IndexConfig
-        with pytest.raises(NotImplementedError):
-            IndexConfig.from_json(
-                ["text"],
-                '{"text": {"tokenizer": {"type": "stem",'
-                ' "stem_languages": ["turkish"]}}}')
+        cfg = IndexConfig.from_json(
+            ["text"],
+            '{"text": {"tokenizer": {"type": "stem",'
+            ' "stem_languages": ["turkish"]}}}')
+        assert cfg.analyzer("text")("kitaplar") == ["kitap"]
 
     def test_config_chinese_raises_at_creation(self):
         from tantivy_search_spark.config import IndexConfig
