@@ -969,6 +969,98 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
+    # ann_lsh_topk: exact replica of similarity.lsh_topk's md5 family —
+    # Rademacher hyperplanes from md5(seed:t:p:d) parity over
+    # fixed-point floor(x*1e6) components (every bucket bit is exact
+    # integer arithmetic), bucket join per table, dedup, exact cosine
+    # rerank on the raw doubles.
+    ann_lsh = """
+WITH planes AS (
+  SELECT t.t, p.p, d.d,
+         CASE WHEN CAST(concat('0x', substr(md5('42:' || t.t || ':' || p.p || ':' || d.d), 1, 15)) AS BIGINT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 8) t(t), range(0, 8) p(p), range(0, 64) d(d)),
+bits AS (
+  SELECT v.vec_id, pl.t, pl.p,
+         sum(floor(CAST(v.embedding[pl.d + 1] AS DOUBLE) * 1000000.0) * pl.s) > 0 AS bit
+  FROM embeddings v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.t, pl.p),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN bit THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+               i -> q.embedding[i] * c.embedding[i])) / (q.nrm * c.nrm), 6) AS cosine
+  FROM cand JOIN nv q ON q.vec_id = cand.query_id
+            JOIN nv c ON c.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # ann_ivf_topk: exact replica of similarity.ivf_topk — centroids are
+    # the first 8 vectors ordered by md5(seed:vec_id); assignment is the
+    # quantized squared distance with cell-asc tie-break; cosine rerank
+    # on the raw doubles.
+    ann_ivf = """
+WITH ordered AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5('42:' || vec_id), vec_id) AS rn
+  FROM embeddings),
+cents AS (
+  SELECT rn - 1 AS cell,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+  FROM ordered WHERE rn <= 8),
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000.0)) AS q
+  FROM embeddings),
+dist AS (
+  SELECT v.vec_id, c.cell,
+         list_sum(list_transform(range(1, len(v.q) + 1),
+                  i -> (v.q[i] - c.q[i]) * (v.q[i] - c.q[i]))) AS d2
+  FROM qv v CROSS JOIN cents c),
+cassign AS (
+  SELECT vec_id, cell FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+qassign AS (
+  SELECT vec_id, cell FROM dist WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 3),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qassign q JOIN cassign c ON q.cell = c.cell
+  WHERE c.vec_id != q.vec_id),
+nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.embedding) + 1),
+               i -> q.embedding[i] * c.embedding[i])) / (q.nrm * c.nrm), 6) AS cosine
+  FROM cand JOIN nv q ON q.vec_id = cand.query_id
+            JOIN nv c ON c.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
     cosine_dedup = """
 WITH nv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
@@ -1022,10 +1114,8 @@ FROM g JOIN gr USING (content_md5)""",
         "simhash_pairs": simhash_pairs,
         "cosine_knn": cosine_knn,
         "cosine_dedup": cosine_dedup,
-        # ann_lsh_topk / ann_ivf_topk: approximate operators — rank-exact SQL
-        # replication would just re-implement the same algorithm; the driver's
-        # rows-only check applies, and tests/test_pipeline.py checks recall
-        # against the brute-force oracle.
+        "ann_lsh_topk": ann_lsh,
+        "ann_ivf_topk": ann_ivf,
         "token_count": f"""
 SELECT doc_id,
        (SELECT count(*) FROM unnest(string_split(trim(text), ' ')) AS u(t)

@@ -80,6 +80,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+#: fixed-point scale for the md5 hash family: floor(x * 1e6) keeps
+#: every dot product an exact integer in float64 (|sum| < 2^53), so
+#: bucket bits match an ANSI-SQL replica bit-for-bit
+_QSCALE = 1e6
+
+
+def _md5_signs(dim: int, n_planes: int, n_tables: int,
+               seed: int) -> np.ndarray:
+    """(n_tables*n_planes, dim) Rademacher (+-1) hyperplanes derived
+    from md5(seed:t:p:d) parity — the same 60-bit-md5-prefix family the
+    minhash oracle uses, reproducible in DuckDB SQL."""
+    import hashlib
+
+    s = np.empty((n_tables * n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = hashlib.md5(
+                    f"{seed}:{t}:{p}:{d}".encode()).hexdigest()
+                s[t * n_planes + p, d] = \
+                    1.0 if int(h[:15], 16) & 1 else -1.0
+    return s
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -89,9 +113,16 @@ def lsh_buckets(
     seed: int = 42,
     dim: int = 64,
     carry_vector: bool = True,
+    family: str = "md5",
 ) -> DataFrame:
     """Multi-table sign-random-projection buckets (one GEMM per Arrow
     batch — hyperplanes ship in the closure).
+
+    ``family="md5"`` (default): Rademacher hyperplanes from md5 parity
+    over fixed-point (floor(x*1e6)) components — every bucket bit is
+    exact integer arithmetic, reproducible in the DuckDB oracle.
+    ``family="gaussian"``: seeded-numpy gaussian hyperplanes on raw
+    doubles (the classic SRP family; not SQL-replicable).
 
     Output: one row per (vector, table) with the table's bucket id.  At
     scale the corpus side is written partitioned by (table, bucket) so a
@@ -101,7 +132,11 @@ def lsh_buckets(
     import pandas as pd
     from collections.abc import Iterator
 
-    planes = _hyperplanes(dim, n_planes * n_tables, seed)  # (T*P, dim)
+    if family == "md5":
+        planes = _md5_signs(dim, n_planes, n_tables, seed)
+    else:
+        planes = _hyperplanes(dim, n_planes * n_tables, seed)  # (T*P, d)
+    quantize = family == "md5"
     weights = (2 ** np.arange(n_planes, dtype=np.int64))
 
     def buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -112,6 +147,8 @@ def lsh_buckets(
             if not n:
                 continue
             E = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            if quantize:
+                E = np.floor(E * _QSCALE)
             S = (E @ planes.T) > 0  # (n, T*P)
             B = (S.reshape(n, n_tables, n_planes)
                  * weights).sum(axis=2)  # (n, T)
@@ -141,9 +178,13 @@ def lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     dim: int = 64,
+    family: str = "md5",
 ) -> DataFrame:
     """ANN top-k: candidates collide with the query in at least one of
     n_tables hash tables; candidates are scored exactly and ranked.
+    With the default md5 hash family the whole pipeline (buckets ->
+    candidates -> exact rerank) is deterministically replicable in the
+    DuckDB oracle.
 
     Shuffle shape for 100 TB: the corpus side of the bucket join carries
     ONLY (vec_id, table, bucket) — n_tables x 20 bytes per vector, not
@@ -155,9 +196,11 @@ def lsh_topk(
     corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
     queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
     cb = lsh_buckets(corpus, n_planes=n_planes, n_tables=n_tables,
-                     seed=seed, dim=dim, carry_vector=False)
+                     seed=seed, dim=dim, carry_vector=False,
+                     family=family)
     qb = lsh_buckets(queries, n_planes=n_planes, n_tables=n_tables,
-                     seed=seed, dim=dim, carry_vector=False)
+                     seed=seed, dim=dim, carry_vector=False,
+                     family=family)
     cand_ids = (
         cb.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
         .join(F.broadcast(qb.select(F.col("vec_id").alias("query_id"),
@@ -197,24 +240,32 @@ def ivf_topk(
     vector is assigned to its nearest centroid (one shuffle, keyed by
     cell); queries probe the n_probe nearest cells.
 
-    Centroid sampling orders by xxhash64(vec_id, seed) — deterministic
-    (same seed -> same centroids) but content-independent, so recall
-    doesn't collapse when vec_ids correlate with content (the first-N-
-    by-id sample this replaces was biased exactly that way)."""
+    Centroid sampling orders by md5(seed:vec_id) — deterministic (same
+    seed -> same centroids), content-independent (so recall doesn't
+    collapse when vec_ids correlate with content), and reproducible in
+    ANSI SQL so the whole operator has a DuckDB oracle.  Cell
+    assignment runs on fixed-point components (floor(x*1e6)): every
+    squared distance is an exact integer in float64, so the
+    argmin-with-cell-asc-ties matches the oracle exactly; the final
+    cosine rerank uses the raw doubles."""
     corpus = corpus.withColumn("embedding", _dvec(F.col("embedding")))
     queries = queries.withColumn("embedding", _dvec(F.col("embedding")))
     cents = [
         (i, r["embedding"])
         for i, r in enumerate(
-            corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)),
-                           F.col("vec_id")).limit(n_cells).collect()
+            corpus.orderBy(
+                F.md5(F.concat_ws(
+                    ":", F.lit(str(seed)),
+                    F.col("vec_id").cast("string"))),
+                F.col("vec_id")).limit(n_cells).collect()
         )
     ]
 
     import pandas as pd
     from collections.abc import Iterator
 
-    C = np.array([c for _, c in cents], dtype=np.float64)  # (m, dim)
+    C = np.floor(np.array([c for _, c in cents],
+                          dtype=np.float64) * _QSCALE)  # (m, dim)
     c_sq = (C * C).sum(axis=1)
 
     def assign(id_out: str, vec_out: str, nrm_out: str, probes: int):
@@ -227,7 +278,8 @@ def ivf_topk(
                 if not n:
                     continue
                 E = np.array(pdf["embedding"].to_list(), dtype=np.float64)
-                D = c_sq[None, :] - 2.0 * (E @ C.T)  # (n, m) + const(v)
+                Q = np.floor(E * _QSCALE)
+                D = c_sq[None, :] - 2.0 * (Q @ C.T)  # (n, m) + const(v)
                 order = np.argsort(D, axis=1, kind="stable")[:, :probes]
                 nrm = np.sqrt((E * E).sum(axis=1))
                 rep = np.repeat(np.arange(n), probes)
