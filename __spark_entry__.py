@@ -210,6 +210,37 @@ def _q_bm25_wand(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_wand_multicol(spark, sf_dir):
+    """Round-3 WAND extension: a multi-column OR tree routed through the
+    block-max scorer (per-column bounds/norms), oracle-checked against
+    the same SQL as the exact multicol query."""
+    ix = _index(spark, sf_dir, "multicol")
+    import tantivy_search_spark.search.querytree as qt
+    an = ix._analyzers()
+    tree = qt.standard_query_tree(
+        {c: an[c](MULTICOL_SENTENCE) for c in ix.config.columns}, True)
+    assert ix._wand_plan(tree, qt.collect_atoms(tree)) is not None
+    out = ix.bm25_search(MULTICOL_SENTENCE, operator_or=True,
+                         top_k=1_000_000, use_wand=True)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
+WAND_NLQ_SENTENCE = "text:spark OR text:join OR window"
+
+
+def _q_bm25_wand_nlq(spark, sf_dir):
+    """Round-3 WAND extension: a flat-OR NLQ tree routed through the
+    block-max scorer (bare terms bind the single column)."""
+    ix = _index(spark, sf_dir)
+    import tantivy_search_spark.search.querytree as qt
+    tree = qt.parse_nlq(WAND_NLQ_SENTENCE, ix.config.columns,
+                        ix._analyzers(), conjunction_by_default=False)
+    assert ix._wand_plan(tree, qt.collect_atoms(tree)) is not None
+    out = ix.bm25_search(WAND_NLQ_SENTENCE, operator_or=True,
+                         top_k=1_000_000, use_wand=True, enable_nlq=True)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_doc_freq(spark, sf_dir):
     ix = _index(spark, sf_dir)
     rows = ix.get_doc_freq(BM25_SENTENCE)
@@ -635,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_batch": _q_bm25_batch,
         "bm25_wand": _q_bm25_wand,
+        "bm25_wand_multicol": _q_bm25_wand_multicol,
+        "bm25_wand_nlq": _q_bm25_wand_nlq,
         "doc_freq": _q_doc_freq,
         "totals": _q_totals,
         "sha256_audit": _q_sha256,
@@ -1245,6 +1278,8 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
         "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
         "multicol_bm25": _multicol_oracle(),
+        "bm25_wand_multicol": _multicol_oracle(),
+        "bm25_wand_nlq": _bm25_oracle(False, tokens=["spark", "join", "window"]),
         "curate_corpus": curate,
         # rolling Rabin-Karp winnowing: Horner chain mod 2^64 in HUGEINT
         # (intermediates stay < 2^84), 63-bit mask, window-4 min,

@@ -180,6 +180,9 @@ class SearchIndex:
     #: left-anti join against the tombstones table so the driver never
     #: materializes the id array (ClickHouse-part scale deletes).
     TOMBSTONE_BROADCAST_MAX = 1_000_000
+    #: per-task cap (bytes) on the batch scorer's dense matrices; wide
+    #: batches chunk the doc axis to stay under it (results unchanged)
+    BATCH_MATRIX_BUDGET = 128 * 1024 * 1024
 
     def __init__(self, spark: SparkSession, index_path: str):
         layout.recover_swaps(index_path)
@@ -275,8 +278,13 @@ class SearchIndex:
     def _tombstone_small_array(self) -> np.ndarray | None:
         """Tombstones as a broadcastable array, or None when the delete
         set exceeds TOMBSTONE_BROADCAST_MAX (callers then anti-join
-        against ``_tombstone_df()`` — no driver materialization)."""
+        against ``_tombstone_df()`` — no driver materialization).  The
+        cap also applies to an already-materialized cache (the
+        in-process tier may have collected a huge set): distributed
+        paths must not broadcast it."""
         if self._tombstones is not None:
+            if self._tombstones.size > self.TOMBSTONE_BROADCAST_MAX:
+                return None
             return self._tombstones
         if self._tombstone_count() > self.TOMBSTONE_BROADCAST_MAX:
             return None
@@ -633,20 +641,17 @@ class SearchIndex:
         by (score desc, row_id asc) — the reference RowIdWithScore total
         order (src/lib.rs:248-266).
 
-        ``use_wand=True`` routes single-column standard queries through the
-        block-max WAND scorer (search/wand.py) — doc-range-aligned shards,
-        skip-pointer block pruning; falls back to the exact path for NLQ /
-        multi-column trees."""
+        ``use_wand=True`` routes WAND-able trees through the block-max
+        WAND scorer (search/wand.py) — doc-range-aligned shards,
+        skip-pointer block pruning.  WAND-able: single-column AND
+        standard queries, and pure-disjunction trees over any columns
+        (standard multi-column OR and flat-OR NLQ).  Phrases, boosts,
+        MustNot and nested groups fall back to the exact path.  Delete
+        sets of any size keep WAND active (small sets broadcast, large
+        sets cogroup per shard)."""
         cols = [c for c in (column_names or self.config.columns)
                 if c in self.config.columns]
         analyzers = self._analyzers()
-        if (use_wand and not enable_nlq and len(cols) == 1 and limit
-                and self._tombstone_small_array() is not None):
-            # (large delete sets disable WAND: block-max bounds ignore
-            # tombstones, so pruning against a theta derived from
-            # tombstoned docs would be unsound — exact path + anti-join)
-            return self._bm25_wand(sentence, cols[0], top_k, operator_or,
-                                   alive_bitmap, statistics)
         if enable_nlq:
             tree = qt.parse_nlq(
                 sentence, cols, analyzers,
@@ -663,6 +668,17 @@ class SearchIndex:
         atoms = qt.collect_atoms(tree)
         if not atoms:
             return empty
+        if use_wand and limit:
+            plan = self._wand_plan(tree, atoms)
+            if plan is not None:
+                out = self._bm25_wand(plan[0], top_k, plan[1],
+                                      alive_bitmap, statistics)
+                if with_docs:
+                    out = out.join(
+                        self.docs.withColumnRenamed("doc_id", "row_id"),
+                        "row_id", "left"
+                    ).orderBy(F.desc("score"), F.asc("row_id"))
+                return out
         atom_index = {a: i for i, a in enumerate(atoms)}
         term_keys = [a for a in atoms if not qt.is_phrase_key(a)]
         phrase_keys = [a for a in atoms if qt.is_phrase_key(a)]
@@ -827,43 +843,72 @@ class SearchIndex:
             P[gi, qpos[g_qid[gi]]] = 1.0
         qid_arr = np.asarray(qids, dtype=np.int32)
 
-        b = self._bcast((W, gsize, g_and, P, qid_arr, top_k))
+        b = self._bcast((W, gsize, g_and, P, qid_arr, top_k,
+                         self.BATCH_MATRIX_BUDGET))
 
         def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W, gsize, g_and, P, qid_arr, k = b.value
+            W, gsize, g_and, P, qid_arr, k, budget = b.value
             na = W.shape[0]
+            n_g = W.shape[1]
+            nq = qid_arr.shape[0]
+            # wide batches (many unique atoms x many queries) would
+            # allocate multi-GB dense M/S/C per task: bound the doc axis
+            # so every dense intermediate fits in `budget` bytes.  The
+            # per-chunk top-k union contains the batch top-k, so the
+            # final per-query cut is exact.
+            per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
+            rows_chunk = max(32, int(budget // per_row))
             for pdf in it:
                 if not len(pdf):
                     continue
-                row_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-                # expand (atoms, scores) ragged arrays into dense doc x atom
-                # matrices — fully vectorized (flatten + fancy-index)
-                lens = np.fromiter((len(a) for a in pdf["atoms"]),
-                                   dtype=np.int64, count=len(pdf))
-                n = len(pdf)
-                M = np.zeros((n, na), dtype=np.float64)
-                S = np.zeros((n, na), dtype=np.float64)
-                if lens.sum():
-                    flat_a = np.concatenate(
-                        [np.asarray(a, dtype=np.int64) for a in pdf["atoms"]])
-                    flat_s = np.concatenate(
-                        [np.asarray(s, dtype=np.float64)
-                         for s in pdf["scores"]])
-                    rows = np.repeat(np.arange(n), lens)
-                    M[rows, flat_a] = 1.0
-                    S[rows, flat_a] = flat_s
-                C = M @ W
-                matched_g = np.where(g_and, C == gsize, C > 0)
-                score_g = (S @ W) * matched_g
-                score_q = score_g @ P
-                matched_q = (matched_g @ P) > 0
+                all_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+                atoms_col = pdf["atoms"].to_numpy()
+                scores_col = pdf["scores"].to_numpy()
+                # per-query candidate accumulators across doc chunks
+                cand_r: list[list[np.ndarray]] = [[] for _ in range(nq)]
+                cand_s: list[list[np.ndarray]] = [[] for _ in range(nq)]
+                for start in range(0, len(pdf), rows_chunk):
+                    stop = min(start + rows_chunk, len(pdf))
+                    row_ids = all_ids[start:stop]
+                    a_sl = atoms_col[start:stop]
+                    s_sl = scores_col[start:stop]
+                    n = stop - start
+                    # expand (atoms, scores) ragged arrays into dense
+                    # doc x atom matrices (flatten + fancy-index)
+                    lens = np.fromiter((len(a) for a in a_sl),
+                                       dtype=np.int64, count=n)
+                    M = np.zeros((n, na), dtype=np.float64)
+                    S = np.zeros((n, na), dtype=np.float64)
+                    if lens.sum():
+                        flat_a = np.concatenate(
+                            [np.asarray(a, dtype=np.int64) for a in a_sl])
+                        flat_s = np.concatenate(
+                            [np.asarray(s, dtype=np.float64)
+                             for s in s_sl])
+                        rows = np.repeat(np.arange(n), lens)
+                        M[rows, flat_a] = 1.0
+                        S[rows, flat_a] = flat_s
+                    C = M @ W
+                    matched_g = np.where(g_and, C == gsize, C > 0)
+                    score_g = (S @ W) * matched_g
+                    score_q = score_g @ P
+                    matched_q = (matched_g @ P) > 0
+                    for ci in range(nq):
+                        mask = matched_q[:, ci]
+                        if not mask.any():
+                            continue
+                        r = row_ids[mask]
+                        s = score_q[mask, ci]
+                        # chunk-local cut keeps accumulators O(chunks*k)
+                        idx = np.lexsort((r, -s))[:k]
+                        cand_r[ci].append(r[idx])
+                        cand_s[ci].append(s[idx])
                 out_q, out_r, out_s = [], [], []
-                for ci in range(qid_arr.shape[0]):
-                    mask = matched_q[:, ci]
-                    if not mask.any():
+                for ci in range(nq):
+                    if not cand_r[ci]:
                         continue
-                    r = row_ids[mask]
-                    s = score_q[mask, ci]
+                    r = np.concatenate(cand_r[ci])
+                    s = np.concatenate(cand_s[ci])
                     # exact partial order: (score desc, row_id asc)
                     idx = np.lexsort((r, -s))[:k]
                     out_q.append(np.full(idx.size, qid_arr[ci],
@@ -917,55 +962,136 @@ class SearchIndex:
             out = out.unionByName(p)
         return out
 
+    def _wand_plan(self, tree, atoms) -> tuple[list, bool] | None:
+        """Decide whether ``tree`` can route through the block-max WAND
+        scorer.  WAND-able shapes (score = sum of matched atom scores):
+
+        * a single AND group whose atoms live in one column
+          (and_mode=True — intersection block skipping), or
+        * a pure disjunction of term atoms across any columns
+          (and_mode=False), including flat-OR NLQ trees.
+
+        Phrases, boosts, MustNot, nested groups, multi-column AND and
+        duplicate atoms fall back to the exact path.  Bare NLQ terms
+        (col=None) bind to the column only on a single-column index."""
+        if any(qt.is_phrase_key(a) for a in atoms):
+            return None
+        groups = qt.flat_groups(tree)
+        if groups is None:
+            return None
+        single_col = self.config.columns[0] \
+            if len(self.config.columns) == 1 else None
+
+        def fix(key):
+            c, t = key
+            if c is None:
+                c = single_col
+            return None if c is None else (c, t)
+
+        if len(groups) == 1 and groups[0][1]:  # one AND group
+            keys = [fix(k) for k in groups[0][0]]
+            if any(k is None for k in keys):
+                return None
+            if len({c for c, _ in keys}) != 1:
+                return None  # multi-column AND: exact path
+            return list(dict.fromkeys(keys)), True
+        if all(not is_and for _, is_and in groups):
+            raw = [k for g, _ in groups for k in g]
+            keys = [fix(k) for k in raw]
+            if any(k is None for k in keys):
+                return None
+            if len(set(keys)) != len(raw):
+                return None  # duplicated atom would double-count exact
+            return keys, False
+        return None
+
+    def _tombstones_by_shard(self) -> DataFrame:
+        """(shard, doc_id) for every distinct tombstone.  Doc-range
+        part bounds come from meta.part_ranges (tiny, broadcast); shard
+        = part_id // parts_per_shard, the same mapping the build uses.
+        Each tombstone shuffles to exactly one shard group — no driver
+        materialization and no full-set broadcast, so WAND stays active
+        under delete sets of any size."""
+        tomb = self._tombstone_df().select("doc_id").distinct()
+        ranges = self.spark.createDataFrame(
+            [(int(p), int(lo), int(hi))
+             for p, lo, hi, _ in self.meta.part_ranges],
+            "part_id int, min_doc long, max_doc long")
+        pps = self.config.parts_per_shard
+        return (
+            tomb.join(
+                F.broadcast(ranges),
+                (F.col("doc_id") >= F.col("min_doc"))
+                & (F.col("doc_id") <= F.col("max_doc")))
+            .select(
+                (F.col("part_id") / F.lit(pps)).cast("int").alias("shard"),
+                "doc_id")
+        )
+
     def _bm25_wand(
         self,
-        sentence: str,
-        col: str,
+        atoms: list[tuple[str, str]],
         top_k: int,
-        operator_or: bool,
+        and_mode: bool,
         alive_bitmap: bytes | None,
         statistics: Statistics | None,
     ) -> DataFrame:
         """WAND path: groupBy(shard).applyInPandas block-max scorer +
         global TakeOrdered — the Spark analog of per-segment
-        for_each_pruning + merge_fruits."""
-        from tantivy_search_spark.search.wand import make_wand_scorer
+        for_each_pruning + merge_fruits.  ``atoms`` are (col, term)
+        scoring atoms (multi-column OR sums per-column block-max
+        bounds); large delete sets ride a per-shard cogroup instead of
+        a broadcast."""
+        from tantivy_search_spark.search import wand as wand_mod
 
-        tokens = list(dict.fromkeys(self.config.analyzer(col)(sentence)))
         empty = self.spark.createDataFrame([], "row_id long, score double")
-        if not tokens:
+        if not atoms:
             return empty
+        cols_map: dict[str, list[str]] = {}
+        for c, t in atoms:
+            cols_map.setdefault(c, []).append(t)
 
-        local = self.local_statistics({col: tokens})
+        local = self.local_statistics(cols_map)
         use = statistics if statistics is not None and statistics.docs_freq \
             else local
         n_docs = use.total_num_docs or 1
-        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        df_map = {(t, c): d for (t, c, d) in use.docs_freq}
         for (t, c, d) in local.docs_freq:
-            if c == col:
-                df_map.setdefault(t, d)
-        idf_map = {t: float(bm25.idf(df_map.get(t, 0), n_docs))
-                   for t in tokens}
-        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+            df_map.setdefault((t, c), d)
+        idf_map = {(c, t): float(bm25.idf(df_map.get((t, c), 0), n_docs))
+                   for c, t in atoms}
+        avgdl_map = {
+            c: (use.total_num_tokens.get(c, 0) / n_docs if n_docs else 1.0)
+            for c in cols_map
+        }
 
-        tomb = self._tombstone_small_array()  # callers gate on non-None
-        scorer = make_wand_scorer(
-            tokens=tokens, idf_map=idf_map, avgdl=avgdl,
+        scorer = wand_mod.make_wand_scorer(
+            atoms=atoms, idf_map=idf_map, avgdl_map=avgdl_map,
             k1=self.config.k1, b=self.config.b,
             block_size=self.config.block_size, top_k=top_k,
-            and_mode=not operator_or, alive_bitmap=alive_bitmap,
-            tombstones=tomb if tomb is not None
-            else np.empty(0, dtype=np.int64),
+            and_mode=and_mode, alive_bitmap=alive_bitmap,
         )
-        buckets = sorted({term_bucket(t, self.config.n_buckets) for t in tokens})
+        terms = sorted({t for _, t in atoms})
+        buckets = sorted({term_bucket(t, self.config.n_buckets)
+                          for t in terms})
         cand = self._postings.where(
             F.col("bucket").isin(buckets)
-            & F.col("term").isin(tokens)
-            & (F.col("col") == col)
-        ).select("shard", "term", "df", "block_first", "block_last",
+            & F.col("term").isin(terms)
+            & F.col("col").isin(sorted(cols_map))
+        ).select("shard", "col", "term", "df", "block_first", "block_last",
                  "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
-        scored = cand.groupBy("shard").applyInPandas(
-            scorer, "doc_id long, score double")
+
+        tomb = self._tombstone_small_array()
+        if tomb is not None:
+            scored = cand.groupBy("shard").applyInPandas(
+                wand_mod.with_broadcast_tombstones(scorer, tomb),
+                "doc_id long, score double")
+        else:
+            scored = cand.groupBy("shard").cogroup(
+                self._tombstones_by_shard().groupBy("shard")
+            ).applyInPandas(
+                wand_mod.with_cogrouped_tombstones(scorer),
+                "doc_id long, score double")
         return (
             scored.select(F.col("doc_id").alias("row_id"), "score")
             .orderBy(F.desc("score"), F.asc("row_id"))

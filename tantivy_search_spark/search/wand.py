@@ -1,22 +1,32 @@
-"""Block-max WAND pruning for single-column BM25 top-k.
+"""Block-max WAND pruning for BM25 top-k.
 
 The reference relies on forked-Tantivy ``weight.for_each_pruning`` —
 block-max WAND with a rising heap threshold (SURVEY.md §4, north_star
 requirement).  Spark rebuild: posting shards are doc-range aligned
-(shard = part_id // parts_per_shard for every term), so WAND runs
-independently per shard inside one ``applyInPandas`` group:
+(shard = part_id // parts_per_shard for every term and column), so
+WAND runs independently per shard inside one ``applyInPandas`` group:
 
-  phase 1  score the rarest query term fully — its kth best score is a
+  phase 1  score the rarest query atom fully — its kth best score is a
            valid lower bound θ on the final kth best total (any doc's
-           total >= its single-term score).
-  phase 2  for every other term, skip each 128-doc block whose upper
-           bound  blockmax(term, block) + Σ_{other terms} shardmax
+           total >= its single-atom score).
+  phase 2  for every other atom, skip each 128-doc block whose upper
+           bound  blockmax(atom, block) + Σ_{later atoms} shardmax
            cannot reach θ; decode only surviving blocks (skip-pointer
            subset decode).  For AND queries additionally drop blocks
-           whose doc range cannot intersect the rarest term's doc set.
+           whose doc range cannot intersect the rarest atom's doc set.
   phase 3  aggregate decoded contributions per doc, local top-k, then
            global orderBy(score desc, row_id).limit(k) merges shards —
            exactly Tantivy's per-segment heap + merge_fruits shape.
+
+Round 3 generalizations:
+* atoms are (col, term) pairs — multi-column OR trees prune with
+  per-column block-max bounds and per-column norms/avgdl;
+* tombstones arrive either as a small broadcast array or, for delete
+  sets past the broadcast cap, per shard through a cogroup (each task
+  sees only its own doc-range's tombstones — no driver
+  materialization, no full-set broadcast).  Tombstone masking happens
+  before θ and before the local top-k, so pruning stays exact under
+  deletes of any size.
 
 Pruning never changes results for OR queries (bounds are conservative)
 and the AND path only drops blocks provably outside the intersection;
@@ -24,8 +34,6 @@ tests/test_wand.py asserts equality against the exact path.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -37,50 +45,56 @@ from tantivy_search_spark.index import layout
 
 
 def make_wand_scorer(
-    tokens: list[str],
-    idf_map: dict[str, float],
-    avgdl: float,
+    atoms: list[tuple[str, str]],
+    idf_map: dict[tuple[str, str], float],
+    avgdl_map: dict[str, float],
     k1: float,
     b: float,
     block_size: int,
     top_k: int,
     and_mode: bool,
     alive_bitmap: bytes | None,
-    tombstones: np.ndarray,
 ):
-    """Build the applyInPandas function: one shard's posting rows ->
-    (doc_id, score) rows for that shard's local top-k candidates."""
-    n_tokens = len(set(tokens))
+    """Build the shard scorer: (posting rows of one shard, that shard's
+    tombstone ids) -> (doc_id, score) rows for the shard's local top-k
+    candidates.  ``atoms`` are (col, term) scoring atoms; AND mode
+    requires every atom to match (single-column AND queries)."""
+    n_atoms = len(set(atoms))
 
-    def norm_of(norm_ids: np.ndarray) -> np.ndarray:
-        return bm25.doc_norm(FIELD_NORMS_TABLE[norm_ids], avgdl, k1, b)
+    def norm_of(norm_ids: np.ndarray, col: str) -> np.ndarray:
+        return bm25.doc_norm(FIELD_NORMS_TABLE[norm_ids],
+                             avgdl_map[col], k1, b)
 
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows_by_term: dict[str, list] = {}
+    def score_shard(pdf: pd.DataFrame,
+                    tombstones: np.ndarray) -> pd.DataFrame:
+        rows_by_atom: dict[tuple[str, str], list] = {}
         for r in pdf.itertuples(index=False):
-            rows_by_term.setdefault(r.term, []).append(r)
-        if and_mode and len(rows_by_term) < n_tokens:
+            key = (r.col, r.term)
+            if key in idf_map:
+                rows_by_atom.setdefault(key, []).append(r)
+        if not rows_by_atom or (and_mode and len(rows_by_atom) < n_atoms):
             return pd.DataFrame({"doc_id": [], "score": []})
 
-        # per-term shard-level max score bound from block metadata only
-        shard_max: dict[str, float] = {}
-        min_norm_global: dict[str, float] = {}
-        for term, rows in rows_by_term.items():
-            idf_t = idf_map[term]
+        # per-atom shard-level max score bound from block metadata only
+        shard_max: dict[tuple[str, str], float] = {}
+        for key, rows in rows_by_atom.items():
+            idf_t = idf_map[key]
             best = 0.0
             for r in rows:
                 mt = np.asarray(r.block_max_tf)
-                mn = norm_of(np.asarray(r.block_min_norm, dtype=np.int64))
+                mn = norm_of(np.asarray(r.block_min_norm, dtype=np.int64),
+                             key[0])
                 best = max(best, float(
                     np.max(idf_t * (k1 + 1) * mt / (mt + mn))))
-            shard_max[term] = best
+            shard_max[key] = best
 
-        # phase 1: fully score the rarest term (fewest postings here)
-        order = sorted(rows_by_term, key=lambda t: sum(r.df for r in rows_by_term[t]))
+        # phase 1: fully score the rarest atom (fewest postings here)
+        order = sorted(rows_by_atom,
+                       key=lambda a: sum(r.df for r in rows_by_atom[a]))
         rare = order[0]
         acc_docs: list[np.ndarray] = []
         acc_scores: list[np.ndarray] = []
-        acc_terms: list[np.ndarray] = []
+        acc_atoms: list[np.ndarray] = []
 
         def apply_masks(d, tf, nm):
             mask = np.ones(d.shape[0], dtype=bool)
@@ -91,16 +105,16 @@ def make_wand_scorer(
             return d[mask], tf[mask], nm[mask]
 
         rare_docs_all = []
-        for r in rows_by_term[rare]:
+        for r in rows_by_atom[rare]:
             d, tf, nm = layout.decode_blocks(
                 r.block_first, r.deltas, r.tfs, r.norms, block_size)
             d, tf, nm = apply_masks(d, tf, nm)
             if d.size == 0:
                 continue
-            s = bm25.term_score(tf, idf_map[rare], norm_of(nm), k1)
+            s = bm25.term_score(tf, idf_map[rare], norm_of(nm, rare[0]), k1)
             acc_docs.append(d)
             acc_scores.append(s)
-            acc_terms.append(np.zeros(d.size, dtype=np.int8))
+            acc_atoms.append(np.zeros(d.size, dtype=np.int8))
             rare_docs_all.append(d)
         if and_mode and not rare_docs_all:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -109,7 +123,7 @@ def make_wand_scorer(
         rare_docs = (np.sort(np.concatenate(rare_docs_all))
                      if rare_docs_all else np.empty(0, dtype=np.int64))
 
-        # θ: kth best single-term score from the rarest term (0 if fewer)
+        # θ: kth best single-atom score from the rarest atom (0 if fewer)
         if acc_scores:
             flat = np.concatenate(acc_scores)
             theta = float(np.partition(flat, -top_k)[-top_k]) \
@@ -117,35 +131,36 @@ def make_wand_scorer(
         else:
             theta = 0.0
         if and_mode:
-            theta = 0.0  # AND totals need every term; bound by range only
+            theta = 0.0  # AND totals need every atom; bound by range only
 
-        # terms processed in ascending-df order; a doc FIRST appearing at
-        # term i can still gain at most sum of the LATER terms' maxima,
+        # atoms processed in ascending-df order; a doc FIRST appearing at
+        # atom i can still gain at most sum of the LATER atoms' maxima,
         # so the new-entrant bound uses suffix sums — far tighter than
-        # an all-other-terms sum when the query anchors on a selective
+        # an all-other-atoms sum when the query anchors on a selective
         # term and the tail terms are hot (idf ~0.04 keywords): their
         # blocks then decode only where they overlap known candidates.
         suffix = {}
         run = 0.0
-        for t in reversed(order):
-            suffix[t] = run
-            run += shard_max[t]
+        for a in reversed(order):
+            suffix[a] = run
+            run += shard_max[a]
         # candidate docs accumulated so far (sorted); blocks overlapping
         # them must decode to keep candidate totals exact
         cand = rare_docs
 
-        for ti, term in enumerate(order[1:], start=1):
-            idf_t = idf_map[term]
+        for ai, key in enumerate(order[1:], start=1):
+            idf_t = idf_map[key]
             new_docs = []
-            for r in rows_by_term[term]:
+            for r in rows_by_atom[key]:
                 first = np.asarray(r.block_first, dtype=np.int64)
                 last = np.asarray(r.block_last, dtype=np.int64)
                 mt = np.asarray(r.block_max_tf)
-                mn = norm_of(np.asarray(r.block_min_norm, dtype=np.int64))
+                mn = norm_of(np.asarray(r.block_min_norm, dtype=np.int64),
+                             key[0])
                 bmax = idf_t * (k1 + 1) * mt / (mt + mn)
                 # new-entrant bound: could a doc seen first here still
-                # reach theta with only later terms' help?
-                keep = (bmax + suffix[term]) >= theta
+                # reach theta with only later atoms' help?
+                keep = (bmax + suffix[key]) >= theta
                 if cand.size:
                     lo = np.searchsorted(cand, first, side="left")
                     hi = np.searchsorted(cand, last, side="right")
@@ -161,10 +176,10 @@ def make_wand_scorer(
                 d, tf, nm = apply_masks(d, tf, nm)
                 if d.size == 0:
                     continue
-                s = bm25.term_score(tf, idf_t, norm_of(nm), k1)
+                s = bm25.term_score(tf, idf_t, norm_of(nm, key[0]), k1)
                 acc_docs.append(d)
                 acc_scores.append(s)
-                acc_terms.append(np.full(d.size, ti, dtype=np.int8))
+                acc_atoms.append(np.full(d.size, ai, dtype=np.int8))
                 new_docs.append(d)
             if not and_mode and new_docs:
                 cand = np.union1d(cand, np.concatenate(new_docs))
@@ -173,18 +188,17 @@ def make_wand_scorer(
             return pd.DataFrame({"doc_id": [], "score": []})
         docs = np.concatenate(acc_docs)
         scores = np.concatenate(acc_scores)
-        terms = np.concatenate(acc_terms)
+        atom_ids = np.concatenate(acc_atoms)
         uniq, inv = np.unique(docs, return_inverse=True)
         tot = np.zeros(uniq.size)
         np.add.at(tot, inv, scores)
         if and_mode:
-            nterm = np.zeros(uniq.size, dtype=np.int32)
-            # count distinct terms per doc (terms arrive grouped by term)
-            seen = np.zeros((uniq.size,), dtype=np.int64)
-            for ti in np.unique(terms):
-                sel = np.unique(inv[terms == ti])
-                nterm[sel] += 1
-            keep_docs = nterm == n_tokens
+            natom = np.zeros(uniq.size, dtype=np.int32)
+            # count distinct atoms per doc (rows arrive grouped by atom)
+            for ai in np.unique(atom_ids):
+                sel = np.unique(inv[atom_ids == ai])
+                natom[sel] += 1
+            keep_docs = natom == n_atoms
             uniq, tot = uniq[keep_docs], tot[keep_docs]
         if uniq.size > top_k:
             # local heap: keep top_k by (score desc, doc asc)
@@ -193,3 +207,24 @@ def make_wand_scorer(
         return pd.DataFrame({"doc_id": uniq, "score": tot})
 
     return score_shard
+
+
+def with_broadcast_tombstones(score_shard, tombstones: np.ndarray):
+    """groupBy(shard).applyInPandas adapter: the (small) tombstone array
+    ships in the closure."""
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_shard(pdf, tombstones)
+    return fn
+
+
+def with_cogrouped_tombstones(score_shard):
+    """cogroup(shard).applyInPandas adapter for delete sets past the
+    broadcast cap: the right side carries only this shard's tombstoned
+    doc_ids (each id shuffles to exactly one shard)."""
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        tomb = np.unique(right["doc_id"].to_numpy(dtype=np.int64)) \
+            if len(right) else np.empty(0, dtype=np.int64)
+        return score_shard(left, tomb)
+    return fn

@@ -115,6 +115,26 @@ class TestBatchSearch:
             want = _rows(ix.bm25_search(s, top_k=3, operator_or=op_or))
             assert by_q.get(qid, []) == want, f"query {qid}: {s!r}"
 
+    def test_batch_doc_chunking_exact(self, corpus_a_index):
+        """With the dense-matrix budget forced to minimum, the batch
+        scorer processes docs in many small chunks — results must equal
+        the unchunked run exactly (round-3 memory-bounding fix)."""
+        ix = corpus_a_index
+        qs = [("Ancient empires rise and fall", True),
+              ("moral horizons", False), ("ancient", True)]
+        base = sorted(
+            (r["query_id"], r["row_id"], round(r["score"], 4))
+            for r in ix.bm25_search_batch(qs, top_k=5).collect())
+        old = ix.BATCH_MATRIX_BUDGET
+        ix.BATCH_MATRIX_BUDGET = 1  # rows_chunk floors at 32
+        try:
+            chunked = sorted(
+                (r["query_id"], r["row_id"], round(r["score"], 4))
+                for r in ix.bm25_search_batch(qs, top_k=5).collect())
+        finally:
+            ix.BATCH_MATRIX_BUDGET = old
+        assert chunked == base
+
     def test_repeated_batches_release_broadcasts(self, corpus_a_index):
         """The broadcast pool must hold only the most recent query's
         broadcasts (older ones unpersisted, not accumulated)."""
