@@ -127,6 +127,137 @@ def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
     return analyze
 
 
+def _is_han(c: str) -> bool:
+    o = ord(c)
+    return (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF or 0x20000 <= o <= 0x2FA1F)
+
+
+def _is_hiragana(c: str) -> bool:
+    return 0x3040 <= ord(c) <= 0x309F
+
+
+def _is_katakana(c: str) -> bool:
+    o = ord(c)
+    return 0x30A0 <= o <= 0x30FF or 0xFF66 <= o <= 0xFF9D
+
+
+def _is_word_char(c: str) -> bool:
+    import unicodedata
+    k = unicodedata.category(c)
+    return k[0] in ("L", "N") or k[0] == "M"
+
+
+def _icu_words(text: str) -> list[str]:
+    """UAX#29-approximate word segmentation (the `word` mode of the
+    reference's IcuTokenizer, icu/tokenizer.rs:31-58).
+
+    Matches ICU for alphabetic scripts (runs of letters/digits/marks
+    with MidLetter '/’ and MidNum ./, kept inside a run), keeps
+    katakana runs together, and emits one token per Han/hiragana
+    character.  DOCUMENTED APPROXIMATION: real ICU segments Chinese
+    and Japanese with a bundled dictionary/LSTM model ("在地" stays one
+    word there); without that data every ideograph is its own token —
+    exactly UAX#29's default behavior."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if _is_han(c) or _is_hiragana(c):
+            out.append(c)
+            i += 1
+            continue
+        if _is_katakana(c):
+            j = i + 1
+            while j < n and _is_katakana(text[j]):
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        if _is_word_char(c):
+            j = i + 1
+            while j < n:
+                cj = text[j]
+                if (_is_han(cj) or _is_hiragana(cj)
+                        or _is_katakana(cj)):
+                    break
+                if _is_word_char(cj):
+                    j += 1
+                    continue
+                # MidLetter / MidNum: a single ' ’ . , between two
+                # word characters does not break the run
+                if cj in "'’.," and j + 1 < n \
+                        and _is_word_char(text[j + 1]) \
+                        and not (_is_han(text[j + 1])
+                                 or _is_hiragana(text[j + 1])
+                                 or _is_katakana(text[j + 1])):
+                    j += 2
+                    continue
+                break
+            out.append(text[i:j])
+            i = j
+            continue
+        i += 1  # spaces/punctuation form no word token
+    return out
+
+
+def _icu_graphemes(text: str) -> list[str]:
+    """Approximate extended grapheme clusters: base char plus combining
+    marks/ZWJ continuations, CRLF as one cluster."""
+    import unicodedata
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        j = i + 1
+        if text[i] == "\r" and j < n and text[j] == "\n":
+            j += 1
+        else:
+            while j < n and (unicodedata.category(text[j])[0] == "M"
+                             or text[j] == "‍"
+                             or (j >= 1 and text[j - 1] == "‍")):
+                j += 1
+        out.append(text[i:j])
+        i = j
+    return out
+
+
+def _icu_analyzer(mode: str, stop_word_filters, stem_languages,
+                  case_sensitive: bool) -> Callable[[str], list[str]]:
+    """Reference `icu` chain (parser.rs icu arm: IcuTokenizer +
+    stop-word filters + stemmers + LowerCaser), with the segmenter
+    approximated in pure Python (no PyICU in this environment; the
+    approximation is documented per mode and in COVERAGE.md).
+    `sentence` and `line` modes need real ICU break data and raise."""
+    if mode in ("sentence", "line"):
+        raise NotImplementedError(
+            f"icu mode='{mode}' needs ICU break iteration data (PyICU "
+            "absent); word/grapheme modes are approximated in pure "
+            "Python — COVERAGE.md")
+    segment = _icu_graphemes if mode == "grapheme" else _icu_words
+    stop = _resolve_stop_set(stop_word_filters)
+    stemmers = []
+    for lang in stem_languages:
+        key = lang.lower()
+        if key not in STEM_LANGUAGES:
+            raise TokenizerError(f"Unknown stem language: {lang}")
+        from tantivy_search_spark.stemmers import get_stemmer
+        stemmers.append(get_stemmer(key))
+
+    def analyze(text: str) -> list[str]:
+        import unicodedata
+        toks = [t for t in segment(text)
+                if any(unicodedata.category(c)[0] in ("L", "N")
+                       for c in t)]  # remove_nonsense_token
+        toks = _stop_words(toks, stop)  # BEFORE lowercasing
+        for stem in stemmers:
+            toks = [stem(t) for t in toks]
+        if not case_sensitive:
+            toks = [t.lower() for t in toks]
+        return toks
+
+    return analyze
+
+
 @lru_cache(maxsize=256)
 def build_analyzer(
     type: str = "default",
@@ -146,10 +277,8 @@ def build_analyzer(
     if type == "chinese":
         return _cangjie_analyzer(jieba, mode, hmm, case_sensitive)
     if type == "icu":
-        raise NotImplementedError(
-            "'icu' tokenizer requires PyICU (not in this environment); "
-            "capability gap recorded in COVERAGE.md"
-        )
+        return _icu_analyzer(mode, stop_word_filters, stem_languages,
+                             case_sensitive)
     if type not in ("default", "raw", "simple", "stem", "whitespace", "ngram"):
         raise TokenizerError(f"Unknown tokenizer type: {type}")
     if type == "ngram":
@@ -220,6 +349,7 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
         max_gram=int(t.get("max_gram", 3)),
         prefix_only=bool(t.get("prefix_only", False)),
         jieba=str(t.get("jieba", "default")),
-        mode=str(t.get("mode", "search")),
+        mode=str(t.get("mode",
+                       "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
     )

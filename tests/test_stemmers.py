@@ -229,6 +229,63 @@ class TestStopwordBundles:
                 ["text"], '{"text": {"tokenizer": {"type": "chinese"}}}')
 
 
+class TestIcuTokenizer:
+    """`icu` chain, word/grapheme modes approximated in pure Python
+    (icu/tokenizer.rs:31-58; CJK dictionary segmentation is a
+    documented divergence — every ideograph is its own token)."""
+
+    ENG = ("In the Earth-Moon tidal locking system, tidal forces "
+           "cause the Moon to experience tidal bulges.")
+
+    def test_word_mode_english_reference_golden(self):
+        """icu/tokenizer.rs test_word_mode_with_english: 16 tokens,
+        hyphen breaks, punctuation dropped."""
+        from tantivy_search_spark.tokenizers import _icu_words
+        assert _icu_words(self.ENG) == [
+            "In", "the", "Earth", "Moon", "tidal", "locking", "system",
+            "tidal", "forces", "cause", "the", "Moon", "to",
+            "experience", "tidal", "bulges"]
+
+    def test_word_mode_cjk_and_katakana(self):
+        from tantivy_search_spark.tokenizers import _icu_words
+        got = _icu_words("潮汐（Tidal Locking）システム")
+        assert got == ["潮", "汐", "Tidal", "Locking", "システム"]
+
+    def test_midletter_and_midnum(self):
+        from tantivy_search_spark.tokenizers import _icu_words
+        assert _icu_words("pi is 3.14 don't stop") == \
+            ["pi", "is", "3.14", "don't", "stop"]
+
+    def test_chain_stop_stem_lower(self):
+        """parser.rs icu arm: stop words, stemmers, then LowerCaser."""
+        an = build_analyzer("icu", mode="word",
+                            stop_word_filters=("english",),
+                            stem_languages=("english",))
+        assert an("the moon experiences tidal locking") == \
+            ["moon", "experi", "tidal", "lock"]
+
+    def test_grapheme_mode(self):
+        import unicodedata
+        an = build_analyzer("icu", mode="grapheme")
+        decomposed = unicodedata.normalize("NFD", "é") + "x 月"
+        assert an(decomposed) == [unicodedata.normalize("NFD", "é"),
+                                  "x", "月"]
+
+    def test_sentence_line_modes_raise_clearly(self):
+        for mode in ("sentence", "line"):
+            with pytest.raises(NotImplementedError, match="ICU break"):
+                build_analyzer("icu", mode=mode)
+
+    def test_config_level_icu_builds(self):
+        from tantivy_search_spark.config import IndexConfig
+        cfg = IndexConfig.from_json(
+            ["text"],
+            '{"text": {"tokenizer": {"type": "icu",'
+            ' "stop_word_filters": ["english"],'
+            ' "case_sensitive": false}}}')
+        assert cfg.analyzer("text")("the Moon rises") == ["moon", "rises"]
+
+
 class TestChineseTokenizer:
     """`chinese` chain for the dictionary-free configurations
     (cangjie/tokenizer.rs:29-48 Unicode arm + Jieba::empty())."""
