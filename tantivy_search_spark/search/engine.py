@@ -213,6 +213,7 @@ class SearchIndex:
         self._tombstones = None
         self._tombstone_n = None
         self._pa_dataset = None
+        self._postings_bytes_cache = None
         # bump the reload generation: bitmap-cache entries from the old
         # reader (reference cache key's reader.address component) die
         self._reload_gen = getattr(self, "_reload_gen", 0) + 1
@@ -233,6 +234,7 @@ class SearchIndex:
         self._tombstones = None
         self._tombstone_n = None
         self._pa_dataset = None
+        self._postings_bytes_cache = None
         for attr in ("_local_cache", "_local_raw_cache",
                      "_local_score_cache", "_local_pos_cache",
                      "_bitmap_cache"):
@@ -1460,6 +1462,62 @@ class SearchIndex:
         s = cat["score"].to_numpy(dtype=np.float64)
         order = np.lexsort((d, -s))[:top_k]
         return [(int(d[i]), float(s[i])) for i in order]
+
+    #: auto-tier threshold: serve from the in-process tier while the
+    #: postings fit a driver comfortably; beyond it the corpus is the
+    #: cluster's problem and queries run as Spark jobs
+    AUTO_LOCAL_MAX_BYTES = 256 * 1024 * 1024
+
+    def _postings_bytes(self) -> int:
+        """On-disk size of the postings tables (cached per reader
+        generation — reload() drops it)."""
+        if getattr(self, "_postings_bytes_cache", None) is None:
+            total = 0
+            for root, _dirs, files in os.walk(
+                    os.path.join(self.index_path, POSTINGS_DIR)):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+            self._postings_bytes_cache = total
+        return self._postings_bytes_cache
+
+    def bm25_search_auto(
+        self,
+        sentence: str,
+        column_names: list[str] | None = None,
+        top_k: int = 10,
+        operator_or: bool = False,
+        alive_bitmap: bytes | None = None,
+        enable_nlq: bool = False,
+        statistics: Statistics | None = None,
+        use_wand: bool = False,
+    ) -> list[tuple[int, float]]:
+        """Auto-tier routing: one entry point that picks the execution
+        tier instead of making the caller choose.
+
+        Heuristic: while the postings' on-disk bytes fit the driver
+        comfortably (<= AUTO_LOCAL_MAX_BYTES, default 256 MB — decoded
+        working set a few x that), answer from the in-process pyarrow
+        tier (~1000x lower latency warm, reference's embedded
+        deployment shape); past the threshold the corpus belongs to
+        the cluster and the query runs as a Spark job.  Both tiers are
+        rank-identical — the routing decision changes latency class
+        only (pinned by tests/test_local_search.py::TestAutoRoute).
+        """
+        if self._postings_bytes() <= self.AUTO_LOCAL_MAX_BYTES:
+            if not hasattr(self, "_local_cache"):
+                self.enable_local_cache()
+            return self.bm25_search_local(
+                sentence, column_names=column_names, top_k=top_k,
+                operator_or=operator_or, alive_bitmap=alive_bitmap,
+                enable_nlq=enable_nlq, statistics=statistics,
+                use_wand=use_wand)
+        rows = self.bm25_search(
+            sentence, column_names=column_names, top_k=top_k,
+            operator_or=operator_or, alive_bitmap=alive_bitmap,
+            enable_nlq=enable_nlq, statistics=statistics,
+            use_wand=use_wand).collect()
+        return [(r["row_id"], r["score"]) for r in rows]
 
     def bm25_search_local(
         self,

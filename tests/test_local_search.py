@@ -119,3 +119,43 @@ class TestLocalSearch:
         # over-cap entries beyond the current query may remain pinned
         # only for this query; the cache never exceeds cap + atoms
         assert len(ix._local_cache) <= 2 + 3 * 5
+
+
+class TestAutoRoute:
+    """bm25_search_auto picks the tier; results identical either side
+    of the threshold (round-3 routing heuristic)."""
+
+    def test_routes_local_below_threshold(self, corpus_a_index):
+        ix = corpus_a_index
+        assert ix._postings_bytes() <= ix.AUTO_LOCAL_MAX_BYTES
+        auto = [(r, round(s, 4)) for r, s in
+                ix.bm25_search_auto("ancient empires rise", top_k=5,
+                                    operator_or=True)]
+        local = [(r, round(s, 4)) for r, s in
+                 ix.bm25_search_local("ancient empires rise", top_k=5,
+                                      operator_or=True)]
+        assert auto == local
+
+    def test_routes_spark_above_threshold_same_results(
+            self, corpus_a_index):
+        ix = corpus_a_index
+        base = [(r, round(s, 4)) for r, s in
+                ix.bm25_search_auto("ancient empires rise", top_k=5,
+                                    operator_or=True)]
+        old = ix.AUTO_LOCAL_MAX_BYTES
+        ix.AUTO_LOCAL_MAX_BYTES = 0  # force the distributed tier
+        try:
+            dist = [(r, round(s, 4)) for r, s in
+                    ix.bm25_search_auto("ancient empires rise", top_k=5,
+                                        operator_or=True)]
+        finally:
+            ix.AUTO_LOCAL_MAX_BYTES = old
+        assert dist == base
+
+    def test_size_cache_resets_on_reload(self, corpus_a_index):
+        ix = corpus_a_index
+        n = ix._postings_bytes()
+        assert ix._postings_bytes_cache == n
+        ix.reload()
+        assert ix._postings_bytes_cache is None
+        assert ix._postings_bytes() == n
