@@ -288,6 +288,15 @@ def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
     nm = np.concatenate(norms)
     pos_flat = b"".join(poss)
     cum_tf = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    if pos_flat and len(pos_flat) != int(cum_tf[-1]) * 4:
+        # e.g. a with_positions=True append landed on a positions-free
+        # index: slicing by the tf cumsum would silently corrupt every
+        # phrase result downstream — fail the merge loudly instead
+        raise ValueError(
+            f"positions buffer misaligned for (col={col!r}, "
+            f"term={term!r}, shard={shard}): {len(pos_flat)} bytes != "
+            f"4 * total tf {int(cum_tf[-1])}; mixed positions/"
+            "positions-free fragments cannot merge")
     out: dict[str, list] = {k: [] for k in (
         "bucket", "col", "term", "shard", "sub", "df", "block_first",
         "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
@@ -692,8 +701,26 @@ class IndexBuilder:
                             default=-1)
         removed = {"docs": 0, "postings": 0, "stats_rebuilt": False}
 
+        # short-circuit: the meta save is the commit point, so any
+        # crashed-append artifact is NEWER than the meta file.  Files
+        # older than the last commit (minus a clock-skew margin) are
+        # committed by construction — skip their footer/column reads so
+        # repair() stays O(files since last commit), not O(index), on
+        # every append() start.
+        meta_mtime = os.path.getmtime(
+            os.path.join(self.index_path, layout.META_FILE))
+        cutoff = meta_mtime - 60.0
+
+        def _committed(f: str) -> bool:
+            try:
+                return os.path.getmtime(f) < cutoff
+            except OSError:
+                return False
+
         docs_dir = os.path.join(self.index_path, DOCS_DIR)
         for f in _glob.glob(os.path.join(docs_dir, "*.parquet")):
+            if _committed(f):
+                continue
             md = pq.read_metadata(f)
             mins = []
             for rg in range(md.num_row_groups):
@@ -710,6 +737,8 @@ class IndexBuilder:
         postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
         for f in _glob.glob(os.path.join(postings_dir, "**", "*.parquet"),
                             recursive=True):
+            if _committed(f):
+                continue
             tbl = pq.read_table(f, columns=["block_first"])
             # min first doc id across rows (each row is a sorted run,
             # so element 0 of block_first is the row's min id)
@@ -730,6 +759,8 @@ class IndexBuilder:
             for chunk in _glob.glob(os.path.join(seg_dir, "chunk=a*")):
                 part_mins = []
                 for f in _glob.glob(os.path.join(chunk, "*.parquet")):
+                    if _committed(f):
+                        continue
                     md = pq.read_metadata(f)
                     for rg in range(md.num_row_groups):
                         row_group = md.row_group(rg)

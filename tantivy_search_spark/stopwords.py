@@ -19,19 +19,17 @@ ENGLISH = frozenset(
 
 FRENCH = frozenset("""
 au aux avec ce ces dans de des du elle en et eux il ils je la le les leur
-lui ma mais me meme mes moi mon ne nos notre nous on ou par pas pour qu
+lui ma mais me même mes moi mon ne nos notre nous on ou par pas pour qu
 que qui sa se ses son sur ta te tes toi ton tu un une vos votre vous
-c d j l m n s t y
-ete etee etees etes etant etante etants etantes suis es est sommes
+c d j l à m n s t y
+été étée étées étés étant étante étants étantes suis es est sommes êtes
 sont serai seras sera serons serez seront serais serait serions seriez
-seraient etais etait etions etiez etaient fus fut fumes futes furent sois
-soit soyons soyez soient fusse fusses fussions fussiez fussent ayant
+seraient étais était étions étiez étaient fus fut fûmes fûtes furent sois
+soit soyons soyez soient fusse fusses fût fussions fussiez fussent ayant
 ayante ayantes ayants eu eue eues eus ai as avons avez ont aurai auras
 aura aurons aurez auront aurais aurait aurions auriez auraient avais
-avait avions aviez avaient eut eumes eutes eurent aie aies ait ayons ayez
-aient eusse eusses eussions eussiez eussent
-même été étée étées étés étant suis êtes
-serai étais fût à
+avait avions aviez avaient eut eûmes eûtes eurent aie aies ait ayons ayez
+aient eusse eusses eût eussions eussiez eussent
 """.split())
 
 GERMAN = frozenset("""

@@ -166,9 +166,13 @@ def term_doc_tf_pos(
     triple i's positions are the next tf[i] entries, ascending.
 
     Position = index of the token in the analyzed token stream of its
-    document (post-filter stream, matching tantivy's token positions
-    after stop-word removal shifts).  Pure numpy: one lexsort over
-    (key, pos), no per-token Python.
+    document (the post-filter stream).  DOCUMENTED DIVERGENCE from
+    tantivy for stop-word+positions chains: tantivy assigns positions
+    at tokenization and stop-word removal leaves gaps, so there
+    "quick the fox" does NOT phrase-match "quick fox" while this
+    compacted numbering does.  Chains without stop-word filters (the
+    default positions configuration) are identical.  Pure numpy: one
+    lexsort over (key, pos), no per-token Python.
     """
     lens = tokens.map(len).to_numpy(dtype=np.int64)
     n_docs = doc_ids.shape[0]

@@ -202,6 +202,18 @@ class TestStopwordBundles:
             an = build_analyzer("simple", stop_word_filters=(lang,))
             assert an(f"{probe} xyzzy") == ["xyzzy"], lang
 
+    def test_french_accented_forms_verbatim(self):
+        """The Snowball French list carries the accented verb forms
+        (était, fûmes, été...) — round-2 transcription had ASCII-
+        stripped ghosts instead.  Golden over accented French text."""
+        fr = BY_LANGUAGE["french"]
+        for w in ("était", "étaient", "fûmes", "fûtes", "été", "êtes",
+                  "même", "eût", "à"):
+            assert w in fr, w
+        an = build_analyzer("simple", stop_word_filters=("french",))
+        assert an("la lune était pleine à minuit") == \
+            ["lune", "pleine", "minuit"]
+
     def test_config_level_french(self):
         """The judge's round-1 repro: a french stop-word config must
         build an analyzer instead of raising at first use."""
