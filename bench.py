@@ -130,6 +130,40 @@ def main() -> None:
     timings["bitmap_term_p50"] = round(statistics.median(latb), 3)
     timings["bitmap_term_warm_p50"] = round(statistics.median(latw_b), 4)
 
+    # ---- phrase queries (positions-enabled index) -------------------------
+    pidx_path = f"/tmp/tss_bench_pidx_{CPUS}"
+    shutil.rmtree(pidx_path, ignore_errors=True)
+    pcfg = IndexConfig.from_json(["text"], "{}")
+    pcfg.parts_per_shard = 8
+    pcfg.with_positions = True
+    t0 = time.time()
+    IndexBuilder(spark, pidx_path, pcfg,
+                 rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+        docs, id_col="doc_id")
+    timings["index_build_positions"] = round(time.time() - t0, 3)
+    pix = SearchIndex(spark, pidx_path)
+    pix.enable_stats_cache()
+    PHRASES = ['"spark join"', '"order window"', '"hash table"',
+               '"merge sort"', '"the fast"']
+    latp = []
+    for rep in range(3):
+        for q in PHRASES:
+            t0 = time.time()
+            pix.bm25_search(q, enable_nlq=True, operator_or=False,
+                            top_k=10).collect()
+            latp.append(time.time() - t0)
+    timings["phrase_bm25_p50"] = round(statistics.median(latp), 3)
+    # warm in-process phrase path
+    pix.enable_local_cache()
+    for q in PHRASES:
+        pix.bm25_search_local(q, enable_nlq=True, operator_or=False,
+                              top_k=10)
+    t0 = time.time()
+    for i in range(100):
+        pix.bm25_search_local(PHRASES[i % len(PHRASES)], enable_nlq=True,
+                              operator_or=False, top_k=10)
+    timings["phrase_local_100q"] = round(time.time() - t0, 3)
+
     # ---- pipeline ops ------------------------------------------------------
     t0 = time.time()
     dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2, threshold=0.2,
