@@ -610,6 +610,15 @@ def _q_phrase_bm25(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_phrase_slop_bm25(spark, sf_dir):
+    """Sloppy phrase ('"spark join"~2', tantivy QueryParser slop): docs
+    where 'spark' precedes 'join' with at most 2 intervening tokens,
+    scored as the AND group."""
+    out = _index(spark, sf_dir, "positions").bm25_search(
+        '"spark join"~2', enable_nlq=True, operator_or=False, limit=False)
+    return out.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_curate(spark, sf_dir):
     """Composed curation pipeline: keep-first exact dedup + quality
     floor + language allowlist in one Catalyst plan."""
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_chinese_stats": _q_chain_chinese_stats,
         "chain_stem_doclens": _q_chain_stem_doclens,
         "phrase_bm25": _q_phrase_bm25,
+        "phrase_slop_bm25": _q_phrase_slop_bm25,
         "stats_injected_bm25": _q_stats_injected_bm25,
         "delete_counts": _q_delete_counts,
         "events_windowed": _q_events_windowed,
@@ -1276,6 +1286,14 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
             True, tokens=["spark", "join"],
             alive_filter=("WHERE t.doc_id IN (SELECT doc_id FROM documents "
                           "WHERE ' ' || text || ' ' LIKE '% spark join %')")),
+        # slop 2 == at most 2 intervening tokens, in order (the engine's
+        # cumulative-gap semantics; one pair => one gap)
+        "phrase_slop_bm25": _bm25_oracle(
+            True, tokens=["spark", "join"],
+            alive_filter=(
+                "WHERE t.doc_id IN (SELECT doc_id FROM documents "
+                "WHERE regexp_matches(' ' || text || ' ', "
+                "' spark( [^ ]+){0,2} join '))")),
         "stats_injected_bm25": _bm25_oracle(False, stat_scale=2),
         "multicol_bm25": _multicol_oracle(),
         "bm25_wand_multicol": _multicol_oracle(),

@@ -93,13 +93,17 @@ def _eval_phrase(
     avgdl_l: float,
     k1: float,
     b: float,
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared phrase evaluator (distributed shard scorer + local path).
 
     ``per_term[t] = (doc_ids, tfs, norm_ids, pos_flat, pos_offsets)``
     with doc_ids sorted and positions aligned per posting.  Returns
-    (docs, scores) for docs where the terms appear adjacent in order;
-    score = sum of member BM25 term scores.
+    (docs, scores) for docs where the terms appear in order with a
+    cumulative inter-term gap budget of ``slop`` extra tokens
+    (slop=0 == strict adjacency, tantivy PhraseQuery; '"a b"~1'
+    matches 'a x b' but never 'b a'); score = sum of member BM25
+    term scores.
     """
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     for t in terms_l:
@@ -132,13 +136,41 @@ def _eval_phrase(
         docs_rep = np.repeat(cand, lens)
         return docs_rep * SHIFT + pos
 
-    cur = cand_keys(terms_l[0]) + 1  # (doc, expected next position)
-    for t in terms_l[1:]:
-        kt = cand_keys(t)
-        cur = cur[np.isin(cur, kt)] + 1
-        if cur.size == 0:
-            return empty
-    docs = np.unique(cur >> np.int64(32))
+    if slop <= 0:
+        cur = cand_keys(terms_l[0]) + 1  # (doc, expected next position)
+        for t in terms_l[1:]:
+            kt = cand_keys(t)
+            cur = cur[np.isin(cur, kt)] + 1
+            if cur.size == 0:
+                return empty
+        docs = np.unique(cur >> np.int64(32))
+    else:
+        # sloppy chain: states are ((doc, last matched pos), used gaps);
+        # a small loop over the gap g (<= slop, typically tiny) keeps
+        # every step a vectorized membership test.  Duplicate states
+        # keep their minimum used-budget (it dominates).
+        keys = cand_keys(terms_l[0])
+        used = np.zeros(keys.size, dtype=np.int64)
+        for t in terms_l[1:]:
+            kt = np.sort(cand_keys(t))
+            nk, nu = [], []
+            for g in range(slop + 1):
+                ok = used + g <= slop
+                ck = keys[ok] + 1 + g
+                m = np.isin(ck, kt)
+                if m.any():
+                    nk.append(ck[m])
+                    nu.append(used[ok][m] + g)
+            if not nk:
+                return empty
+            keys = np.concatenate(nk)
+            used = np.concatenate(nu)
+            # dedupe (doc, pos) states keeping min used
+            order = np.lexsort((used, keys))
+            keys, used = keys[order], used[order]
+            first = np.concatenate(([True], keys[1:] != keys[:-1]))
+            keys, used = keys[first], used[first]
+        docs = np.unique(keys >> np.int64(32))
 
     # score survivors: sum of member term scores, gathered per term
     scores = np.zeros(docs.size, dtype=np.float64)
@@ -545,6 +577,7 @@ class SearchIndex:
         atom_id: int,
         stats: Statistics | None,
         alive_bitmap: bytes | None,
+        slop: int = 0,
     ) -> DataFrame:
         """Position-verified phrase scoring -> (doc_id, atom, score).
 
@@ -575,10 +608,10 @@ class SearchIndex:
         anti_join_tombs = tomb is None
         b_env = self._bcast((list(terms), idf_map, avgdl,
                              np.empty(0, np.int64) if anti_join_tombs
-                             else tomb, alive_bitmap))
+                             else tomb, alive_bitmap, int(slop)))
 
         def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
-            terms_l, idf_m, avgdl_l, tombs, alive = b_env.value
+            terms_l, idf_m, avgdl_l, tombs, alive, slop_l = b_env.value
             empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
                                   "atom": np.empty(0, np.int32),
                                   "score": np.empty(0, np.float64)})
@@ -597,7 +630,7 @@ class SearchIndex:
                 per_term[t] = _assemble_phrase_runs(runs)
 
             docs, scores = _eval_phrase(terms_l, per_term, idf_m,
-                                        avgdl_l, k1, b)
+                                        avgdl_l, k1, b, slop_l)
             if docs.size and tombs.size:
                 keep = ~np.isin(docs, tombs)
                 docs, scores = docs[keep], scores[keep]
@@ -693,7 +726,8 @@ class SearchIndex:
                 atom_ids=[atom_index[a] for a in term_keys]))
         for a in phrase_keys:
             parts.append(self._scored_phrase_df(
-                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap))
+                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap,
+                slop=a[3]))
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
@@ -785,7 +819,8 @@ class SearchIndex:
                 atom_ids=[atom_index[a] for a in term_keys]))
         for a in phrase_keys:
             parts.append(self._scored_phrase_df(
-                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap))
+                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap,
+                slop=a[3]))
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
@@ -1243,6 +1278,7 @@ class SearchIndex:
         df_map: dict,
         avgdl: dict,
         n_docs: int,
+        slop: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """In-process phrase evaluation: posting rows (with positions)
         fetched via the direct pyarrow path, decoded once into an LRU,
@@ -1288,7 +1324,7 @@ class SearchIndex:
                    for t in terms}
         return _eval_phrase(list(terms), per_term, idf_map,
                             avgdl.get(col, 1.0), self.config.k1,
-                            self.config.b)
+                            self.config.b, slop)
 
     def _bm25_local_taat(
         self, tokens: list[str], col: str, top_k: int, operator_or: bool,
@@ -1606,8 +1642,8 @@ class SearchIndex:
                                               self.config.columns}
         for (cc, t) in term_atoms:
             stats_tokens[cc].append(t)
-        for (_, cc, ts) in phrase_atoms:
-            stats_tokens[cc].extend(ts)
+        for a in phrase_atoms:
+            stats_tokens[a[1]].extend(a[2])
         local = self.local_statistics(stats_tokens)
         use = statistics if statistics is not None and statistics.docs_freq \
             else local
@@ -1624,7 +1660,7 @@ class SearchIndex:
         for a in atoms:
             if qt.is_phrase_key(a):
                 d, s = self._local_phrase_scores(
-                    a[1], list(a[2]), df_map, avgdl, n_docs)
+                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3])
             else:
                 d, t, m = postings[a]
                 if d.size:

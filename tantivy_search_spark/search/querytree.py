@@ -41,10 +41,18 @@ class Phrase:
     order (reference WithFreqsAndPositions + tantivy PhraseQuery
     semantics).  Only produced when the index stores positions; scored
     as the sum of its member term scores (an AND group restricted to
-    adjacency matches)."""
+    adjacency matches).
+
+    ``slop`` ('"a b"~2', tantivy QueryParser slop syntax): a cumulative
+    gap budget — terms must still appear IN ORDER, and the total number
+    of extra tokens between consecutive phrase terms must be <= slop
+    ('"a b"~1' matches 'a x b' but not 'b a'; transpositions are not
+    matched — documented divergence from Lucene-style sloppy phrases,
+    which tantivy also does not implement)."""
 
     col: str
     terms: list  # analyzed tokens, in phrase order
+    slop: int = 0
 
 
 @dataclass
@@ -203,6 +211,7 @@ def parse_nlq(
         pos += 1
         if t.startswith('"') and t.endswith('"'):
             node = _quoted(t[1:-1])
+            node = _maybe_trailing_slop(node)
             node = _maybe_trailing_boost(node)
             if boost is not None and node is not None:
                 node = Boost(node, boost)
@@ -210,6 +219,33 @@ def parse_nlq(
         node = _parse_bare_or_field(t)
         if boost is not None and node is not None:
             node = Boost(node, boost)
+        return node
+
+    def _maybe_trailing_slop(node):
+        """'"..."~2': tantivy QueryParser phrase slop — the lexer emits
+        '~2' as its own token.  Sets slop on every Phrase inside the
+        quoted unit's node (single-piece columns stay plain Terms: slop
+        on a one-term phrase is a no-op in tantivy too)."""
+        nonlocal pos
+        t = peek()
+        if node is not None and isinstance(t, str) and t.startswith("~"):
+            body, caret, suffix = t[1:].partition("^")
+            if not body.isdigit():
+                return node
+            slop = int(body)
+            if caret:
+                toks[pos] = caret + suffix  # leave '^3' for the boost pass
+            else:
+                pos += 1
+
+            def put(n):
+                if isinstance(n, Phrase):
+                    n.slop = slop
+                elif isinstance(n, (And, Or)):
+                    for c in n.children:
+                        put(c)
+
+            put(node)
         return node
 
     def _maybe_trailing_boost(node):
@@ -429,17 +465,17 @@ _PHRASE_MARK = "\0phrase"
 
 def atom_key(node):
     """Scoring-atom key for a leaf: (col, term) for a Term; a marked
-    (mark, col, terms...) tuple for a Phrase (one phrase = one atom,
+    (mark, col, terms, slop) tuple for a Phrase (one phrase = one atom,
     scored by the position-aware phrase scorer)."""
     if isinstance(node, Term):
         return (node.col, node.text)
     if isinstance(node, Phrase):
-        return (_PHRASE_MARK, node.col, tuple(node.terms))
+        return (_PHRASE_MARK, node.col, tuple(node.terms), node.slop)
     raise TypeError(type(node))
 
 
 def is_phrase_key(key) -> bool:
-    return len(key) == 3 and key[0] == _PHRASE_MARK
+    return len(key) == 4 and key[0] == _PHRASE_MARK
 
 
 def collect_atoms(tree) -> list:

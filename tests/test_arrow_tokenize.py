@@ -60,6 +60,10 @@ def test_arrow_eligibility_boundaries():
     # unbundled ones and ngram stay on the python chain
     assert arrow_fast_eligible(
         {"tokenizer": {"type": "stem", "stem_languages": ["english"]}})
-    assert not arrow_fast_eligible(
+    # round 3 bundled all 18 Snowball languages, so every accepted
+    # stem language rides arrow now; only an unknown one falls back
+    assert arrow_fast_eligible(
         {"tokenizer": {"type": "stem", "stem_languages": ["turkish"]}})
+    assert not arrow_fast_eligible(
+        {"tokenizer": {"type": "stem", "stem_languages": ["klingon"]}})
     assert not arrow_fast_eligible({"tokenizer": {"type": "ngram"}})

@@ -143,6 +143,81 @@ class TestPhraseBatch:
             assert by_q.get(qid, []) == want, (qid, s)
 
 
+class TestPhraseSlop:
+    """'"a b"~N' (tantivy QueryParser slop): in-order with a cumulative
+    gap budget; transpositions never match."""
+
+    def test_slop_widens_matches_in_order_only(self, pos_index):
+        # doc 2 has 'moral and also horizons' -> gap 2; doc 1 is the
+        # reversed order and must never match at any slop
+        for q, want in [('"moral horizons"~0', [0, 3, 6]),
+                        ('"moral horizons"~1', [0, 3, 6]),
+                        ('"moral horizons"~2', [0, 2, 3, 6]),
+                        ('"moral horizons"~9', [0, 2, 3, 6])]:
+            got = pos_index.bm25_search(q, enable_nlq=True,
+                                        top_k=10).collect()
+            assert sorted(r["row_id"] for r in got) == want, q
+
+    def test_slop_score_is_member_sum(self, pos_index):
+        sloppy = {r["row_id"]: round(r["score"], 6) for r in
+                  pos_index.bm25_search('"moral horizons"~2',
+                                        enable_nlq=True, top_k=10).collect()}
+        anded = {r["row_id"]: round(r["score"], 6) for r in
+                 pos_index.bm25_search("moral horizons", operator_or=False,
+                                       top_k=10).collect()}
+        for rid, sc in sloppy.items():
+            assert sc == anded[rid], rid
+
+    def test_slop_local_equals_distributed(self, pos_index):
+        pos_index.enable_stats_cache()
+        loc = [(r, round(s, 4)) for r, s in
+               pos_index.bm25_search_local('"moral horizons"~2',
+                                           enable_nlq=True, top_k=10)]
+        dist = [(r["row_id"], round(r["score"], 4)) for r in
+                pos_index.bm25_search('"moral horizons"~2',
+                                      enable_nlq=True, top_k=10).collect()]
+        assert loc == dist
+
+    def test_slop_with_boost_and_negation(self, pos_index):
+        # fused '~2^2' token: slop then boost; scores double vs plain slop
+        plain = {r["row_id"]: r["score"] for r in
+                 pos_index.bm25_search('"moral horizons"~2',
+                                       enable_nlq=True, top_k=10).collect()}
+        boosted = {r["row_id"]: r["score"] for r in
+                   pos_index.bm25_search('"moral horizons"~2^2',
+                                         enable_nlq=True, top_k=10).collect()}
+        assert set(boosted) == set(plain)
+        for rid, sc in boosted.items():
+            assert round(sc, 6) == round(2 * plain[rid], 6)
+        neg = pos_index.bm25_search('relevant -"moral horizons"~2',
+                                    enable_nlq=True, top_k=10).collect()
+        assert sorted(r["row_id"] for r in neg) == [4]
+
+    def test_three_term_cumulative_budget(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        rows = [
+            {"doc_id": 0, "text": "alpha beta gamma"},
+            {"doc_id": 1, "text": "alpha x beta gamma"},        # gap 1
+            {"doc_id": 2, "text": "alpha x beta y gamma"},      # gaps 1+1
+            {"doc_id": 3, "text": "alpha x y beta z w gamma"},  # gaps 2+2
+        ]
+        path = str(tmp_path / "slop3")
+        cfg = IndexConfig.from_json(["text"], "{}")
+        cfg.with_positions = True
+        IndexBuilder(spark, path, cfg, rows_per_part=4).build(
+            spark.createDataFrame(rows), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        for q, want in [('"alpha beta gamma"', [0]),
+                        ('"alpha beta gamma"~1', [0, 1]),
+                        ('"alpha beta gamma"~2', [0, 1, 2]),
+                        ('"alpha beta gamma"~4', [0, 1, 2, 3])]:
+            got = ix.bm25_search(q, enable_nlq=True, top_k=10).collect()
+            assert sorted(r["row_id"] for r in got) == want, q
+
+
 class TestLocalPhrase:
     def test_local_phrase_native_no_spark_job_warm(self, pos_index):
         """Phrase trees are flat now (one pseudo-atom), so the local
