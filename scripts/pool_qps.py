@@ -1,0 +1,167 @@
+"""Multi-process embedded-tier QPS — the reference's search-pool analog.
+
+The reference serves its published 7 874 q/s BM25 top-10 from a shared
+rayon pool of 16 threads inside one process
+(src/search/implements/api_common/api_load_index_reader.rs:38-54,
+BASELINE.md).  The PySpark engine's equivalent deployment is
+``SearchPool``: N forked workers sharing the parent's warmed decoded-
+postings caches copy-on-write, each answering point queries through the
+embedded (Spark-free) ``SearchIndex.open_local`` reader.
+
+This script measures it end-to-end:
+
+1. builds the realistic-vocabulary code corpus index (480k files,
+   ident_frac=0.35 → ~200k distinct terms; the same corpus as the
+   "Realistic-vocabulary corpus" section of BENCH/BASELINE.md) with a
+   local[8] Spark job, then STOPS the JVM;
+2. samples three warm query classes from the index's own term
+   dictionary by document frequency (selective 2-identifier AND,
+   hot+tail AND, hot+tail OR — the round-2 single-thread workload);
+3. serves each class from a fork-mode pool at 1/2/4/8/16 processes and
+   reports aggregate q/s + scaling vs the single-process baseline.
+
+Writes BENCH/pool_qps.json.  Query results are pinned identical to
+sequential ``bm25_search_local`` by tests/test_pool.py; this script
+only measures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+N_FILES = 480_000
+IDENT_FRAC = 0.35
+CORPUS = "/tmp/tss_pool_corpus"
+INDEX = "/tmp/tss_pool_idx"
+PROC_LEVELS = [1, 2, 4, 8, 16]
+N_DISTINCT = 512          # distinct queries per class (term-cache bound)
+N_QUERIES = 16_384        # measured workload per (class, level)
+
+
+def build_index() -> None:
+    from pyspark.sql import SparkSession
+
+    from tantivy_search_spark.codecorpus import synth_code_corpus
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("tss-pool-qps-build")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        shutil.rmtree(CORPUS, ignore_errors=True)
+        synth_code_corpus(spark, N_FILES, seed=42, num_partitions=64,
+                          ident_frac=IDENT_FRAC).write.parquet(CORPUS)
+    if not os.path.exists(os.path.join(INDEX, "_index_meta.json")):
+        shutil.rmtree(INDEX, ignore_errors=True)
+        cfg = IndexConfig.from_json(["content"], "{}")
+        cfg.parts_per_shard = 8
+        t0 = time.time()
+        IndexBuilder(spark, INDEX, cfg, rows_per_part=4096).build(
+            spark.read.parquet(CORPUS),
+            order_cols=["repo", "path", "commit"])
+        print(f"built {N_FILES} docs in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    spark.stop()
+
+
+def sample_queries() -> dict[str, tuple[list[str], bool]]:
+    """(sentences, operator_or) per class, drawn from the stats table by
+    df — deterministic (seeded) so runs are comparable."""
+    import random
+
+    import duckdb
+
+    tbl = duckdb.sql(
+        f"SELECT term, df FROM parquet_scan('{INDEX}/stats/**/*.parquet',"
+        f" hive_partitioning=1) WHERE col='content'").df()
+    terms = tbl["term"].to_numpy()
+    dfs = tbl["df"].to_numpy()
+    rare = terms[(dfs >= 20) & (dfs <= 5_000)]
+    hot = terms[dfs >= int(N_FILES * 0.5)]
+    rng = random.Random(13)
+    rare = sorted(rare)
+    hot = sorted(hot)
+    sel, hta, hto = [], [], []
+    for _ in range(N_DISTINCT):
+        r1, r2 = rng.sample(rare, 2)
+        h = rng.choice(hot)
+        sel.append(f"{r1} {r2}")
+        hta.append(f"{h} {r1}")
+        hto.append(f"{h} {r2}")
+    return {
+        "selective_and": (sel, False),
+        "hot_tail_and": (hta, False),
+        "hot_tail_or": (hto, True),
+    }
+
+
+def measure() -> dict:
+    from tantivy_search_spark.search.pool import SearchPool
+
+    classes = sample_queries()
+    out: dict = {"n_files": N_FILES, "ident_frac": IDENT_FRAC,
+                 "n_queries": N_QUERIES, "n_distinct": N_DISTINCT,
+                 "classes": {}}
+    for name, (distinct, op_or) in classes.items():
+        workload = [distinct[i % len(distinct)] for i in range(N_QUERIES)]
+        levels = {}
+        for procs in PROC_LEVELS:
+            pool = SearchPool(
+                INDEX, processes=procs, warm_queries=distinct,
+                top_k=10, operator_or=op_or, use_wand=True)
+            assert pool._fork, "JVM still alive — fork mode expected"
+            pool.search_batch(workload[:procs * 32])  # spin up workers
+            t0 = time.time()
+            res = pool.search_batch(workload)
+            wall = time.time() - t0
+            pool.close()
+            assert len(res) == N_QUERIES
+            levels[procs] = round(N_QUERIES / wall, 1)
+            print(f"{name:>14} procs={procs:>2}: {levels[procs]:>8} q/s",
+                  file=sys.stderr)
+        base = levels[PROC_LEVELS[0]]
+        out["classes"][name] = {
+            "operator_or": op_or,
+            "qps_by_procs": levels,
+            "speedup_16": round(levels[16] / base, 2),
+        }
+    qps16 = {k: v["qps_by_procs"][16] for k, v in out["classes"].items()}
+    out["headline"] = {
+        "best_qps_16proc": max(qps16.values()),
+        "qps_16proc": qps16,
+        "reference_16thread_qps": 7874,
+    }
+    return out
+
+
+def main() -> None:
+    build_index()
+    result = measure()
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "pool_qps.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result["headline"]))
+
+
+if __name__ == "__main__":
+    main()

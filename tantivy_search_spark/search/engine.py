@@ -216,18 +216,56 @@ class SearchIndex:
     #: batches chunk the doc axis to stay under it (results unchanged)
     BATCH_MATRIX_BUDGET = 128 * 1024 * 1024
 
-    def __init__(self, spark: SparkSession, index_path: str):
+    def __init__(self, spark: SparkSession | None, index_path: str):
         layout.recover_swaps(index_path)
         self.spark = spark
         self.index_path = index_path
         self.meta = IndexMeta.load(index_path)
         self.config = IndexConfig.from_meta_json(self.meta.config_json)
-        self._postings = spark.read.parquet(os.path.join(index_path, POSTINGS_DIR))
-        self._stats = spark.read.parquet(os.path.join(index_path, STATS_DIR))
+        self._postings_df: DataFrame | None = None  # lazy spark reads
+        self._stats_df: DataFrame | None = None
         self._tombstones: np.ndarray | None = None  # lazy
         self._tombstone_n: int | None = None  # lazy count (cheap parquet agg)
         self._stats_cache: dict | None = None  # optional driver-side dict
         self._bcast_pool: list = []  # broadcasts of the most recent query
+
+    @classmethod
+    def open_local(cls, index_path: str) -> "SearchIndex":
+        """Embedded, Spark-free reader — the reference's own deployment
+        shape (an in-process engine behind FFI, no cluster:
+        src/search/implements/api_myscale_local.rs).  Every in-process
+        tier works (``bm25_search_local``/``_auto``, the bitmap family,
+        stats, deletes); distributed methods raise a clear error.
+        Postings/stats/tombstones are read via pyarrow directly; the
+        stats cache is enabled eagerly (there is no per-query Spark
+        lookup to fall back to)."""
+        ix = cls(None, index_path)
+        ix.enable_stats_cache()
+        ix.enable_local_cache()
+        return ix
+
+    def _require_spark(self) -> SparkSession:
+        if self.spark is None:
+            raise RuntimeError(
+                "this SearchIndex was opened with open_local() (no "
+                "SparkSession); distributed paths are unavailable — use "
+                "the bm25_search_local/bitmap tiers or reopen with "
+                "SearchIndex(spark, path)")
+        return self.spark
+
+    @property
+    def _postings(self) -> DataFrame:
+        if self._postings_df is None:
+            self._postings_df = self._require_spark().read.parquet(
+                os.path.join(self.index_path, POSTINGS_DIR))
+        return self._postings_df
+
+    @property
+    def _stats(self) -> DataFrame:
+        if self._stats_df is None:
+            self._stats_df = self._require_spark().read.parquet(
+                os.path.join(self.index_path, STATS_DIR))
+        return self._stats_df
 
     # ------------------------------------------------------------------ utils
     def reload(self) -> None:
@@ -235,10 +273,8 @@ class SearchIndex:
         tables so appended segments / new deletes become visible."""
         self.meta = IndexMeta.load(self.index_path)
         self.config = IndexConfig.from_meta_json(self.meta.config_json)
-        self._postings = self.spark.read.parquet(
-            os.path.join(self.index_path, POSTINGS_DIR))
-        self._stats = self.spark.read.parquet(
-            os.path.join(self.index_path, STATS_DIR))
+        self._postings_df = None
+        self._stats_df = None
         if self._stats_cache is not None:
             self._stats_cache = None
             self.enable_stats_cache()
@@ -275,22 +311,25 @@ class SearchIndex:
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
+        return self._require_spark().read.parquet(os.path.join(self.index_path, DOCS_DIR))
 
     def _tombstone_df(self) -> DataFrame | None:
         """Raw tombstones table (may contain duplicates) or None."""
         path = os.path.join(self.index_path, TOMBSTONES_DIR)
         if not os.path.exists(path):
             return None
-        return self.spark.read.parquet(path)
+        return self._require_spark().read.parquet(path)
 
     def _tombstone_count(self) -> int:
         """Distinct tombstoned ids — one cheap column-pruned agg, cached."""
         if self._tombstone_n is None:
-            df = self._tombstone_df()
-            self._tombstone_n = (
-                0 if df is None
-                else df.agg(F.count_distinct("doc_id")).collect()[0][0])
+            if self.spark is None:
+                self._tombstone_n = int(self._tombstone_array().size)
+            else:
+                df = self._tombstone_df()
+                self._tombstone_n = (
+                    0 if df is None
+                    else df.agg(F.count_distinct("doc_id")).collect()[0][0])
         return self._tombstone_n
 
     def _tombstone_array(self) -> np.ndarray:
@@ -299,9 +338,17 @@ class SearchIndex:
         paths must go through :meth:`_tombstone_small_array` instead so
         large delete sets stay as a DataFrame anti-join."""
         if self._tombstones is None:
-            df = self._tombstone_df()
-            if df is not None:
-                rows = df.select("doc_id").collect()
+            path = os.path.join(self.index_path, TOMBSTONES_DIR)
+            if self.spark is None:
+                if os.path.exists(path):
+                    import pyarrow.dataset as ds
+                    ids = ds.dataset(path).to_table(
+                        columns=["doc_id"])["doc_id"].to_numpy()
+                    self._tombstones = np.unique(ids.astype(np.int64))
+                else:
+                    self._tombstones = np.empty(0, dtype=np.int64)
+            elif os.path.exists(path):
+                rows = self._tombstone_df().select("doc_id").collect()
                 self._tombstones = np.unique(
                     np.array([r["doc_id"] for r in rows], dtype=np.int64)
                 )
@@ -339,6 +386,17 @@ class SearchIndex:
         small/medium vocabularies (code corpora: ~1e6 terms * ~40 B);
         at web-scale vocab leave it off and the lookup stays a
         bucket-pruned parquet filter."""
+        if self.spark is None:
+            import pyarrow.dataset as ds
+            tbl = ds.dataset(
+                os.path.join(self.index_path, STATS_DIR),
+                partitioning="hive").to_table(
+                columns=["col", "term", "df"]).to_pandas()
+            self._stats_cache = {
+                (c, t): int(d) for c, t, d in
+                zip(tbl["col"], tbl["term"], tbl["df"])
+            }
+            return
         self._stats_cache = {
             (r["col"], r["term"]): int(r["df"])
             for r in self._stats.collect()
@@ -409,9 +467,20 @@ class SearchIndex:
         """B6: tombstone docs; they disappear from every query after this
         'commit' (non-existent ids tolerated, like the reference)."""
         pdf = pd.DataFrame({"doc_id": np.asarray(sorted(set(row_ids)), dtype=np.int64)})
-        self.spark.createDataFrame(pdf).write.mode("append").parquet(
-            os.path.join(self.index_path, TOMBSTONES_DIR)
-        )
+        tomb_dir = os.path.join(self.index_path, TOMBSTONES_DIR)
+        if self.spark is None:
+            # embedded tier: append a tombstone part file directly
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(tomb_dir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(tomb_dir, f"part-local-{uuid.uuid4().hex}.parquet"))
+        else:
+            self._require_spark().createDataFrame(pdf).write.mode("append").parquet(
+                tomb_dir)
         self.reload()
         return True
 
@@ -526,7 +595,7 @@ class SearchIndex:
         """Broadcast with lifecycle: kept for the current query, released
         (unpersist, not destroy — late-running lazy plans re-broadcast on
         demand) when the next query swaps the pool."""
-        b = self.spark.sparkContext.broadcast(obj)
+        b = self._require_spark().sparkContext.broadcast(obj)
         self._bcast_pool.append(b)
         return b
 
@@ -697,7 +766,7 @@ class SearchIndex:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
             tree = qt.standard_query_tree(tokens_by_col, operator_or)
 
-        empty = self.spark.createDataFrame([], "row_id long, score double")
+        empty = self._require_spark().createDataFrame([], "row_id long, score double")
         if tree is None:
             return empty
         atoms = qt.collect_atoms(tree)
@@ -803,7 +872,7 @@ class SearchIndex:
             for a in qt.collect_atoms(tree):
                 if a not in atom_index:
                     atom_index[a] = len(atom_index)
-        empty = self.spark.createDataFrame(
+        empty = self._require_spark().createDataFrame(
             [], "query_id int, row_id long, score double")
         if not atom_index:
             return empty
@@ -1050,7 +1119,7 @@ class SearchIndex:
         materialization and no full-set broadcast, so WAND stays active
         under delete sets of any size."""
         tomb = self._tombstone_df().select("doc_id").distinct()
-        ranges = self.spark.createDataFrame(
+        ranges = self._require_spark().createDataFrame(
             [(int(p), int(lo), int(hi))
              for p, lo, hi, _ in self.meta.part_ranges],
             "part_id int, min_doc long, max_doc long")
@@ -1081,7 +1150,7 @@ class SearchIndex:
         a broadcast."""
         from tantivy_search_spark.search import wand as wand_mod
 
-        empty = self.spark.createDataFrame([], "row_id long, score double")
+        empty = self._require_spark().createDataFrame([], "row_id long, score double")
         if not atoms:
             return empty
         cols_map: dict[str, list[str]] = {}
@@ -1540,7 +1609,8 @@ class SearchIndex:
         rank-identical — the routing decision changes latency class
         only (pinned by tests/test_local_search.py::TestAutoRoute).
         """
-        if self._postings_bytes() <= self.AUTO_LOCAL_MAX_BYTES:
+        if self.spark is None or \
+                self._postings_bytes() <= self.AUTO_LOCAL_MAX_BYTES:
             if not hasattr(self, "_local_cache"):
                 self.enable_local_cache()
             return self.bm25_search_local(
@@ -1713,7 +1783,7 @@ class SearchIndex:
         """TermSetQuery semantics: OR of tokens -> distinct doc ids
         (tombstones excluded)."""
         if not tokens:
-            return self.spark.createDataFrame([], "row_id long")
+            return self._require_spark().createDataFrame([], "row_id long")
         uniq = sorted(set(tokens))
         buckets = sorted({term_bucket(t, self.config.n_buckets) for t in uniq})
         cand = self._postings.where(
@@ -1745,13 +1815,34 @@ class SearchIndex:
             cache.popitem(last=False)
         return out
 
+    def _local_ids_for_terms(self, col: str, tokens: list[str]) -> bytes:
+        """In-process TermSetQuery: OR of tokens -> u8 bitmap, via the
+        decoded-postings LRU (no Spark job; same semantics as
+        ``_doc_ids_for_terms`` incl. tombstone exclusion)."""
+        if not tokens:
+            return row_ids_to_u8_bitmap([])
+        postings = self._local_postings(
+            sorted({(col, t) for t in set(tokens)}))
+        parts = [d for (d, _t, _m) in postings.values() if d.size]
+        if not parts:
+            return row_ids_to_u8_bitmap([])
+        ids = np.unique(np.concatenate(parts))
+        tomb = self._tombstone_array()
+        if tomb.size:
+            ids = ids[~np.isin(ids, tomb)]
+        return row_ids_to_u8_bitmap(ids.tolist())
+
     def query_term_bitmap_df(self, col: str, term: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(term))
 
     def query_term_bitmap(self, col: str, term: str) -> bytes:
+        toks = self.config.analyzer(col)(term)
         return self._bitmap_cached(
             ("term", col, term, False),
-            lambda: self._collect_bitmap(self.query_term_bitmap_df(col, term)))
+            (lambda: self._local_ids_for_terms(col, toks))
+            if self.spark is None else
+            (lambda: self._collect_bitmap(
+                self.query_term_bitmap_df(col, term))))
 
     def query_terms_bitmap_df(self, col: str, terms: list[str]) -> DataFrame:
         an = self.config.analyzer(col)
@@ -1759,19 +1850,26 @@ class SearchIndex:
         return self._doc_ids_for_terms(col, toks)
 
     def query_terms_bitmap(self, col: str, terms: list[str]) -> bytes:
+        an = self.config.analyzer(col)
+        toks = [t for term in terms for t in an(term)]
         return self._bitmap_cached(
             ("terms", col, tuple(terms), False),
-            lambda: self._collect_bitmap(
-                self.query_terms_bitmap_df(col, terms)))
+            (lambda: self._local_ids_for_terms(col, toks))
+            if self.spark is None else
+            (lambda: self._collect_bitmap(
+                self.query_terms_bitmap_df(col, terms))))
 
     def query_sentence_bitmap_df(self, col: str, sentence: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(sentence))
 
     def query_sentence_bitmap(self, col: str, sentence: str) -> bytes:
+        toks = self.config.analyzer(col)(sentence)
         return self._bitmap_cached(
             ("sentence", col, sentence, False),
-            lambda: self._collect_bitmap(
-                self.query_sentence_bitmap_df(col, sentence)))
+            (lambda: self._local_ids_for_terms(col, toks))
+            if self.spark is None else
+            (lambda: self._collect_bitmap(
+                self.query_sentence_bitmap_df(col, sentence))))
 
     def regex_term_bitmap_df(self, col: str, like_pattern: str) -> DataFrame:
         """Q4: LIKE -> regex over the term dictionary, then posting union.
@@ -1792,11 +1890,27 @@ class SearchIndex:
         )
         return self._decode_distinct_ids(cand)
 
+    def _local_regex_bitmap(self, col: str, like_pattern: str) -> bytes:
+        """In-process Q4: regex scan over the cached term dictionary,
+        then the local posting union.  like_to_regex output is plain
+        (escaped literals + .*/.) so Python re and Spark rlike agree."""
+        import re
+        if self._stats_cache is None:
+            self.enable_stats_cache()
+        pat = like_to_regex(like_pattern)
+        if self.config.lowercases(col):
+            pat = pat.lower()
+        rx = re.compile(f"^(?:{pat})$")
+        toks = [t for (c, t) in self._stats_cache if c == col and rx.match(t)]
+        return self._local_ids_for_terms(col, toks)
+
     def regex_term_bitmap(self, col: str, like_pattern: str) -> bytes:
         return self._bitmap_cached(
             ("regex", col, like_pattern, True),
-            lambda: self._collect_bitmap(
-                self.regex_term_bitmap_df(col, like_pattern)))
+            (lambda: self._local_regex_bitmap(col, like_pattern))
+            if self.spark is None else
+            (lambda: self._collect_bitmap(
+                self.regex_term_bitmap_df(col, like_pattern))))
 
     def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
         """Posting rows -> distinct alive doc ids; reads ONLY the

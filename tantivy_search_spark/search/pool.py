@@ -1,0 +1,140 @@
+"""Multi-process search pool over the embedded (Spark-free) reader.
+
+The reference serves concurrent point queries from a shared rayon
+search pool inside one process (feature ``use-shared-search-pool``,
+src/search/implements/api_common/api_load_index_reader.rs:38-54).  The
+Python analog is a pool of worker *processes*, each holding an embedded
+``SearchIndex.open_local`` reader: numpy scoring releases little of the
+GIL at point-query sizes, so threads would serialize — processes
+restore the reference's N-way concurrency.
+
+Two modes, picked automatically:
+
+* **fork** (no live JVM in this process): workers inherit the parent's
+  already-warmed decoded-postings/stats caches copy-on-write — zero
+  per-worker warmup cost, shared physical memory for the hot term
+  cache.  Forking a PySpark driver is unsafe (children would share the
+  py4j socket), so this mode is only chosen when no SparkContext is
+  active.
+* **spawn** (a SparkSession exists here): each worker opens its own
+  embedded reader from disk and warms lazily.  The OS page cache still
+  shares the underlying parquet bytes.  Standard spawn semantics
+  apply: the creating script's module-level code re-runs in each
+  worker, so a driver script that builds its SparkSession at top
+  level MUST guard it with ``if __name__ == "__main__":`` (otherwise
+  every worker tries to start a JVM and the pool deadlocks —
+  exactly the standard multiprocessing requirement).
+
+Results are identical to sequential ``bm25_search_local`` calls
+(pinned by tests/test_pool.py).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+from typing import Any
+
+# worker-global embedded reader (set by the initializer; in fork mode it
+# may already be the parent's warmed instance)
+_WORKER_INDEX = None
+_WORKER_KWARGS: dict[str, Any] = {}
+
+
+def _init_worker(index_path: str | None, search_kwargs: dict) -> None:
+    """Fork mode passes index_path=None (the reader was inherited);
+    spawn mode opens a fresh embedded reader per worker."""
+    global _WORKER_INDEX, _WORKER_KWARGS
+    _WORKER_KWARGS = search_kwargs
+    if _WORKER_INDEX is None and index_path is not None:
+        from tantivy_search_spark.search.engine import SearchIndex
+        _WORKER_INDEX = SearchIndex.open_local(index_path)
+
+
+def _set_fork_parent_index(ix) -> None:
+    """Fork mode: expose the parent's warmed reader as the module global
+    so children inherit it (and its caches) copy-on-write."""
+    global _WORKER_INDEX
+    _WORKER_INDEX = ix
+
+
+def _worker_search(sentence: str) -> list[tuple[int, float]]:
+    return _WORKER_INDEX.bm25_search_local(sentence, **_WORKER_KWARGS)
+
+
+class SearchPool:
+    """N-way concurrent BM25 point-query service over one index.
+
+    >>> pool = SearchPool("/path/to/index", processes=16,
+    ...                   top_k=10, operator_or=False)
+    >>> results = pool.search_batch(["spark join", ...])
+    >>> pool.close()
+
+    ``search_kwargs`` (top_k / operator_or / enable_nlq / use_wand /
+    statistics / column_names) are fixed per pool — they ship to the
+    workers once at startup, keeping the per-query payload to the query
+    string itself.
+    """
+
+    def __init__(self, index_path: str, processes: int | None = None,
+                 warm_queries: list[str] | None = None,
+                 **search_kwargs: Any):
+        self.index_path = index_path
+        self.processes = processes or (os.cpu_count() or 4)
+        self.search_kwargs = search_kwargs
+        self._fork = self._fork_safe()
+        if self._fork:
+            from tantivy_search_spark.search.engine import SearchIndex
+            parent_ix = SearchIndex.open_local(index_path)
+            if warm_queries:
+                for q in warm_queries:
+                    parent_ix.bm25_search_local(q, **search_kwargs)
+            _set_fork_parent_index(parent_ix)
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                self.processes, initializer=_init_worker,
+                initargs=(None, search_kwargs))
+            # the parent's reference stays alive for the pool's lifetime
+            self._parent_ix = parent_ix
+        else:
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.processes, initializer=_init_worker,
+                initargs=(index_path, search_kwargs))
+            self._parent_ix = None
+            if warm_queries:
+                # run the warm set once so every worker faults in its terms
+                for _ in range(self.processes):
+                    self.search_batch(warm_queries)
+
+    @staticmethod
+    def _fork_safe() -> bool:
+        if not hasattr(os, "fork"):
+            return False
+        try:
+            from pyspark import SparkContext
+            return SparkContext._active_spark_context is None
+        except Exception:
+            return True
+
+    def search_batch(self, sentences: list[str],
+                     chunksize: int | None = None
+                     ) -> list[list[tuple[int, float]]]:
+        """Run every query across the pool; results in input order."""
+        if not sentences:
+            return []
+        cs = chunksize or max(1, len(sentences) // (self.processes * 4))
+        return self._pool.map(_worker_search, sentences, chunksize=cs)
+
+    def close(self) -> None:
+        self._pool.close()
+        self._pool.join()
+        if self._parent_ix is not None:
+            self._parent_ix.close()
+            _set_fork_parent_index(None)
+
+    def __enter__(self) -> "SearchPool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
