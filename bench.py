@@ -106,6 +106,20 @@ def main() -> None:
     local_secs = time.time() - t0
     timings["bm25_local_200q"] = round(local_secs, 3)
 
+    # ---- multi-process search pool (reference shared-search-pool shape) ---
+    from tantivy_search_spark.search.pool import SearchPool
+
+    pool_sentences = [s for s, _ in BM25_QUERIES]
+    pool_n = 2000
+    workload = [pool_sentences[i % len(pool_sentences)]
+                for i in range(pool_n)]
+    with SearchPool(idx_path, processes=8, warm_queries=pool_sentences,
+                    top_k=10, operator_or=True) as sp:
+        sp.search_batch(workload[:256])  # ensure every worker is up+warm
+        t0 = time.time()
+        sp.search_batch(workload)
+        timings["bm25_pool8_2000q"] = round(time.time() - t0, 3)
+
     # ---- batch query throughput (one Spark job for the whole workload) ----
     batch = [(s, o) for s, o in BM25_QUERIES] * 20  # 100 queries
     ix.bm25_search_batch(batch, top_k=10).collect()  # warm
@@ -192,6 +206,7 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_secs, 1),
         "bm25_top10_p50_ms": round(timings["bm25_top10_p50"] * 1000, 1),
         "bm25_local_qps": round(200 / timings["bm25_local_200q"], 1),
+        "bm25_pool_qps": round(2000 / timings["bm25_pool8_2000q"], 1),
     }
     print(json.dumps(out))
     spark.stop()
