@@ -210,6 +210,26 @@ def _q_bm25_wand(spark, sf_dir):
     return out.select("row_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25_embedded(spark, sf_dir):
+    """Round-3 embedded tier (reference deployment shape: in-process
+    engine behind FFI, src/search/implements/api_myscale_local.rs): the
+    same on-disk index opened with SearchIndex.open_local — NO
+    SparkSession involved in answering — served from the pyarrow
+    in-process path, lifted into a DataFrame only for the driver
+    compare.  Oracle-checked row-for-row against the same BM25 SQL as
+    every distributed path."""
+    ix = _index(spark, sf_dir)  # ensure the index exists on disk
+    emb = SearchIndex.open_local(ix.index_path)
+    try:
+        hits = emb.bm25_search_local(
+            BM25_SENTENCE, operator_or=True, top_k=1_000_000)
+    finally:
+        emb.close()
+    df = spark.createDataFrame(
+        [(int(r), float(s)) for r, s in hits], "row_id long, score double")
+    return df.select("row_id", F.round("score", 4).alias("score"))
+
+
 def _q_bm25_wand_multicol(spark, sf_dir):
     """Round-3 WAND extension: a multi-column OR tree routed through the
     block-max scorer (per-column bounds/norms), oracle-checked against
@@ -675,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": _q_bm25_filtered,
         "bm25_batch": _q_bm25_batch,
         "bm25_wand": _q_bm25_wand,
+        "bm25_embedded": _q_bm25_embedded,
         "bm25_wand_multicol": _q_bm25_wand_multicol,
         "bm25_wand_nlq": _q_bm25_wand_nlq,
         "doc_freq": _q_doc_freq,
@@ -1130,6 +1151,7 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
         "bm25_and": _bm25_oracle(True),
         "bm25_filtered": _bm25_oracle(False, alive_filter="WHERE t.doc_id % 3 = 0"),
         "bm25_wand": _bm25_oracle(False),
+        "bm25_embedded": _bm25_oracle(False),
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, * FROM ("
             + _bm25_oracle(not op_or, tokens=s.split()) + ")"
