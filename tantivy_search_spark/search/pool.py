@@ -58,8 +58,15 @@ def _set_fork_parent_index(ix) -> None:
     _WORKER_INDEX = ix
 
 
-def _worker_search(sentence: str) -> list[tuple[int, float]]:
-    return _WORKER_INDEX.bm25_search_local(sentence, **_WORKER_KWARGS)
+def _worker_search(item) -> list[tuple[int, float]]:
+    """item is a sentence, or (sentence, overrides-dict) for per-query
+    options (the FFI surface takes per-call flags; so does the pool)."""
+    if isinstance(item, tuple):
+        sentence, overrides = item
+        kw = {**_WORKER_KWARGS, **overrides}
+    else:
+        sentence, kw = item, _WORKER_KWARGS
+    return _WORKER_INDEX.bm25_search_local(sentence, **kw)
 
 
 class SearchPool:
@@ -82,10 +89,16 @@ class SearchPool:
         self.index_path = index_path
         self.processes = processes or (os.cpu_count() or 4)
         self.search_kwargs = search_kwargs
+        self._warm_queries = warm_queries
+        self._start()
+
+    def _start(self) -> None:
+        warm_queries = self._warm_queries
+        search_kwargs = self.search_kwargs
         self._fork = self._fork_safe()
         if self._fork:
             from tantivy_search_spark.search.engine import SearchIndex
-            parent_ix = SearchIndex.open_local(index_path)
+            parent_ix = SearchIndex.open_local(self.index_path)
             if warm_queries:
                 for q in warm_queries:
                     parent_ix.bm25_search_local(q, **search_kwargs)
@@ -100,7 +113,7 @@ class SearchPool:
             ctx = mp.get_context("spawn")
             self._pool = ctx.Pool(
                 self.processes, initializer=_init_worker,
-                initargs=(index_path, search_kwargs))
+                initargs=(self.index_path, search_kwargs))
             self._parent_ix = None
             if warm_queries:
                 # run the warm set once so every worker faults in its terms
@@ -117,21 +130,40 @@ class SearchPool:
         except Exception:
             return True
 
-    def search_batch(self, sentences: list[str],
+    def search_batch(self, sentences: list,
                      chunksize: int | None = None
                      ) -> list[list[tuple[int, float]]]:
-        """Run every query across the pool; results in input order."""
+        """Run every query across the pool; results in input order.
+
+        Each element is a sentence string, or a ``(sentence,
+        overrides)`` tuple whose dict overrides the pool-level
+        ``search_kwargs`` for that one query (e.g. ``("a b",
+        {"operator_or": True, "top_k": 100})``)."""
         if not sentences:
             return []
         cs = chunksize or max(1, len(sentences) // (self.processes * 4))
         return self._pool.map(_worker_search, sentences, chunksize=cs)
 
-    def close(self) -> None:
+    def reload(self) -> None:
+        """Reader reload on commit (reference B5/Q14 semantics for the
+        pool tier): after an append/delete commit to the index, make
+        every worker see the new segments.  Implemented as a clean
+        restart — fork mode re-opens and re-warms the parent reader so
+        children again share its caches copy-on-write; spawn workers
+        re-open from disk."""
+        self._shutdown()
+        self._start()
+
+    def _shutdown(self) -> None:
         self._pool.close()
         self._pool.join()
         if self._parent_ix is not None:
             self._parent_ix.close()
             _set_fork_parent_index(None)
+            self._parent_ix = None
+
+    def close(self) -> None:
+        self._shutdown()
 
     def __enter__(self) -> "SearchPool":
         return self

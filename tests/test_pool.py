@@ -138,6 +138,57 @@ class TestSearchPool:
         assert [[(r, round(s, 4)) for r, s in row] for row in got] == \
                [[(r, round(s, 4)) for r, s in row] for row in want]
 
+    def test_per_query_overrides(self, corpus_a_index, local_ix):
+        """(sentence, overrides) items override the pool defaults for
+        that query only — matching per-call FFI flags."""
+        from tantivy_search_spark.search.pool import SearchPool
+
+        items = [
+            "ancient",                                  # pool default: AND
+            ("ancient rise fall", {"operator_or": True}),
+            ("moral horizons", {"operator_or": True, "top_k": 2}),
+        ]
+        with SearchPool(corpus_a_index.index_path, processes=2,
+                        top_k=5, operator_or=False) as pool:
+            got = pool.search_batch(items)
+        want = [
+            local_ix.bm25_search_local("ancient", top_k=5,
+                                       operator_or=False),
+            local_ix.bm25_search_local("ancient rise fall", top_k=5,
+                                       operator_or=True),
+            local_ix.bm25_search_local("moral horizons", top_k=2,
+                                       operator_or=True),
+        ]
+        assert [[(r, round(s, 4)) for r, s in row] for row in got] == \
+               [[(r, round(s, 4)) for r, s in row] for row in want]
+
+    def test_reload_sees_commits(self, spark, tmp_path):
+        """pool.reload() after a delete commit: every worker re-opens
+        and the tombstoned doc disappears from pool results."""
+        from corpora import corpus_a_rows
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+        from tantivy_search_spark.search.pool import SearchPool
+
+        path = str(tmp_path / "idx_pool_reload")
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        cfg.n_buckets = 4
+        IndexBuilder(spark, path, cfg).build(
+            spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+
+        with SearchPool(path, processes=2, top_k=10,
+                        operator_or=True) as pool:
+            before = {r for r, _ in pool.search_batch(["ancient"])[0]}
+            victim = max(before)
+            ix = SearchIndex(spark, path)
+            assert ix.delete_row_ids([victim])
+            ix.close()
+            # workers still hold the old reader until reload
+            pool.reload()
+            after = {r for r, _ in pool.search_batch(["ancient"])[0]}
+        assert victim in before and victim not in after
+
     def test_fork_pool_in_spark_free_process(self, corpus_a_index, local_ix):
         """Fork mode (the reference's shared-pool shape: workers inherit
         the parent's warmed caches) only engages with no live JVM — run
