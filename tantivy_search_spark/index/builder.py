@@ -245,6 +245,90 @@ def _segment_builder(cfg_json: str):
     return build_part
 
 
+def _segment_builder_stream(cfg_json: str):
+    """mapInPandas fn: the shuffle-FREE segments stage.
+
+    ``groupBy(part_id).applyInPandas`` moves the whole corpus text
+    through an Exchange — at 100 TB that shuffle is the build's
+    dominant byte-mover, and on bandwidth-capped hosts it is what
+    breaks N->4N scaling.  When every input partition holds doc_ids in
+    non-decreasing order over non-overlapping ranges (true for the
+    builder's own staged-id table, for range-partitioned/ordered
+    parquet, and for generated corpora), the grouping can happen
+    inside each partition instead: stream the Arrow batches, cut at
+    part_id boundaries, and emit fragments with zero shuffle.
+
+    A part that straddles two input partitions simply yields two
+    fragment rows with the same part_id over consecutive disjoint doc
+    ranges — every reader treats posting rows independently, merge
+    (_merger) and compact (_compactor) order rows by first doc id, and
+    lineage aggregates by part_id, so split parts are indistinguishable
+    from append parts.
+
+    Ordering handling: Spark packs multiple files into one read
+    partition (ordered by size, not range) and the Arrow runner
+    REBATCHES rows across file boundaries, so a task's stream is a
+    sequence of monotonic runs, not one sorted sequence.  The stage
+    splits every batch at doc_id decreases and treats each decrease as
+    a run boundary (flush + restart) — correct whenever runs cover
+    disjoint doc ranges, which an ordered parquet write guarantees
+    (distinct files never overlap).  Genuinely unordered input is
+    caught by the per-task overlap guard: a part re-appearing with a
+    doc id not above what was already flushed for it raises instead of
+    emitting overlapping fragment ranges.
+    """
+    build_part = _segment_builder(cfg_json)
+
+    def stream(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        buf: list[pd.DataFrame] = []
+        cur_part = None
+        last_doc = None
+        flushed_max: dict[int, int] = {}
+
+        def flush():
+            pdf_all = pd.concat(buf, ignore_index=True)
+            part = int(cur_part)
+            lo = int(pdf_all["doc_id"].min())
+            hi = int(pdf_all["doc_id"].max())
+            if part in flushed_max and lo <= flushed_max[part]:
+                raise ValueError(
+                    "shuffle-free segments stage saw interleaved doc "
+                    f"ranges for part {part} (doc {lo} after flushing "
+                    f"up to {flushed_max[part]}) — the input is not "
+                    "ordered; build with segment_shuffle='group' for "
+                    "arbitrary layouts")
+            flushed_max[part] = max(flushed_max.get(part, -1), hi)
+            return build_part(pdf_all)
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            # split the (possibly rebatched-across-files) batch into
+            # monotonic runs
+            breaks = (np.flatnonzero(np.diff(ids) < 0) + 1).tolist()
+            for s, e in zip([0] + breaks, breaks + [len(pdf)]):
+                seg = pdf.iloc[s:e]
+                if last_doc is not None and int(ids[s]) < last_doc:
+                    if buf:
+                        yield flush()
+                        buf = []
+                    cur_part = None
+                last_doc = int(ids[e - 1])
+                for part, sub in seg.groupby("part_id", sort=True):
+                    if cur_part is None:
+                        cur_part = part
+                    if part != cur_part:
+                        yield flush()
+                        buf = []
+                        cur_part = part
+                    buf.append(sub)
+        if buf:
+            yield flush()
+
+    return stream
+
+
 def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
     """Grouped-map fn: all fragments of (col, term, shard) -> merged rows.
 
@@ -256,7 +340,14 @@ def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
     bs = cfg.block_size
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("part_id")
+        # order fragments by their actual first doc id, not part_id:
+        # the shuffle-free segments stage may emit two fragments for a
+        # part split across input partitions (same part_id, disjoint
+        # consecutive doc ranges), and ties under a part_id sort would
+        # interleave the runs
+        pdf = pdf.assign(
+            _first=pdf["block_first"].map(lambda a: int(a[0]) if len(a) else -1)
+        ).sort_values("_first")
         return _concat_rows_to_subs(pdf, bs, max_postings_per_sub)
 
     return merge_group
@@ -346,7 +437,8 @@ class IndexBuilder:
     """Reference B1/B2 ``create_index*`` + B4/B5 build/commit + B8 merge."""
 
     def __init__(self, spark: SparkSession, index_path: str, config: IndexConfig,
-                 rows_per_part: int = 250_000, durable_ids: bool = False):
+                 rows_per_part: int = 250_000, durable_ids: bool = False,
+                 segment_shuffle: str = "auto"):
         self.spark = spark
         self.index_path = index_path
         self.config = config
@@ -356,6 +448,16 @@ class IndexBuilder:
         #: staged (assign_doc_ids_staged) — survives executor loss on a
         #: real cluster; pick True for long multi-executor builds
         self.durable_ids = durable_ids
+        #: segments-stage execution: "group" shuffles the corpus text by
+        #: part_id (works for any input layout); "stream" cuts parts
+        #: inside each input partition with ZERO shuffle (requires
+        #: doc_id non-decreasing per partition over non-overlapping
+        #: ranges — enforced at runtime); "auto" picks "stream" exactly
+        #: when the builder staged the ids itself (id_col=None), whose
+        #: ordered parquet guarantees the contract
+        if segment_shuffle not in ("auto", "group", "stream"):
+            raise ValueError(f"segment_shuffle: {segment_shuffle!r}")
+        self.segment_shuffle = segment_shuffle
 
     # -- checkpoint helpers -------------------------------------------------
     def _ckpt_path(self, name: str) -> str:
@@ -476,9 +578,18 @@ class IndexBuilder:
                 (F.col("doc_id") >= lo * self.rows_per_part)
                 & (F.col("doc_id") < hi * self.rows_per_part)
             ).select("part_id", "doc_id", *self.config.columns)
-            frags = chunk_df.groupBy("part_id").applyInPandas(
-                _segment_builder(cfg_json), layout.SEGMENTS_SCHEMA
-            )
+            use_stream = (self.segment_shuffle == "stream"
+                          or (self.segment_shuffle == "auto"
+                              and id_col is None))
+            if use_stream:
+                # zero-shuffle: parts cut inside each (ordered) input
+                # partition; see _segment_builder_stream
+                frags = chunk_df.mapInPandas(
+                    _segment_builder_stream(cfg_json),
+                    layout.SEGMENTS_SCHEMA)
+            else:
+                frags = chunk_df.groupBy("part_id").applyInPandas(
+                    _segment_builder(cfg_json), layout.SEGMENTS_SCHEMA)
             frags.write.mode("overwrite").parquet(
                 os.path.join(seg_path, f"chunk={ci}")
             )
