@@ -303,6 +303,20 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2,
+                                    threshold=0.01)
+    return dedup.connected_components(pairs)
+
+
+def _q_dedup_assign(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2,
+                                    threshold=0.01)
+    return dedup.dedup_assign(docs, pairs)
+
+
 def _q_simhash_sigs(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir), bits=60)
 
@@ -705,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_sigs": _q_minhash_sigs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dedup_components": _q_dedup_components,
+        "dedup_assign": _q_dedup_assign,
         "simhash_sigs": _q_simhash_sigs,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_knn": _q_cosine_knn,
@@ -1175,6 +1191,34 @@ FROM g JOIN gr USING (content_md5)""",
         "jaccard_pairs": jacc.format(thr=0.02),
         "minhash_sigs": minhash_sig,
         "minhash_lsh_pairs": minhash_lsh,
+        # transitive closure over the SAME pair set the Spark side feeds
+        # connected_components: reachability by recursive CTE, component
+        # id = min(node, all reachable nodes)
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS ({minhash_lsh}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+         FROM reach GROUP BY u)
+SELECT doc_id, component_id FROM comp""",
+        "dedup_assign": f"""
+WITH RECURSIVE pairs AS ({minhash_lsh}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+         FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS cluster_id,
+       coalesce(c.component_id, d.doc_id) <> d.doc_id AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""",
         "simhash_sigs": simhash_sig,
         "simhash_pairs": simhash_pairs,
         "cosine_knn": cosine_knn,

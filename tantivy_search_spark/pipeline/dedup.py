@@ -17,6 +17,12 @@ Operators:
 * simhash_signatures    — 60-bit weighted simhash per doc
 * simhash_pairs         — near-dup pairs within a Hamming radius using
                           chunk-blocking (pigeonhole) + bit_count verify
+* connected_components  — pairs -> transitive duplicate clusters
+                          (alternating large-star/small-star, O(log n)
+                          shuffle rounds)
+* dedup_assign          — per-document (cluster_id, is_duplicate)
+                          verdict; filter ~is_duplicate for the
+                          deduplicated corpus
 """
 
 from __future__ import annotations
@@ -395,6 +401,132 @@ def simhash_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, component_id) for every node that appears in ``pairs``;
+    component_id = the smallest doc_id in the node's connected component.
+
+    This is the missing last stage of fuzzy dedup: the pair generators
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs) emit
+    *edges*, but a pipeline needs *clusters* — transitively, if A~B and
+    B~C then A,B,C are one duplicate group even when A~C was never a
+    candidate pair.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-native CC formulation.  Each round is two
+    groupBy-min shuffles over the current edge set; the edge set only
+    shrinks toward stars, and convergence takes O(log^2 n) rounds
+    (2 rounds for typical near-dup clusters, which are cliques or
+    near-cliques already).  No driver-side iteration over data: the
+    driver sees one (count, checksum) pair per round.  Lineage is
+    truncated every round with an eager localCheckpoint (on a real
+    cluster prefer sc.setCheckpointDir + .checkpoint() for
+    executor-loss resilience; the algorithm is identical).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a).cast("long").alias("u"),
+                     F.col(b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.isEmpty():
+        return spark.createDataFrame([], "doc_id long, component_id long")
+
+    for _ in range(max_iter):
+        if _is_star(edges):
+            break
+        # large-star: every neighbor v > u links to min(Gamma(u) + {u})
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"),
+                    F.greatest("v", "m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges high -> low; every low neighbor (and
+        # the high node itself) links to the minimum low neighbor
+        directed = ls.select(F.col("v").alias("hi"), F.col("u").alias("lo"))
+        smins = directed.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = directed.join(smins, "hi")
+        ss = (
+            j.where(F.col("lo") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("lo").alias("v"))
+            .union(j.select(F.col("m").alias("u"), F.col("hi").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev, edges = edges, ss
+        prev.unpersist(blocking=False)
+    else:
+        if not _is_star(edges):
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "large/small-star rounds")
+    # converged edge set is a union of stars (u = component min); every
+    # node appears either as a member (v side) or as a root (u side)
+    labels = (
+        edges.select(F.col("v").alias("doc_id"), F.col("u").alias("cid"))
+        .union(edges.select(F.col("u").alias("doc_id"),
+                            F.col("u").alias("cid")))
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("component_id"))
+    )
+    return labels
+
+
+def _is_star(edges: DataFrame) -> bool:
+    """True when the (u<v canonical) edge set is a disjoint union of
+    stars rooted at each component's minimum: every high endpoint
+    appears in exactly one edge and never as a low endpoint (otherwise
+    a chain like 1-2, 2-3 or an inverted star like 1-3, 2-3 remains
+    and another large/small-star round is needed)."""
+    bad = (
+        edges.select(F.col("v").alias("n"))
+        .groupBy("n").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+        .union(
+            edges.alias("x")
+            .join(edges.alias("y"), F.col("x.v") == F.col("y.u"), "inner")
+            .select(F.col("x.v").alias("n"), F.lit(2).alias("c"))
+        )
+    )
+    return bad.isEmpty()
+
+
+def dedup_assign(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    a: str = "a", b: str = "b",
+) -> DataFrame:
+    """Per-document dedup verdict from a candidate-pair set: (doc_id,
+    cluster_id, is_duplicate) where cluster_id is the smallest doc_id of
+    the document's transitive near-dup cluster (itself when unique) and
+    the cluster's minimum is the canonical survivor.
+
+    Equi-join of the corpus against the (small) component map; filter
+    ``~is_duplicate`` to materialize the deduplicated corpus in the same
+    Catalyst plan as downstream curation."""
+    comp = connected_components(pairs, a=a, b=b)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("component_id", "doc_id") != F.col("doc_id"))
+            .alias("is_duplicate"),
+        )
     )
 
 
