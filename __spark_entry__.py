@@ -338,6 +338,12 @@ def _q_cosine_dedup(spark, sf_dir):
     ).select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_embedding_lsh_pairs(spark, sf_dir):
+    return dedup.embedding_lsh_pairs(
+        _emb(spark, sf_dir), threshold=0.30
+    ).select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
@@ -725,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_knn": _q_cosine_knn,
         "cosine_dedup": _q_cosine_dedup,
+        "embedding_lsh_pairs": _q_embedding_lsh_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "token_count": _q_token_count,
@@ -1223,6 +1230,39 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""",
         "simhash_pairs": simhash_pairs,
         "cosine_knn": cosine_knn,
         "cosine_dedup": cosine_dedup,
+        # embedding_lsh_pairs: same md5-parity hyperplane family and
+        # fixed-point bucket bits as ann_lsh, with a pair self-join on
+        # (table, bucket) instead of a query probe, then exact cosine
+        "embedding_lsh_pairs": """
+WITH planes AS (
+  SELECT t.t, p.p, d.d,
+         CASE WHEN CAST(concat('0x', substr(md5('42:' || t.t || ':' || p.p || ':' || d.d), 1, 15)) AS BIGINT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 8) t(t), range(0, 8) p(p), range(0, 64) d(d)),
+bits AS (
+  SELECT v.vec_id, pl.t, pl.p,
+         sum(floor(CAST(v.embedding[pl.d + 1] AS DOUBLE) * 1000000.0) * pl.s) > 0 AS bit
+  FROM embeddings v CROSS JOIN planes pl
+  GROUP BY v.vec_id, pl.t, pl.p),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN bit THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+  FROM bits GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id),
+nv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings)
+SELECT cand.a, cand.b,
+       round(list_sum(list_transform(range(1, len(na.embedding) + 1),
+             i -> na.embedding[i] * nb.embedding[i])) / (na.nrm * nb.nrm), 6) AS cosine
+FROM cand JOIN nv na ON na.vec_id = cand.a
+          JOIN nv nb ON nb.vec_id = cand.b
+WHERE list_sum(list_transform(range(1, len(na.embedding) + 1),
+      i -> na.embedding[i] * nb.embedding[i])) / (na.nrm * nb.nrm) >= 0.30""",
         "ann_lsh_topk": ann_lsh,
         "ann_ivf_topk": ann_ivf,
         "token_count": f"""

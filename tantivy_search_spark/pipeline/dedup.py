@@ -23,6 +23,10 @@ Operators:
 * dedup_assign          — per-document (cluster_id, is_duplicate)
                           verdict; filter ~is_duplicate for the
                           deduplicated corpus
+* embedding_lsh_pairs   — embedding near-dup pairs via sign-LSH bucket
+                          self-join + exact cosine verify (the scale
+                          tier; embedding_cosine_pairs is the O(n^2)
+                          verification tier)
 """
 
 from __future__ import annotations
@@ -527,6 +531,61 @@ def dedup_assign(
             (F.coalesce("component_id", "doc_id") != F.col("doc_id"))
             .alias("is_duplicate"),
         )
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
+    seed: int = 42, dim: int = 64, family: str = "md5",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: sign-LSH bucketed candidates +
+    exact cosine verification — the candidate tier that replaces
+    embedding_cosine_pairs' O(n^2) join on full corpora.
+
+    A near-dup pair (angle theta ~ 0) collides in one table unless a
+    hyperplane separates the two vectors: per-table collision
+    probability is (1 - theta/pi)^n_planes, and n_tables independent
+    tables make a miss exponentially unlikely for tiny angles.  Same
+    shuffle diet as minhash_lsh_pairs / similarity.lsh_topk: the bucket
+    self-join carries (vec_id, table, bucket) only — never an embedding
+    — and embeddings join in exactly once, after candidate dedup.  With
+    the default md5 hyperplane family the whole operator (bucket bits ->
+    candidates -> exact cosine) replays bit-for-bit in ANSI SQL.
+    """
+    from . import similarity
+
+    b = similarity.lsh_buckets(
+        emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, dim=dim, carry_vector=False,
+        family=family)
+    _swap_persisted_pool()
+    b = _track_persist(b.persist())
+    cand = (
+        b.alias("x").join(b.alias("y"), ["table", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    withn = emb.select(
+        F.col(id_col).alias("vid"), dv.alias("v"),
+        F.sqrt(F.aggregate(dv, F.lit(0.0),
+                           lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(withn.select(F.col("vid").alias("a"),
+                               F.col("v").alias("va"),
+                               F.col("nrm").alias("na")), "a")
+        .join(withn.select(F.col("vid").alias("b"),
+                           F.col("v").alias("vb"),
+                           F.col("nrm").alias("nb")), "b")
+        .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )
 
 

@@ -107,6 +107,20 @@ class TestDedup:
         pairs = embedding_cosine_pairs(emb, threshold=0.95).toPandas()
         assert ((pairs["a"] == 0) & (pairs["b"] == 50)).any()
 
+    def test_embedding_lsh_pairs(self, emb):
+        from tantivy_search_spark.pipeline.dedup import (
+            embedding_cosine_pairs, embedding_lsh_pairs)
+        lsh = embedding_lsh_pairs(emb, threshold=0.95, n_planes=6,
+                                  n_tables=10, dim=16).toPandas()
+        # the planted near-dup (cosine ~ 0.999, theta ~ 0) must collide
+        assert ((lsh["a"] == 0) & (lsh["b"] == 50)).any()
+        # LSH pairs are a subset of the exact O(n^2) tier at the same
+        # threshold, with identical cosines on the shared pairs
+        exact = embedding_cosine_pairs(emb, threshold=0.95).toPandas()
+        e = {(r.a, r.b): round(r.cosine, 6) for r in exact.itertuples()}
+        for r in lsh.itertuples():
+            assert (r.a, r.b) in e and round(r.cosine, 6) == e[(r.a, r.b)]
+
 
 class TestSimilarity:
     def test_brute_force_exact(self, emb):
