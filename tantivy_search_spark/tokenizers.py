@@ -221,19 +221,126 @@ def _icu_graphemes(text: str) -> list[str]:
     return out
 
 
+#: sentence terminators: UAX#29 STerm plus the ATerm full stops
+_STERM = set("!?‼⁇⁈⁉。！？｡…")
+_CLOSERS = set("\"'’”』」)]}»›")
+
+
+def _icu_sentences(text: str) -> list[str]:
+    """UAX#29-approximate sentence segmentation (the `sentence` mode of
+    the reference's IcuTokenizer, icu/tokenizer.rs:42-45).  Matches
+    ICU's SentenceSegmenter on the common rules: a sentence ends after a
+    terminator (STerm, or '.' as ATerm) plus any closing quotes/brackets
+    and the following spaces (trailing spaces belong to the PRECEDING
+    segment, as in ICU); paragraph separators are mandatory breaks.
+    DOCUMENTED APPROXIMATION: the suppression rules are the big ones
+    only — '.' does not break before a lowercase continuation (SB8) or
+    inside a number like 3.4 (SB6/7); ICU's full abbreviation handling
+    (locale suppression lists) is absent."""
+    out: list[str] = []
+    i, start, n = 0, 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in "\r\n  ":
+            j = i + 1
+            if c == "\r" and j < n and text[j] == "\n":
+                j += 1
+            out.append(text[start:j])
+            start = i = j
+            continue
+        if c in _STERM or c == ".":
+            j = i + 1
+            while j < n and (text[j] in _STERM or text[j] == "."):
+                j += 1
+            while j < n and text[j] in _CLOSERS:
+                j += 1
+            k = j
+            while k < n and text[k] in " \t":
+                k += 1
+            if c == "." and j == i + 1:
+                nxt = text[j] if j < n else ""
+                # SB6/7: 3.4 stays one sentence; SB8: ". word" with a
+                # lowercase continuation does not break
+                if nxt and k == j and (nxt.isdigit() or nxt.isalpha()):
+                    i = j
+                    continue
+                if k < n and text[k].islower():
+                    i = k
+                    continue
+            out.append(text[start:k])
+            start = i = k
+            continue
+        i += 1
+    if start < n:
+        out.append(text[start:n])
+    return out
+
+
+def _icu_lines(text: str) -> list[str]:
+    """UAX#14-approximate line-break segmentation (the `line` mode of
+    the reference's IcuTokenizer, icu/tokenizer.rs:39-41): break
+    opportunities after a whitespace run (spaces attach to the
+    preceding segment), after an intra-word hyphen, around CJK
+    ideographs and kana (each its own opportunity), mandatory at
+    newlines.  DOCUMENTED APPROXIMATION: ICU's non-starter kana rules
+    (small forms, prolonged-sound marks) and the auto (dictionary/LSTM)
+    refinements are absent."""
+    out: list[str] = []
+    i, start, n = 0, 0, len(text)
+
+    def flush(upto: int) -> None:
+        nonlocal start
+        if start < upto:
+            out.append(text[start:upto])
+        start = upto
+
+    while i < n:
+        c = text[i]
+        if c in "\r\n  ":
+            j = i + 1
+            if c == "\r" and j < n and text[j] == "\n":
+                j += 1
+            out.append(text[start:j])
+            start = i = j
+            continue
+        if c in " \t":
+            j = i
+            while j < n and text[j] in " \t":
+                j += 1
+            if j < n:
+                flush(j)
+            i = j
+            continue
+        if c == "-" and i + 1 < n and text[i + 1].isalnum():
+            flush(i + 1)
+            i += 1
+            continue
+        if _is_han(c) or _is_hiragana(c) or _is_katakana(c):
+            flush(i)
+            flush(i + 1)
+            i += 1
+            continue
+        i += 1
+    if start < n:
+        out.append(text[start:n])
+    return out
+
+
+_ICU_SEGMENTERS = {
+    "word": _icu_words,
+    "grapheme": _icu_graphemes,
+    "sentence": _icu_sentences,
+    "line": _icu_lines,
+}
+
+
 def _icu_analyzer(mode: str, stop_word_filters, stem_languages,
                   case_sensitive: bool) -> Callable[[str], list[str]]:
     """Reference `icu` chain (parser.rs icu arm: IcuTokenizer +
-    stop-word filters + stemmers + LowerCaser), with the segmenter
-    approximated in pure Python (no PyICU in this environment; the
-    approximation is documented per mode and in COVERAGE.md).
-    `sentence` and `line` modes need real ICU break data and raise."""
-    if mode in ("sentence", "line"):
-        raise NotImplementedError(
-            f"icu mode='{mode}' needs ICU break iteration data (PyICU "
-            "absent); word/grapheme modes are approximated in pure "
-            "Python — COVERAGE.md")
-    segment = _icu_graphemes if mode == "grapheme" else _icu_words
+    stop-word filters + stemmers + LowerCaser), with every segmenter
+    mode approximated in pure Python (no PyICU in this environment; the
+    approximation is documented per mode and in COVERAGE.md)."""
+    segment = _ICU_SEGMENTERS[mode]
     stop = _resolve_stop_set(stop_word_filters)
     stemmers = []
     for lang in stem_languages:

@@ -283,10 +283,37 @@ class TestIcuTokenizer:
         assert an(decomposed) == [unicodedata.normalize("NFD", "é"),
                                   "x", "月"]
 
-    def test_sentence_line_modes_raise_clearly(self):
-        for mode in ("sentence", "line"):
-            with pytest.raises(NotImplementedError, match="ICU break"):
-                build_analyzer("icu", mode=mode)
+    def test_sentence_mode(self):
+        from tantivy_search_spark.tokenizers import _icu_sentences
+        # trailing spaces belong to the preceding sentence (ICU
+        # SentenceSegmenter semantics); terminator+closer runs stay in
+        assert _icu_sentences("Hello there. How are you? Fine!") == \
+            ["Hello there. ", "How are you? ", "Fine!"]
+        assert _icu_sentences('She said "stop!" Then left.') == \
+            ['She said "stop!" ', "Then left."]
+        # SB6/SB8 suppressions: numbers and lowercase continuations
+        assert _icu_sentences("pi is 3.14 about. done") == \
+            ["pi is 3.14 about. done"]
+        # newline is a mandatory break
+        assert _icu_sentences("one\ntwo") == ["one\n", "two"]
+
+    def test_sentence_mode_chain(self):
+        an = build_analyzer("icu", mode="sentence")
+        # nonsense strip drops all-punct segments; LowerCaser applies
+        assert an("Hello there. How are you?") == \
+            ["hello there. ", "how are you?"]
+
+    def test_line_mode(self):
+        from tantivy_search_spark.tokenizers import _icu_lines
+        # break opportunities after space runs (spaces attach left),
+        # after intra-word hyphens, around each CJK char
+        assert _icu_lines("foo bar-baz 漢字") == \
+            ["foo ", "bar-", "baz ", "漢", "字"]
+        assert _icu_lines("a  b\nc") == ["a  ", "b\n", "c"]
+
+    def test_line_mode_chain(self):
+        an = build_analyzer("icu", mode="line")
+        assert an("Tidal-locking 月") == ["tidal-", "locking ", "月"]
 
     def test_config_level_icu_builds(self):
         from tantivy_search_spark.config import IndexConfig
