@@ -667,6 +667,15 @@ def _q_curate(spark, sf_dir):
                          languages=("en",))
 
 
+def _q_curate_fuzzy(spark, sf_dir):
+    """Curation with the fuzzy stage: MinHash-LSH pairs -> connected
+    components -> only cluster minima survive."""
+    from tantivy_search_spark.pipeline.curate import curate_corpus
+    return curate_corpus(_docs(spark, sf_dir), min_quality=0.3,
+                         languages=("en",), fuzzy=True, fuzzy_n_perm=8,
+                         fuzzy_bands=2, fuzzy_threshold=0.01)
+
+
 def _q_events_windowed(spark, sf_dir):
     """Tumbling 1h event-time aggregation — the same expression runs
     under readStream + watermark (streaming/windows.py; stream==batch
@@ -764,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "multicol_bm25": _q_multicol_bm25,
         "curate_corpus": _q_curate,
+        "curate_corpus_fuzzy": _q_curate_fuzzy,
     }
 
 
@@ -1405,6 +1415,23 @@ SELECT term, count(distinct doc_id)::BIGINT AS df FROM (
         "bm25_wand_multicol": _multicol_oracle(),
         "bm25_wand_nlq": _bm25_oracle(False, tokens=["spark", "join", "window"]),
         "curate_corpus": curate,
+        # fuzzy stage: the base curation set minus non-minimum members
+        # of LSH-pair connected components (recursive transitive closure
+        # over the same pair SQL the dedup_components oracle uses)
+        "curate_corpus_fuzzy": f"""
+WITH RECURSIVE pairs AS ({minhash_lsh}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component_id
+         FROM reach GROUP BY u),
+base AS ({curate})
+SELECT base.* FROM base
+WHERE base.doc_id NOT IN (
+  SELECT doc_id FROM comp WHERE component_id <> doc_id)""",
         # rolling Rabin-Karp winnowing: Horner chain mod 2^64 in HUGEINT
         # (intermediates stay < 2^84), 63-bit mask, window-4 min,
         # distinct — value-identical to the numpy cumulative-scan path

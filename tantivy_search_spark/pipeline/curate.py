@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tantivy_search_spark.pipeline.dedup import _norm_text
+from tantivy_search_spark.pipeline.dedup import (
+    _norm_text,
+    connected_components,
+    minhash_lsh_pairs,
+)
 from tantivy_search_spark.pipeline.text import (
     lang_marker_columns,
     quality_columns,
@@ -23,6 +27,12 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.3,
     languages: tuple[str, ...] = ("en",),
+    fuzzy: bool = False,
+    fuzzy_w: int = 3,
+    fuzzy_n_perm: int = 16,
+    fuzzy_bands: int = 4,
+    fuzzy_threshold: float = 0.5,
+    fuzzy_family: str = "md5",
 ) -> DataFrame:
     """Surviving docs with their curation features.
 
@@ -31,11 +41,23 @@ def curate_corpus(
     and its marker-based language id is in ``languages``.
     Returns (doc_id, quality, pred_lang, group_size).
 
+    ``fuzzy=True`` adds near-duplicate removal: MinHash-LSH candidate
+    pairs at ``fuzzy_threshold`` Jaccard → connected components → only
+    each cluster's minimum doc_id survives.  Fuzzy clustering runs on
+    the FULL corpus (duplicates are duplicates regardless of quality),
+    so a doc whose cluster canonical fails the quality/language filters
+    is still dropped as a duplicate — document-level filters and
+    duplicate identity are independent axes, as in production
+    pretraining pipelines.
+
     Plan shape for 100 TB: quality and language are plain Column
     expressions fused into ONE corpus scan (no per-feature re-scan or
     doc_id join); the only wide operations are the dedup groupBy on the
     content hash and the group join back — and the quality/language
-    predicates filter the features side BEFORE that join.
+    predicates filter the features side BEFORE that join.  The fuzzy
+    stage adds the banded LSH self-join (ids only) and the O(log n)
+    component rounds over the (tiny) pair set, then one left-anti-style
+    join of survivors against cluster non-minima.
     """
     _, pred = lang_marker_columns(text_col)
     q = quality_columns(text_col)["quality"]
@@ -49,10 +71,20 @@ def curate_corpus(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").alias("group_size"),
     )
-    return (
+    out = (
         feats.where((F.col("quality") >= min_quality)
                     & F.col("pred_lang").isin(list(languages)))
         .join(groups, "content_md5")
         .where(F.col("doc_id") == F.col("canonical_doc_id"))
         .select("doc_id", "quality", "pred_lang", "group_size")
     )
+    if fuzzy:
+        pairs = minhash_lsh_pairs(
+            df.select("doc_id", text_col), text_col=text_col, w=fuzzy_w,
+            n_perm=fuzzy_n_perm, bands=fuzzy_bands,
+            threshold=fuzzy_threshold, family=fuzzy_family)
+        comp = connected_components(pairs)
+        dup_ids = comp.where(
+            F.col("component_id") != F.col("doc_id")).select("doc_id")
+        out = out.join(dup_ids, "doc_id", "left_anti")
+    return out

@@ -312,3 +312,24 @@ class TestCuration:
         assert out[0]["group_size"] == 2
         assert out[0]["pred_lang"] == "en"
         assert all(r["quality"] >= 0.3 for r in out.values())
+
+    def test_curate_corpus_fuzzy(self, spark):
+        from tantivy_search_spark.pipeline.curate import curate_corpus
+        base = ("the cat and the dog of the house is to go for a walk "
+                "in that park")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " today"},     # near-dup of 0
+            {"doc_id": 2, "text": base + " tomorrow"},  # near-dup of 0
+            {"doc_id": 4, "text": "the quick brown fox is happy to see "
+                                  "the other animals in the big forest"},
+        ]
+        df = spark.createDataFrame(rows)
+        # exact dedup alone keeps all four (no byte-identical groups)
+        assert {r["doc_id"] for r in curate_corpus(df).collect()} \
+            == {0, 1, 2, 4}
+        # fuzzy stage collapses the near-dup cluster to its minimum
+        out = {r["doc_id"] for r in
+               curate_corpus(df, fuzzy=True, fuzzy_threshold=0.5,
+                             fuzzy_n_perm=8, fuzzy_bands=4).collect()}
+        assert out == {0, 4}
