@@ -611,8 +611,20 @@ class SearchIndex:
                 pass
         self._bcast_pool = []
 
+    def _pin_partitions(self) -> int:
+        """Partition count for throughput-path (batch) shuffles: the
+        session's configured shuffle parallelism — the same number a
+        non-adaptive plan would use, so the task DAG is identical at
+        every executor count (north_rule's N vs 4N comparison)."""
+        spark = self._require_spark()
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            return spark.sparkContext.defaultParallelism * 4
+
     def _per_doc_scores(self, scored: DataFrame,
-                        pre_agg: bool = True) -> DataFrame:
+                        pre_agg: bool = True,
+                        pin_partitions: int | None = None) -> DataFrame:
         """(doc_id, atom, score) rows -> (doc_id, sc map<atom,score>).
 
         Fixed-width hash aggregations regardless of the number of atoms
@@ -627,7 +639,24 @@ class SearchIndex:
         (col, term) the (doc, atom) pairs are already unique and the
         map build's own shuffle is the only one needed.  Callers MUST
         keep pre_agg=True when any atom spans columns (bare NLQ terms)
-        — duplicate map keys would throw at build time otherwise."""
+        — duplicate map keys would throw at build time otherwise.
+
+        ``pin_partitions``: force the per-doc exchange to exactly this
+        many partitions via an explicit ``repartition(n, doc_id)``.
+        REPARTITION_BY_NUM shuffles are exempt from AQE partition
+        coalescing, which sizes stages by shuffle BYTES — blind to
+        downstream Python compute.  On the 960k-doc 1000-query batch,
+        AQE coalesced the ~350 MB per-doc shuffle to 6 tasks while the
+        stage carried ~390 s of Arrow/numpy GEMM work and ~11 s of JVM
+        CPU, capping speedup at (1→4 cores) 2.6x; pinning restores an
+        identical task DAG at every parallelism level.  Because
+        hash(doc_id) satisfies the clustering of BOTH aggregations, the
+        pinned exchange also replaces the pre_agg shuffle — one
+        exchange total on every path.  Single-query callers leave this
+        None: their per-doc volume is latency-bound and AQE coalescing
+        is the right call there."""
+        if pin_partitions:
+            scored = scored.repartition(pin_partitions, "doc_id")
         if pre_agg:
             scored = (scored.groupBy("doc_id", "atom")
                       .agg(F.sum("score").alias("s")))
@@ -894,7 +923,8 @@ class SearchIndex:
         for p in parts[1:]:
             scored = scored.unionByName(p)
         unique_atoms = all(a[0] is not None for a in term_keys)
-        per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms)
+        per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms,
+                                       pin_partitions=self._pin_partitions())
 
         flats = [qt.flat_groups(t) if t is not None else None for t in trees]
         if all(f is not None for t, f in zip(trees, flats) if t is not None):

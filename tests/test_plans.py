@@ -55,6 +55,21 @@ class TestPlans:
         p = _plan(q)
         assert p.count("+- Exchange") == 1, p[:1200]
 
+    def test_batch_per_doc_exchange_pinned(self, corpus_a_index):
+        """The batch path's per-doc exchange must be REPARTITION_BY_NUM
+        at the session's shuffle parallelism: AQE's byte-based stage
+        coalescing must not shrink the Python GEMM stage (it sized the
+        960k-doc batch stage to 6 tasks against ~390 s of Python work,
+        capping 1->4-core speedup at 2.6x)."""
+        spark = corpus_a_index.spark
+        q = corpus_a_index.bm25_search_batch(
+            [("ancient rise", True), ("moral horizons", False)], top_k=3)
+        p = _plan(q)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert re.search(
+            rf"hashpartitioning\(doc_id#\d+L?, {n}\), REPARTITION_BY_NUM",
+            p), p[:1500]
+
     def test_bitmap_scan_prunes_scoring_columns(self, corpus_a_index):
         b = corpus_a_index.query_term_bitmap_df("col2", "ancient")
         p = _plan(b)
