@@ -973,17 +973,28 @@ class SearchIndex:
             g_qid[gi] = qid
         qids = sorted(set(g_qid.tolist()))
         Q = len(qids)
-        P = np.zeros((n_g, Q), dtype=np.float64)
         qpos = {q: i for i, q in enumerate(qids)}
-        for gi in range(n_g):
-            P[gi, qpos[g_qid[gi]]] = 1.0
+        # group -> query aggregation as a segmented reduce, NOT a dense
+        # (n_g x Q) matmul: for flat one-group-per-query batches that
+        # matrix is the identity, and `score_g @ P` alone cost
+        # O(n*n_g*Q) flops — the dominant term of the whole batch stage
+        # at 1000 queries (n_g ~ Q ~ 1000 makes it ~1000x the useful
+        # scoring work).  Columns of the group matrices are permuted
+        # query-major once; reduceat then sums each query's group span.
+        g_qpos = np.asarray([qpos[q] for q in g_qid.tolist()],
+                            dtype=np.int64)
+        g_order = np.argsort(g_qpos, kind="stable")
+        # every query in qids owns >= 1 group, so these reduceat starts
+        # are strictly increasing and cover all Q segments
+        g_starts = np.searchsorted(g_qpos[g_order], np.arange(Q))
         qid_arr = np.asarray(qids, dtype=np.int32)
 
-        b = self._bcast((W, gsize, g_and, P, qid_arr, top_k,
+        b = self._bcast((W[:, g_order], gsize[g_order], g_and[g_order],
+                         g_starts, qid_arr, top_k,
                          self.BATCH_MATRIX_BUDGET))
 
         def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W, gsize, g_and, P, qid_arr, k, budget = b.value
+            W, gsize, g_and, g_starts, qid_arr, k, budget = b.value
             na = W.shape[0]
             n_g = W.shape[1]
             nq = qid_arr.shape[0]
@@ -1027,12 +1038,16 @@ class SearchIndex:
                     C = M @ W
                     matched_g = np.where(g_and, C == gsize, C > 0)
                     score_g = (S @ W) * matched_g
-                    score_q = score_g @ P
-                    matched_q = (matched_g @ P) > 0
+                    # segmented group->query reduce (columns are already
+                    # query-major; see g_order above)
+                    score_q = np.add.reduceat(score_g, g_starts, axis=1)
+                    matched_q = np.logical_or.reduceat(
+                        matched_g, g_starts, axis=1)
+                    hit_counts = matched_q.sum(axis=0)
                     for ci in range(nq):
-                        mask = matched_q[:, ci]
-                        if not mask.any():
+                        if not hit_counts[ci]:
                             continue
+                        mask = matched_q[:, ci]
                         r = row_ids[mask]
                         s = score_q[mask, ci]
                         # chunk-local cut keeps accumulators O(chunks*k)
