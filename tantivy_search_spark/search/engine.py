@@ -988,13 +988,22 @@ class SearchIndex:
         # are strictly increasing and cover all Q segments
         g_starts = np.searchsorted(g_qpos[g_order], np.arange(Q))
         qid_arr = np.asarray(qids, dtype=np.int32)
+        Wq = W[:, g_order]
+        # the count matmul (match arity) runs in float32: counts are
+        # small exact integers, and the stage is memory-bandwidth-bound
+        # — halving C's footprint is a straight traffic cut.  The SCORE
+        # matmul stays float64 (oracle-exact BM25 sums).
+        W32 = Wq.astype(np.float32)
+        gsize32 = gsize[g_order].astype(np.float32)
+        and_cols = np.where(g_and[g_order])[0]
 
-        b = self._bcast((W[:, g_order], gsize[g_order], g_and[g_order],
+        b = self._bcast((Wq, W32, gsize32, and_cols,
                          g_starts, qid_arr, top_k,
                          self.BATCH_MATRIX_BUDGET))
 
         def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            W, gsize, g_and, g_starts, qid_arr, k, budget = b.value
+            (W, W32, gsize32, and_cols, g_starts, qid_arr, k,
+             budget) = b.value
             na = W.shape[0]
             n_g = W.shape[1]
             nq = qid_arr.shape[0]
@@ -1024,7 +1033,7 @@ class SearchIndex:
                     # doc x atom matrices (flatten + fancy-index)
                     lens = np.fromiter((len(a) for a in a_sl),
                                        dtype=np.int64, count=n)
-                    M = np.zeros((n, na), dtype=np.float64)
+                    M = np.zeros((n, na), dtype=np.float32)
                     S = np.zeros((n, na), dtype=np.float64)
                     if lens.sum():
                         flat_a = np.concatenate(
@@ -1035,22 +1044,41 @@ class SearchIndex:
                         rows = np.repeat(np.arange(n), lens)
                         M[rows, flat_a] = 1.0
                         S[rows, flat_a] = flat_s
-                    C = M @ W
-                    matched_g = np.where(g_and, C == gsize, C > 0)
-                    score_g = (S @ W) * matched_g
+                    # the stage is memory-traffic-bound at scale: the
+                    # count matmul runs float32, the AND-arity check
+                    # touches only AND columns (np.where materialized
+                    # two full-width temps), the score mask multiplies
+                    # in place, and the per-query slices read transposed
+                    # contiguous rows instead of strided columns.
+                    C = M @ W32
+                    matched_g = C > 0
+                    if and_cols.size:
+                        matched_g[:, and_cols] = (
+                            C[:, and_cols] == gsize32[and_cols])
+                    SW = S @ W
+                    SW *= matched_g
                     # segmented group->query reduce (columns are already
                     # query-major; see g_order above)
-                    score_q = np.add.reduceat(score_g, g_starts, axis=1)
-                    matched_q = np.logical_or.reduceat(
-                        matched_g, g_starts, axis=1)
-                    hit_counts = matched_q.sum(axis=0)
+                    score_qT = np.ascontiguousarray(
+                        np.add.reduceat(SW, g_starts, axis=1).T)
+                    matched_qT = np.ascontiguousarray(
+                        np.logical_or.reduceat(
+                            matched_g, g_starts, axis=1).T)
+                    hit_counts = matched_qT.sum(axis=1)
                     for ci in range(nq):
                         if not hit_counts[ci]:
                             continue
-                        mask = matched_q[:, ci]
+                        mask = matched_qT[ci]
                         r = row_ids[mask]
-                        s = score_q[mask, ci]
-                        # chunk-local cut keeps accumulators O(chunks*k)
+                        s = score_qT[ci][mask]
+                        # chunk-local cut keeps accumulators O(chunks*k):
+                        # O(m) partition to the kth score (ties kept),
+                        # then the exact (score desc, row_id asc) order
+                        # on the survivors only
+                        if s.size > k:
+                            kth = np.partition(s, s.size - k)[s.size - k]
+                            keep = s >= kth
+                            r, s = r[keep], s[keep]
                         idx = np.lexsort((r, -s))[:k]
                         cand_r[ci].append(r[idx])
                         cand_s[ci].append(s[idx])
