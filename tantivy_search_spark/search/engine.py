@@ -204,6 +204,100 @@ def _assemble_phrase_runs(runs: list) -> tuple:
     return d, tf, nm, flat, offs
 
 
+def _flat_score_topk(env, doc_col, atom_col, score_col):
+    """Batch flat-tree scoring core over one task's gathered
+    (doc_id, atom, score) arrays -> per-query local top-k DataFrame
+    (or None).  Shared by the scalar-row and packed-row gather
+    wrappers; ``env`` is the broadcast plan tuple built by
+    ``SearchIndex._flat_plan_bcast``.
+
+    The stage is memory-traffic-bound at scale, hence: the count
+    matmul runs float32 (counts are small exact integers; the SCORE
+    matmul stays float64 for oracle-exact BM25 sums), the AND-arity
+    check touches only AND columns (np.where materialized two
+    full-width temps), the score mask multiplies in place, per-query
+    slices read transposed contiguous rows, and each chunk's
+    candidates are cut with an O(m) kth-score partition (ties kept)
+    before the exact (score desc, row_id asc) sort."""
+    W, W32, gsize32, and_cols, g_starts, qid_arr, k, budget = env
+    na = W.shape[0]
+    n_g = W.shape[1]
+    nq = qid_arr.shape[0]
+    # wide batches (many unique atoms x many queries) would allocate
+    # multi-GB dense M/S/C per task: bound the doc axis so every dense
+    # intermediate fits in `budget` bytes.  The per-chunk top-k union
+    # contains the batch top-k, so the final per-query cut is exact.
+    per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
+    rows_chunk = max(32, int(budget // per_row))
+    # one vectorized factorize replaces the per-doc map rows: uniq[j]
+    # is doc j's id, inv maps each row to its doc slot
+    uniq, inv = np.unique(doc_col, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    atom_s = atom_col[order]
+    score_s = score_col[order]
+    # per-query candidate accumulators across doc chunks
+    cand_r: list = [[] for _ in range(nq)]
+    cand_s: list = [[] for _ in range(nq)]
+    for d0 in range(0, uniq.size, rows_chunk):
+        d1 = min(d0 + rows_chunk, uniq.size)
+        lo, hi = np.searchsorted(inv_s, (d0, d1))
+        row_ids = uniq[d0:d1]
+        n = d1 - d0
+        M = np.zeros((n, na), dtype=np.float32)
+        S = np.zeros((n, na), dtype=np.float64)
+        r_idx = inv_s[lo:hi] - d0
+        a_idx = atom_s[lo:hi]
+        M[r_idx, a_idx] = 1.0
+        S[r_idx, a_idx] = score_s[lo:hi]
+        C = M @ W32
+        matched_g = C > 0
+        if and_cols.size:
+            matched_g[:, and_cols] = (
+                C[:, and_cols] == gsize32[and_cols])
+        SW = S @ W
+        SW *= matched_g
+        # segmented group->query reduce (columns are query-major; see
+        # _flat_plan_bcast's g_order)
+        score_qT = np.ascontiguousarray(
+            np.add.reduceat(SW, g_starts, axis=1).T)
+        matched_qT = np.ascontiguousarray(
+            np.logical_or.reduceat(matched_g, g_starts, axis=1).T)
+        hit_counts = matched_qT.sum(axis=1)
+        for ci in range(nq):
+            if not hit_counts[ci]:
+                continue
+            mask = matched_qT[ci]
+            r = row_ids[mask]
+            s = score_qT[ci][mask]
+            # chunk-local cut keeps accumulators O(chunks*k)
+            if s.size > k:
+                kth = np.partition(s, s.size - k)[s.size - k]
+                keep = s >= kth
+                r, s = r[keep], s[keep]
+            idx = np.lexsort((r, -s))[:k]
+            cand_r[ci].append(r[idx])
+            cand_s[ci].append(s[idx])
+    out_q, out_r, out_s = [], [], []
+    for ci in range(nq):
+        if not cand_r[ci]:
+            continue
+        r = np.concatenate(cand_r[ci])
+        s = np.concatenate(cand_s[ci])
+        # exact partial order: (score desc, row_id asc)
+        idx = np.lexsort((r, -s))[:k]
+        out_q.append(np.full(idx.size, qid_arr[ci], dtype=np.int32))
+        out_r.append(r[idx])
+        out_s.append(s[idx])
+    if not out_q:
+        return None
+    return pd.DataFrame({
+        "query_id": np.concatenate(out_q),
+        "row_id": np.concatenate(out_r),
+        "score": np.concatenate(out_s),
+    })
+
+
 class SearchIndex:
     """Reader over one index directory (reference Q14 load_index_reader)."""
 
@@ -485,22 +579,16 @@ class SearchIndex:
         return True
 
     # ---------------------------------------------------------------- scoring
-    def _scored_atoms_df(
+    def _atom_score_env(
         self,
         atoms: list[tuple[str | None, str]],
         stats: Statistics | None,
         alive_bitmap: bytes | None,
-        atom_ids: list[int] | None = None,
-    ) -> DataFrame:
-        """Candidates -> (doc_id, atom, score) via vectorized decode UDF.
-
-        ``atom_ids`` overrides the emitted atom id per input atom (used
-        when terms share an atom space with phrase atoms)."""
+        atom_ids: list[int],
+    ):
+        """Broadcast scoring environment shared by the decode paths:
+        (b_subs, b_idf, b_avgdl, b_tomb, b_alive, anti_join_tombs)."""
         cfg = self.config
-        k1, b = cfg.k1, cfg.b
-        block_size = cfg.block_size
-        if atom_ids is None:
-            atom_ids = list(range(len(atoms)))
 
         # global stats for idf/avgdl: injected (Q9) or this index's own
         local = self.local_statistics(
@@ -533,11 +621,29 @@ class SearchIndex:
         anti_join_tombs = tomb is None  # large delete set: DF anti-join below
         if anti_join_tombs:
             tomb = np.empty(0, dtype=np.int64)
-        b_subs = self._bcast(subs)
-        b_idf = self._bcast(idf_map)
-        b_avgdl = self._bcast(avgdl)
-        b_tomb = self._bcast(tomb)
-        b_alive = self._bcast(alive_bitmap)
+        return (self._bcast(subs), self._bcast(idf_map),
+                self._bcast(avgdl), self._bcast(tomb),
+                self._bcast(alive_bitmap), anti_join_tombs)
+
+    def _scored_atoms_df(
+        self,
+        atoms: list[tuple[str | None, str]],
+        stats: Statistics | None,
+        alive_bitmap: bytes | None,
+        atom_ids: list[int] | None = None,
+    ) -> DataFrame:
+        """Candidates -> (doc_id, atom, score) via vectorized decode UDF.
+
+        ``atom_ids`` overrides the emitted atom id per input atom (used
+        when terms share an atom space with phrase atoms)."""
+        cfg = self.config
+        k1, b = cfg.k1, cfg.b
+        block_size = cfg.block_size
+        if atom_ids is None:
+            atom_ids = list(range(len(atoms)))
+        (b_subs, b_idf, b_avgdl, b_tomb, b_alive,
+         anti_join_tombs) = self._atom_score_env(
+            atoms, stats, alive_bitmap, atom_ids)
         norm_table = FIELD_NORMS_TABLE  # tiny, ships in closure
 
         def decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -590,6 +696,101 @@ class SearchIndex:
         if anti_join_tombs:
             out = self._anti_tombstones(out, "doc_id")
         return out
+
+    def _scored_atoms_packed(
+        self,
+        atoms: list[tuple[str | None, str]],
+        stats: Statistics | None,
+        alive_bitmap: bytes | None,
+        atom_ids: list[int],
+        n_subs: int,
+    ) -> DataFrame:
+        """Candidates -> packed (shard, sub, atom, doc_ids, scores) rows.
+
+        Array-valued sibling of ``_scored_atoms_df`` for the batch
+        scorer: instead of exploding every scored posting into a scalar
+        (doc_id, atom, score) row — 16M shuffle rows for a 1000-query
+        workload on the 960k corpus, whose per-row shuffle/Arrow
+        overhead dominated the stage — each decoded (col, term, shard)
+        posting row ships as at most ``n_subs`` rows carrying the doc
+        ids and scores as binary blobs.  ``sub = doc_id % n_subs``
+        depends only on the doc, so every atom of a doc lands in the
+        same (shard, sub) group and the downstream kernel still sees
+        complete documents; n_subs restores full shuffle parallelism
+        when the corpus has fewer shards than the session has tasks
+        (at cluster scale shards outnumber tasks and n_subs is 1).
+        Caller must hold the small-tombstone tier (masks apply in the
+        decode; the anti-join tier falls back to the scalar path)."""
+        cfg = self.config
+        k1, b = cfg.k1, cfg.b
+        block_size = cfg.block_size
+        (b_subs, b_idf, b_avgdl, b_tomb, b_alive,
+         anti_join_tombs) = self._atom_score_env(
+            atoms, stats, alive_bitmap, atom_ids)
+        if anti_join_tombs:
+            raise ValueError("packed decode requires the broadcast "
+                             "tombstone tier")  # caller gates on this
+        norm_table = FIELD_NORMS_TABLE
+
+        def decode_pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                o_shard, o_sub, o_atom = [], [], []
+                o_docs, o_scores = [], []
+                for r in pdf.itertuples(index=False):
+                    key = (r.col, r.term)
+                    aids = b_subs.value.get(key)
+                    if not aids:
+                        continue
+                    doc_ids, tfs, norm_ids = layout.decode_blocks(
+                        r.block_first, r.deltas, r.tfs, r.norms, block_size)
+                    mask = np.ones(doc_ids.shape[0], dtype=bool)
+                    tombs = b_tomb.value
+                    if tombs.size:
+                        mask &= ~np.isin(doc_ids, tombs)
+                    if b_alive.value is not None:
+                        mask &= mask_for_row_ids(doc_ids, b_alive.value)
+                    if not mask.all():
+                        doc_ids, tfs, norm_ids = (doc_ids[mask], tfs[mask],
+                                                  norm_ids[mask])
+                    if doc_ids.size == 0:
+                        continue
+                    norm_d = bm25.doc_norm(
+                        norm_table[norm_ids], b_avgdl.value.get(r.col, 1.0),
+                        k1, b)
+                    scores = bm25.term_score(tfs, b_idf.value[key], norm_d,
+                                             k1)
+                    shard = int(r.shard)
+                    if n_subs <= 1:
+                        spans = [(0, doc_ids.tobytes(), scores.tobytes())]
+                    else:
+                        sub_of = doc_ids % n_subs
+                        spans = []
+                        for sub in range(n_subs):
+                            m = sub_of == sub
+                            if m.any():
+                                spans.append((sub, doc_ids[m].tobytes(),
+                                              scores[m].tobytes()))
+                    for sub, d_b, s_b in spans:
+                        for a in aids:
+                            o_shard.append(shard)
+                            o_sub.append(sub)
+                            o_atom.append(a)
+                            o_docs.append(d_b)
+                            o_scores.append(s_b)
+                if o_shard:
+                    yield pd.DataFrame({
+                        "shard": pd.Series(o_shard, dtype="int32"),
+                        "sub": pd.Series(o_sub, dtype="int32"),
+                        "atom": pd.Series(o_atom, dtype="int32"),
+                        "doc_ids": o_docs,
+                        "scores": o_scores,
+                    })
+
+        cand = self._candidate_postings(atoms).select(
+            "shard", "col", "term", "block_first", "deltas", "tfs", "norms")
+        return cand.mapInPandas(
+            decode_pack,
+            "shard int, sub int, atom int, doc_ids binary, scores binary")
 
     def _bcast(self, obj):
         """Broadcast with lifecycle: kept for the current query, released
@@ -910,28 +1111,46 @@ class SearchIndex:
         phrase_keys = [a for a in atoms if qt.is_phrase_key(a)]
 
         self._swap_broadcast_pool()
-        parts = []
-        if term_keys:
-            parts.append(self._scored_atoms_df(
-                term_keys, statistics, alive_bitmap,
-                atom_ids=[atom_index[a] for a in term_keys]))
-        for a in phrase_keys:
-            parts.append(self._scored_phrase_df(
-                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap,
-                slop=a[3]))
-        scored = parts[0]
-        for p in parts[1:]:
-            scored = scored.unionByName(p)
         unique_atoms = all(a[0] is not None for a in term_keys)
-        per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms,
-                                       pin_partitions=self._pin_partitions())
-
         flats = [qt.flat_groups(t) if t is not None else None for t in trees]
-        if all(f is not None for t, f in zip(trees, flats) if t is not None):
-            cand = self._batch_topk_flat(
-                per_doc, trees, flats, atom_index, top_k)
+        all_flat = all(f is not None
+                       for t, f in zip(trees, flats) if t is not None)
+
+        if (all_flat and not phrase_keys and unique_atoms
+                and self._tombstone_small_array() is not None):
+            # hot path: pure concrete-term flat trees, broadcast-tier
+            # deletes — ship packed per-(shard, sub) posting blobs to
+            # the kernel instead of one scalar row per scored posting
+            pin = self._pin_partitions()
+            n_subs = max(1, -(-pin // self._n_shards()))
+            packed = self._scored_atoms_packed(
+                term_keys, statistics, alive_bitmap,
+                atom_ids=[atom_index[a] for a in term_keys],
+                n_subs=n_subs)
+            cand = self._batch_topk_packed(packed, flats, atom_index,
+                                           top_k)
         else:
-            cand = self._batch_hits_tree(per_doc, trees, atom_index)
+            parts = []
+            if term_keys:
+                parts.append(self._scored_atoms_df(
+                    term_keys, statistics, alive_bitmap,
+                    atom_ids=[atom_index[a] for a in term_keys]))
+            for a in phrase_keys:
+                parts.append(self._scored_phrase_df(
+                    a[1], list(a[2]), atom_index[a], statistics,
+                    alive_bitmap, slop=a[3]))
+            scored = parts[0]
+            for p in parts[1:]:
+                scored = scored.unionByName(p)
+            if all_flat:
+                cand = self._batch_topk_flat(
+                    scored, trees, flats, atom_index, top_k,
+                    pre_agg=not unique_atoms)
+            else:
+                per_doc = self._per_doc_scores(
+                    scored, pre_agg=not unique_atoms,
+                    pin_partitions=self._pin_partitions())
+                cand = self._batch_hits_tree(per_doc, trees, atom_index)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("row_id"))
         return (
@@ -941,7 +1160,8 @@ class SearchIndex:
             .orderBy("query_id", F.desc("score"), F.asc("row_id"))
         )
 
-    def _batch_topk_flat(self, per_doc, trees, flats, atom_index, top_k):
+    def _batch_topk_flat(self, scored, trees, flats, atom_index, top_k,
+                         pre_agg=False):
         """Per-partition vectorized top-k for flat boolean trees.
 
         The Spark analog of the reference's per-segment heap + merge_fruits
@@ -952,7 +1172,65 @@ class SearchIndex:
         tasks x queries x k rows reach the final global window instead of
         docs x queries.  Avoids the O(docs*queries) explode whose codegen
         also blows the JVM's 64 KB method limit at a few hundred queries.
+
+        Consumes the raw (doc_id, atom, score) rows: co-locating a
+        doc's atoms needs only the ``repartition(n, doc_id)`` exchange
+        (REPARTITION_BY_NUM — exempt from AQE's byte-based partition
+        coalescing, which had sized this Python-heavy stage to 6 tasks;
+        n = the session's shuffle parallelism so the task DAG is
+        identical at every executor count).  The earlier map<atom,
+        score>-per-doc representation cost a JVM hash aggregation over
+        every decoded posting, a map-typed Arrow transfer, and a
+        ragged per-row Python expansion — all replaced by three
+        primitive columns and one vectorized np.unique factorize per
+        task.  ``pre_agg=True`` (atoms that span columns, so (doc,
+        atom) pairs repeat) keeps the JVM (doc, atom) sum; its
+        clustering is satisfied by the same doc_id exchange.  Per-task
+        memory is the partition's rows at 24 B each plus the chunked
+        dense intermediates (BATCH_MATRIX_BUDGET).
         """
+        b = self._flat_plan_bcast(flats, atom_index, top_k)
+
+        def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # a doc's (atom, score) rows are co-located in this task by
+            # the doc_id exchange but may straddle Arrow batch
+            # boundaries: gather the whole partition (3 primitive
+            # columns, 24 B/row) before factorizing.
+            batches = [p for p in it if len(p)]
+            if not batches:
+                return
+            doc_col = np.concatenate(
+                [p["doc_id"].to_numpy(dtype=np.int64) for p in batches])
+            atom_col = np.concatenate(
+                [p["atom"].to_numpy(dtype=np.int64) for p in batches])
+            score_col = np.concatenate(
+                [p["score"].to_numpy(dtype=np.float64) for p in batches])
+            del batches
+            out = _flat_score_topk(b.value, doc_col, atom_col, score_col)
+            if out is not None:
+                yield out
+
+        rows = scored.repartition(self._pin_partitions(), "doc_id")
+        if pre_agg:
+            # duplicate (doc, atom) pairs (bare NLQ atoms spanning
+            # columns) sum JVM-side; hash(doc_id) already satisfies
+            # this grouping so no second exchange appears
+            rows = (rows.groupBy("doc_id", "atom")
+                    .agg(F.sum("score").alias("score")))
+        return rows.mapInPandas(
+            topk_part, "query_id int, row_id long, score double")
+
+    def _flat_plan_bcast(self, flats, atom_index, top_k):
+        """Broadcast plan arrays for the flat batch kernel
+        (``_flat_score_topk``): the atom->group incidence matrix W (and
+        its float32 twin for the count matmul — counts are small exact
+        integers and the stage is memory-bandwidth-bound), group AND
+        arities, and the query-major group permutation that lets the
+        kernel aggregate group scores into query scores with a
+        segmented np.add.reduceat instead of a dense (n_g x Q) matmul —
+        for flat one-group-per-query batches that matrix is the
+        IDENTITY, and `score_g @ P` alone cost O(n*n_g*Q) flops, ~1000x
+        the useful scoring work at 1000 queries."""
         n_atoms = len(atom_index)
         groups = []  # (qid, [atom ids], is_and)
         for qid, f in enumerate(flats):
@@ -974,13 +1252,6 @@ class SearchIndex:
         qids = sorted(set(g_qid.tolist()))
         Q = len(qids)
         qpos = {q: i for i, q in enumerate(qids)}
-        # group -> query aggregation as a segmented reduce, NOT a dense
-        # (n_g x Q) matmul: for flat one-group-per-query batches that
-        # matrix is the identity, and `score_g @ P` alone cost
-        # O(n*n_g*Q) flops — the dominant term of the whole batch stage
-        # at 1000 queries (n_g ~ Q ~ 1000 makes it ~1000x the useful
-        # scoring work).  Columns of the group matrices are permuted
-        # query-major once; reduceat then sums each query's group span.
         g_qpos = np.asarray([qpos[q] for q in g_qid.tolist()],
                             dtype=np.int64)
         g_order = np.argsort(g_qpos, kind="stable")
@@ -989,125 +1260,47 @@ class SearchIndex:
         g_starts = np.searchsorted(g_qpos[g_order], np.arange(Q))
         qid_arr = np.asarray(qids, dtype=np.int32)
         Wq = W[:, g_order]
-        # the count matmul (match arity) runs in float32: counts are
-        # small exact integers, and the stage is memory-bandwidth-bound
-        # — halving C's footprint is a straight traffic cut.  The SCORE
-        # matmul stays float64 (oracle-exact BM25 sums).
-        W32 = Wq.astype(np.float32)
-        gsize32 = gsize[g_order].astype(np.float32)
-        and_cols = np.where(g_and[g_order])[0]
+        return self._bcast((Wq, Wq.astype(np.float32),
+                            gsize[g_order].astype(np.float32),
+                            np.where(g_and[g_order])[0],
+                            g_starts, qid_arr, top_k,
+                            self.BATCH_MATRIX_BUDGET))
 
-        b = self._bcast((Wq, W32, gsize32, and_cols,
-                         g_starts, qid_arr, top_k,
-                         self.BATCH_MATRIX_BUDGET))
+    def _n_shards(self) -> int:
+        """Shard count of this index (= ceil(num_parts /
+        parts_per_shard), the same mapping the build uses)."""
+        pps = max(1, self.config.parts_per_shard)
+        return max(1, -(-int(self.meta.num_parts) // pps))
 
-        def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            (W, W32, gsize32, and_cols, g_starts, qid_arr, k,
-             budget) = b.value
-            na = W.shape[0]
-            n_g = W.shape[1]
-            nq = qid_arr.shape[0]
-            # wide batches (many unique atoms x many queries) would
-            # allocate multi-GB dense M/S/C per task: bound the doc axis
-            # so every dense intermediate fits in `budget` bytes.  The
-            # per-chunk top-k union contains the batch top-k, so the
-            # final per-query cut is exact.
-            per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
-            rows_chunk = max(32, int(budget // per_row))
+    def _batch_topk_packed(self, packed, flats, atom_index, top_k):
+        """Flat batch kernel over packed (shard, sub, atom, doc_ids,
+        scores) rows from ``_scored_atoms_packed``: the exchange
+        carries a few thousand binary-blob rows instead of one scalar
+        row per scored posting, pinned to the session's shuffle
+        parallelism on (shard, sub) — REPARTITION_BY_NUM, exempt from
+        AQE's byte-based coalescing, identical task DAG at every
+        executor count."""
+        b = self._flat_plan_bcast(flats, atom_index, top_k)
+
+        def topk_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            docs, atoms_l, scores = [], [], []
             for pdf in it:
-                if not len(pdf):
-                    continue
-                all_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-                atoms_col = pdf["atoms"].to_numpy()
-                scores_col = pdf["scores"].to_numpy()
-                # per-query candidate accumulators across doc chunks
-                cand_r: list[list[np.ndarray]] = [[] for _ in range(nq)]
-                cand_s: list[list[np.ndarray]] = [[] for _ in range(nq)]
-                for start in range(0, len(pdf), rows_chunk):
-                    stop = min(start + rows_chunk, len(pdf))
-                    row_ids = all_ids[start:stop]
-                    a_sl = atoms_col[start:stop]
-                    s_sl = scores_col[start:stop]
-                    n = stop - start
-                    # expand (atoms, scores) ragged arrays into dense
-                    # doc x atom matrices (flatten + fancy-index)
-                    lens = np.fromiter((len(a) for a in a_sl),
-                                       dtype=np.int64, count=n)
-                    M = np.zeros((n, na), dtype=np.float32)
-                    S = np.zeros((n, na), dtype=np.float64)
-                    if lens.sum():
-                        flat_a = np.concatenate(
-                            [np.asarray(a, dtype=np.int64) for a in a_sl])
-                        flat_s = np.concatenate(
-                            [np.asarray(s, dtype=np.float64)
-                             for s in s_sl])
-                        rows = np.repeat(np.arange(n), lens)
-                        M[rows, flat_a] = 1.0
-                        S[rows, flat_a] = flat_s
-                    # the stage is memory-traffic-bound at scale: the
-                    # count matmul runs float32, the AND-arity check
-                    # touches only AND columns (np.where materialized
-                    # two full-width temps), the score mask multiplies
-                    # in place, and the per-query slices read transposed
-                    # contiguous rows instead of strided columns.
-                    C = M @ W32
-                    matched_g = C > 0
-                    if and_cols.size:
-                        matched_g[:, and_cols] = (
-                            C[:, and_cols] == gsize32[and_cols])
-                    SW = S @ W
-                    SW *= matched_g
-                    # segmented group->query reduce (columns are already
-                    # query-major; see g_order above)
-                    score_qT = np.ascontiguousarray(
-                        np.add.reduceat(SW, g_starts, axis=1).T)
-                    matched_qT = np.ascontiguousarray(
-                        np.logical_or.reduceat(
-                            matched_g, g_starts, axis=1).T)
-                    hit_counts = matched_qT.sum(axis=1)
-                    for ci in range(nq):
-                        if not hit_counts[ci]:
-                            continue
-                        mask = matched_qT[ci]
-                        r = row_ids[mask]
-                        s = score_qT[ci][mask]
-                        # chunk-local cut keeps accumulators O(chunks*k):
-                        # O(m) partition to the kth score (ties kept),
-                        # then the exact (score desc, row_id asc) order
-                        # on the survivors only
-                        if s.size > k:
-                            kth = np.partition(s, s.size - k)[s.size - k]
-                            keep = s >= kth
-                            r, s = r[keep], s[keep]
-                        idx = np.lexsort((r, -s))[:k]
-                        cand_r[ci].append(r[idx])
-                        cand_s[ci].append(s[idx])
-                out_q, out_r, out_s = [], [], []
-                for ci in range(nq):
-                    if not cand_r[ci]:
-                        continue
-                    r = np.concatenate(cand_r[ci])
-                    s = np.concatenate(cand_s[ci])
-                    # exact partial order: (score desc, row_id asc)
-                    idx = np.lexsort((r, -s))[:k]
-                    out_q.append(np.full(idx.size, qid_arr[ci],
-                                         dtype=np.int32))
-                    out_r.append(r[idx])
-                    out_s.append(s[idx])
-                if out_q:
-                    yield pd.DataFrame({
-                        "query_id": np.concatenate(out_q),
-                        "row_id": np.concatenate(out_r),
-                        "score": np.concatenate(out_s),
-                    })
+                for r in pdf.itertuples(index=False):
+                    d = np.frombuffer(r.doc_ids, dtype=np.int64)
+                    docs.append(d)
+                    atoms_l.append(np.full(d.size, r.atom, dtype=np.int64))
+                    scores.append(np.frombuffer(r.scores, dtype=np.float64))
+            if not docs:
+                return
+            out = _flat_score_topk(b.value, np.concatenate(docs),
+                                   np.concatenate(atoms_l),
+                                   np.concatenate(scores))
+            if out is not None:
+                yield out
 
-        flat = per_doc.select(
-            "doc_id",
-            F.map_keys("sc").alias("atoms"),     # aligned by construction
-            F.map_values("sc").alias("scores"),
-        )
-        return flat.mapInPandas(
-            topk_part, "query_id int, row_id long, score double")
+        rows = packed.repartition(self._pin_partitions(), "shard", "sub")
+        return rows.mapInPandas(
+            topk_packed, "query_id int, row_id long, score double")
 
     def _batch_hits_tree(self, per_doc, trees, atom_index):
         """Fallback for non-flat (nested NLQ) trees: explode per-query

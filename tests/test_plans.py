@@ -55,15 +55,31 @@ class TestPlans:
         p = _plan(q)
         assert p.count("+- Exchange") == 1, p[:1200]
 
-    def test_batch_per_doc_exchange_pinned(self, corpus_a_index):
-        """The batch path's per-doc exchange must be REPARTITION_BY_NUM
-        at the session's shuffle parallelism: AQE's byte-based stage
-        coalescing must not shrink the Python GEMM stage (it sized the
-        960k-doc batch stage to 6 tasks against ~390 s of Python work,
-        capping 1->4-core speedup at 2.6x)."""
+    def test_batch_packed_exchange_pinned(self, corpus_a_index):
+        """The batch hot path ships packed (shard, sub) posting blobs
+        and its exchange must be REPARTITION_BY_NUM at the session's
+        shuffle parallelism: AQE's byte-based stage coalescing must not
+        shrink the Python GEMM stage (it sized the 960k-doc batch stage
+        to 6 tasks against ~390 s of Python work, capping 1->4-core
+        speedup at 2.6x)."""
         spark = corpus_a_index.spark
         q = corpus_a_index.bm25_search_batch(
             [("ancient rise", True), ("moral horizons", False)], top_k=3)
+        p = _plan(q)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert re.search(
+            rf"hashpartitioning\(shard#\d+, sub#\d+, {n}\), "
+            r"REPARTITION_BY_NUM", p), p[:1500]
+
+    def test_batch_raw_fallback_exchange_pinned(self, corpus_a_index):
+        """Bare NLQ atoms span columns, so the batch falls back to the
+        scalar (doc_id, atom, score) rows with a JVM (doc, atom)
+        pre-agg — that path's doc_id exchange must also be pinned
+        (REPARTITION_BY_NUM), with no second exchange for the agg."""
+        spark = corpus_a_index.spark
+        q = corpus_a_index.bm25_search_batch(
+            [("ancient rise", True), ("moral horizons", False)], top_k=3,
+            enable_nlq=True)
         p = _plan(q)
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         assert re.search(
