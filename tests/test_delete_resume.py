@@ -227,3 +227,37 @@ class TestDurableIds:
                             ix.bm25_search("ancient rise fall", top_k=10,
                                            operator_or=True).collect()]
         assert res[True] == res[False] and res[True]
+
+
+class TestBatchWithDeletes:
+    """bm25_search_batch == sequential under both tombstone tiers: the
+    packed batch path is gated on the broadcast tier and must fall back
+    to the scalar rows + anti-join past TOMBSTONE_BROADCAST_MAX."""
+
+    BATCH = [("Ancient empires rise and fall", True),
+             ("moral horizons", False),
+             ("ancient", True)]
+
+    def _assert_batch_equals_sequential(self, ix):
+        got = ix.bm25_search_batch(self.BATCH, top_k=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(self.BATCH):
+            want = [(r["row_id"], round(r["score"], 4)) for r in
+                    ix.bm25_search(s, top_k=5, operator_or=op_or).collect()]
+            assert by_q.get(qid, []) == want, f"query {qid}: {s!r}"
+
+    def test_batch_broadcast_tier(self, fresh_index):
+        ix = fresh_index
+        assert ix.delete_row_ids([0, 2])
+        assert ix._tombstone_small_array() is not None  # packed path live
+        self._assert_batch_equals_sequential(ix)
+
+    def test_batch_anti_join_tier(self, fresh_index, monkeypatch):
+        ix = fresh_index
+        assert ix.delete_row_ids([0, 2])
+        monkeypatch.setattr(type(ix), "TOMBSTONE_BROADCAST_MAX", 0)
+        assert ix._tombstone_small_array() is None  # scalar fallback
+        self._assert_batch_equals_sequential(ix)
