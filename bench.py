@@ -126,6 +126,12 @@ def main() -> None:
     t0 = time.time()
     ix.bm25_search_batch(batch, top_k=10).collect()
     timings["bm25_batch100"] = round(time.time() - t0, 3)
+    # wider workload amortizes the fixed per-job cost — this is the
+    # packed-shuffle path's showcase (round 3)
+    batch1k = [(s, o) for s, o in BM25_QUERIES] * 200  # 1000 queries
+    t0 = time.time()
+    ix.bm25_search_batch(batch1k, top_k=10).collect()
+    timings["bm25_batch1000"] = round(time.time() - t0, 3)
 
     # ---- bitmap query latency ---------------------------------------------
     # cold = per-query Spark job (cache cleared; comparable to round 1);
