@@ -446,13 +446,24 @@ def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
         if all(isinstance(c, leaf) for c in kids):
             return [(term_keys(kids), isinstance(tree, And))]
         if isinstance(tree, Or):
+            # OR is associative for both matching (any) and scoring
+            # (sum of matched children), so nested Or children flatten
+            # recursively.  And-of-Or does NOT distribute: the kernel
+            # sums every matched group, so DNF-expanding "a (b OR c)"
+            # into (a b) OR (a c) would double-count a's score on docs
+            # matching both — those shapes keep the compile path.
             groups = []
             for c in kids:
                 if isinstance(c, leaf):
                     groups.append(([atom_key(c)], False))
-                elif isinstance(c, (And, Or)) and all(
+                elif isinstance(c, Or):
+                    sub = flat_groups(c)
+                    if sub is None:
+                        return None
+                    groups.extend(sub)
+                elif isinstance(c, And) and all(
                         isinstance(g, leaf) for g in c.children):
-                    groups.append((term_keys(c.children), isinstance(c, And)))
+                    groups.append((term_keys(c.children), True))
                 else:
                     return None
             return groups

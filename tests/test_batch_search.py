@@ -58,6 +58,37 @@ class TestBatchSearch:
                                         enable_nlq=True))
             assert by_q.get(qid, []) == want
 
+    def test_batch_nlq_nested_or_flattens_equal(self, corpus_a_index):
+        """OR-associative nesting flattens onto the fast kernel (the
+        sequential side scores through the compile path, so equality
+        cross-checks the flatten); And-of-Or must NOT flatten — the
+        kernel sums every matched group and DNF distribution would
+        double-count shared atoms."""
+        from tantivy_search_spark.search import querytree as qt
+        ix = corpus_a_index
+        an = ix._analyzers()
+        cols = ix.config.columns
+        # column-qualified conjunction: on a multi-column index a BARE
+        # conjunction expands to And-of-per-column-Ors, which correctly
+        # stays on the compile path
+        nested_or = ("col2:ancient OR (col2:moral OR "
+                     "(col2:artistic col2:expressions))")
+        and_of_or = "ancient (moral OR horizons)"
+        t1 = qt.parse_nlq(nested_or, cols, an, conjunction_by_default=True)
+        t2 = qt.parse_nlq(and_of_or, cols, an, conjunction_by_default=True)
+        assert qt.flat_groups(t1) is not None
+        assert qt.flat_groups(t2) is None
+        qs = [(nested_or, False), (and_of_or, False)]
+        batch = ix.bm25_search_batch(qs, top_k=5, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(qs):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or,
+                                        enable_nlq=True))
+            assert by_q.get(qid, []) == want, s
+
     def test_batch_all_empty(self, corpus_a_index):
         out = corpus_a_index.bm25_search_batch(
             [("", False), ("", True)], top_k=5)
