@@ -219,9 +219,9 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     slices read transposed contiguous rows, and each chunk's
     candidates are cut with an O(m) kth-score partition (ties kept)
     before the exact (score desc, row_id asc) sort."""
-    W, W32, gsize32, and_cols, g_starts, qid_arr, k, budget = env
-    na = W.shape[0]
-    n_g = W.shape[1]
+    Wscore, Wcount32, gsize32, and_cols, g_starts, qid_arr, k, budget = env
+    na = Wscore.shape[0]
+    n_g = Wscore.shape[1]
     nq = qid_arr.shape[0]
     # wide batches (many unique atoms x many queries) would allocate
     # multi-GB dense M/S/C per task: bound the doc axis so every dense
@@ -250,12 +250,12 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
         a_idx = atom_s[lo:hi]
         M[r_idx, a_idx] = 1.0
         S[r_idx, a_idx] = score_s[lo:hi]
-        C = M @ W32
+        C = M @ Wcount32
         matched_g = C > 0
         if and_cols.size:
             matched_g[:, and_cols] = (
                 C[:, and_cols] == gsize32[and_cols])
-        SW = S @ W
+        SW = S @ Wscore
         SW *= matched_g
         # segmented group->query reduce (columns are query-major; see
         # _flat_plan_bcast's g_order)
@@ -1112,7 +1112,8 @@ class SearchIndex:
 
         self._swap_broadcast_pool()
         unique_atoms = all(a[0] is not None for a in term_keys)
-        flats = [qt.flat_groups(t) if t is not None else None for t in trees]
+        flats = [qt.flat_groups_weighted(t) if t is not None else None
+                 for t in trees]
         all_flat = all(f is not None
                        for t, f in zip(trees, flats) if t is not None)
 
@@ -1232,20 +1233,27 @@ class SearchIndex:
         IDENTITY, and `score_g @ P` alone cost O(n*n_g*Q) flops, ~1000x
         the useful scoring work at 1000 queries."""
         n_atoms = len(atom_index)
-        groups = []  # (qid, [atom ids], is_and)
+        groups = []  # (qid, [(atom id, weight)], is_and)
         for qid, f in enumerate(flats):
             if f is None:
                 continue
             for keys, is_and in f:
-                groups.append((qid, [atom_index[k] for k in keys], is_and))
+                groups.append(
+                    (qid, [(atom_index[k], w) for k, w in keys], is_and))
         n_g = len(groups)
-        W = np.zeros((n_atoms, n_g), dtype=np.float64)
+        # two incidence matrices: Wc counts matches (multiplicity 1 per
+        # occurrence — the AND-arity test compares against gsize), Ws
+        # carries score weights (Boost factors are linear in the score,
+        # so they distribute onto member atoms; 1.0 without boosts)
+        Wc = np.zeros((n_atoms, n_g), dtype=np.float64)
+        Ws = np.zeros((n_atoms, n_g), dtype=np.float64)
         gsize = np.zeros(n_g, dtype=np.float64)
         g_and = np.zeros(n_g, dtype=bool)
         g_qid = np.zeros(n_g, dtype=np.int64)
         for gi, (qid, aids, is_and) in enumerate(groups):
-            for a in aids:  # += : duplicate atoms keep compile_tree's
-                W[a, gi] += 1.0  # with-multiplicity scoring semantics
+            for a, w in aids:  # += : duplicate atoms keep compile_tree's
+                Wc[a, gi] += 1.0  # with-multiplicity scoring semantics
+                Ws[a, gi] += w
             gsize[gi] = len(aids)
             g_and[gi] = is_and
             g_qid[gi] = qid
@@ -1259,8 +1267,8 @@ class SearchIndex:
         # are strictly increasing and cover all Q segments
         g_starts = np.searchsorted(g_qpos[g_order], np.arange(Q))
         qid_arr = np.asarray(qids, dtype=np.int32)
-        Wq = W[:, g_order]
-        return self._bcast((Wq, Wq.astype(np.float32),
+        return self._bcast((Ws[:, g_order],
+                            Wc[:, g_order].astype(np.float32),
                             gsize[g_order].astype(np.float32),
                             np.where(g_and[g_order])[0],
                             g_starts, qid_arr, top_k,

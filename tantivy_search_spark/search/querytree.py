@@ -421,53 +421,76 @@ def parse_nlq(
 # ---------------------------------------------------------------------------
 
 
-def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
-    """Decompose a *flat* tree into [(atom_keys, is_and)] groups whose
-    scores combine as: total = sum over groups with all/any atoms matched;
-    matched = any group matched.  This is exactly the shape
-    ``standard_query_tree`` emits (per-column AND/OR groups OR'd
-    together), which lets the batch scorer use dense matrix ops instead
-    of per-query Column expressions.  Returns None for nested trees
-    (parenthesized NLQ etc.) — callers fall back to compile_tree.
-    """
-    def term_keys(kids):
-        return [atom_key(c) for c in kids]
+def flat_groups_weighted(
+    tree, mult: float = 1.0,
+) -> list[tuple[list[tuple], bool]] | None:
+    """Decompose a *flat* tree into [([(atom_key, weight)], is_and)]
+    groups whose scores combine as: total = sum over matched groups of
+    the group's weight×atom-score sums; matched = any group matched.
+    This is the shape ``standard_query_tree`` emits (per-column AND/OR
+    groups OR'd together) plus Boost nodes, whose factor is linear in
+    the score and therefore distributes onto the member atoms'
+    weights — letting the batch scorer keep dense matrix ops (a score
+    weight matrix distinct from the match-arity count matrix).
 
+    OR is associative for both matching (any) and scoring (sum of
+    matched children), so nested Or children flatten recursively.
+    And-of-Or does NOT distribute: the kernel sums every matched
+    group, so DNF-expanding "a (b OR c)" into (a b) OR (a c) would
+    double-count a's score on docs matching both arms.  Exclusions
+    (Bool must_not) change matching, not scores — they keep the
+    compile path.  Returns None for those shapes.
+    """
     leaf = (Term, Phrase)  # a Phrase is one scoring atom (position-
     # verified by its scorer), so it participates in flat groups like
     # any term atom
 
-    if isinstance(tree, (Bool, Boost)):
-        return None  # exclusions/boosts need the compile path
+    if isinstance(tree, Boost):
+        return flat_groups_weighted(tree.child, mult * float(tree.factor))
+    if isinstance(tree, Bool):
+        return None  # exclusions need the compile path
     if isinstance(tree, leaf):
-        return [([atom_key(tree)], False)]
-    if isinstance(tree, (And, Or)):
-        kids = [c for c in tree.children if c is not None]
-        if all(isinstance(c, leaf) for c in kids):
-            return [(term_keys(kids), isinstance(tree, And))]
-        if isinstance(tree, Or):
-            # OR is associative for both matching (any) and scoring
-            # (sum of matched children), so nested Or children flatten
-            # recursively.  And-of-Or does NOT distribute: the kernel
-            # sums every matched group, so DNF-expanding "a (b OR c)"
-            # into (a b) OR (a c) would double-count a's score on docs
-            # matching both — those shapes keep the compile path.
-            groups = []
-            for c in kids:
-                if isinstance(c, leaf):
-                    groups.append(([atom_key(c)], False))
-                elif isinstance(c, Or):
-                    sub = flat_groups(c)
-                    if sub is None:
-                        return None
-                    groups.extend(sub)
-                elif isinstance(c, And) and all(
-                        isinstance(g, leaf) for g in c.children):
-                    groups.append((term_keys(c.children), True))
-                else:
-                    return None
-            return groups
+        return [([(atom_key(tree), mult)], False)]
+    if isinstance(tree, And):
+        atoms = []
+        for c in tree.children:
+            if c is None:
+                continue
+            m, node = mult, c
+            while isinstance(node, Boost):
+                m *= float(node.factor)
+                node = node.child
+            if not isinstance(node, leaf):
+                return None
+            atoms.append((atom_key(node), m))
+        return [(atoms, True)]
+    if isinstance(tree, Or):
+        groups = []
+        for c in tree.children:
+            if c is None:
+                continue
+            sub = flat_groups_weighted(c, mult)
+            if sub is None:
+                return None
+            groups.extend(sub)
+        return groups
     return None
+
+
+def flat_groups(tree) -> list[tuple[list[tuple[str | None, str]], bool]] | None:
+    """Unweighted view of ``flat_groups_weighted`` for callers whose
+    math carries no per-atom weights (the WAND block-max paths): the
+    same [(atom_keys, is_and)] groups, or None when the tree is nested
+    OR carries boost weights ≠ 1."""
+    weighted = flat_groups_weighted(tree)
+    if weighted is None:
+        return None
+    out = []
+    for atoms, is_and in weighted:
+        if any(w != 1.0 for _, w in atoms):
+            return None
+        out.append(([k for k, _ in atoms], is_and))
+    return out
 
 
 #: marker prefix distinguishing phrase atom keys from (col, term) keys

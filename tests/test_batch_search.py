@@ -89,6 +89,32 @@ class TestBatchSearch:
                                         enable_nlq=True))
             assert by_q.get(qid, []) == want, s
 
+    def test_batch_nlq_boosts_take_flat_kernel(self, corpus_a_index):
+        """Boost factors are linear in the score, so flat_groups_weighted
+        distributes them onto atom weights and boosted batches stay on
+        the fast kernel (score weight matrix != match count matrix);
+        equality vs the sequential compile path pins the math."""
+        from tantivy_search_spark.search import querytree as qt
+        ix = corpus_a_index
+        an = ix._analyzers()
+        qs = [("col2:ancient^2 col2:rise", False),
+              ("col2:ancient OR (col2:moral col2:horizons)^3", False),
+              ("col1:ancient^2 col1:ancient", True)]
+        for s, _ in qs:
+            t = qt.parse_nlq(s, ix.config.columns, an,
+                             conjunction_by_default=True)
+            assert qt.flat_groups_weighted(t) is not None, s
+            assert qt.flat_groups(t) is None, s  # WAND view unchanged
+        batch = ix.bm25_search_batch(qs, top_k=5, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for qid, (s, op_or) in enumerate(qs):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or,
+                                        enable_nlq=True))
+            assert by_q.get(qid, []) == want, s
+
     def test_batch_all_empty(self, corpus_a_index):
         out = corpus_a_index.bm25_search_batch(
             [("", False), ("", True)], top_k=5)
