@@ -219,9 +219,10 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     slices read transposed contiguous rows, and each chunk's
     candidates are cut with an O(m) kth-score partition (ties kept)
     before the exact (score desc, row_id asc) sort."""
-    Wscore, Wcount32, gsize32, and_cols, g_starts, qid_arr, k, budget = env
+    (Wscore, Wcount32, gsize32, and_cols, g_starts, qid_arr, k, budget,
+     n_pos, e_starts, e_qpos) = env
     na = Wscore.shape[0]
-    n_g = Wscore.shape[1]
+    n_g = Wcount32.shape[1]  # positives + exclusion columns
     nq = qid_arr.shape[0]
     # wide batches (many unique atoms x many queries) would allocate
     # multi-GB dense M/S/C per task: bound the doc axis so every dense
@@ -256,13 +257,24 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             matched_g[:, and_cols] = (
                 C[:, and_cols] == gsize32[and_cols])
         SW = S @ Wscore
-        SW *= matched_g
-        # segmented group->query reduce (columns are query-major; see
-        # _flat_plan_bcast's g_order)
+        SW *= matched_g[:, :n_pos]
+        # segmented group->query reduce over the POSITIVE columns
+        # (query-major; see _flat_plan_bcast's g_order — reduceat on a
+        # slice stops at the slice end, so exclusion columns can't
+        # bleed into the last query's segment)
         score_qT = np.ascontiguousarray(
             np.add.reduceat(SW, g_starts, axis=1).T)
         matched_qT = np.ascontiguousarray(
-            np.logical_or.reduceat(matched_g, g_starts, axis=1).T)
+            np.logical_or.reduceat(
+                matched_g[:, :n_pos], g_starts, axis=1).T)
+        if e_qpos.size:
+            # MustNot: a doc leaves its query's match set when ANY of
+            # the query's exclusion groups matched (scores untouched —
+            # excluded columns have no score weights)
+            excl = np.logical_or.reduceat(
+                matched_g[:, n_pos:], e_starts, axis=1)
+            for j in range(e_qpos.size):
+                matched_qT[e_qpos[j]] &= ~excl[:, j]
         hit_counts = matched_qT.sum(axis=1)
         for ci in range(nq):
             if not hit_counts[ci]:
@@ -1112,8 +1124,29 @@ class SearchIndex:
 
         self._swap_broadcast_pool()
         unique_atoms = all(a[0] is not None for a in term_keys)
-        flats = [qt.flat_groups_weighted(t) if t is not None else None
-                 for t in trees]
+        # positive groups + query-level exclusion groups per tree: a
+        # top-level Bool ('-term' MustNot) is flat-kernel-eligible when
+        # its positive AND every excluded member flatten (exclusions
+        # change matching only, never score); nested Bools keep the
+        # compile path
+        flats, excls = [], []
+        for t in trees:
+            if t is None:
+                flats.append(None)
+                excls.append([])
+                continue
+            if isinstance(t, qt.Bool) and t.positive is not None:
+                pos = qt.flat_groups_weighted(t.positive)
+                egs = [qt.flat_groups_weighted(m) for m in t.must_nots]
+                if pos is not None and all(e is not None for e in egs):
+                    flats.append(pos)
+                    excls.append([g for e in egs for g in e])
+                    continue
+                flats.append(None)
+                excls.append([])
+                continue
+            flats.append(qt.flat_groups_weighted(t))
+            excls.append([])
         all_flat = all(f is not None
                        for t, f in zip(trees, flats) if t is not None)
 
@@ -1128,8 +1161,8 @@ class SearchIndex:
                 term_keys, statistics, alive_bitmap,
                 atom_ids=[atom_index[a] for a in term_keys],
                 n_subs=n_subs)
-            cand = self._batch_topk_packed(packed, flats, atom_index,
-                                           top_k)
+            cand = self._batch_topk_packed(packed, flats, excls,
+                                           atom_index, top_k)
         else:
             parts = []
             if term_keys:
@@ -1145,7 +1178,7 @@ class SearchIndex:
                 scored = scored.unionByName(p)
             if all_flat:
                 cand = self._batch_topk_flat(
-                    scored, trees, flats, atom_index, top_k,
+                    scored, trees, flats, excls, atom_index, top_k,
                     pre_agg=not unique_atoms)
             else:
                 per_doc = self._per_doc_scores(
@@ -1161,8 +1194,8 @@ class SearchIndex:
             .orderBy("query_id", F.desc("score"), F.asc("row_id"))
         )
 
-    def _batch_topk_flat(self, scored, trees, flats, atom_index, top_k,
-                         pre_agg=False):
+    def _batch_topk_flat(self, scored, trees, flats, excls, atom_index,
+                         top_k, pre_agg=False):
         """Per-partition vectorized top-k for flat boolean trees.
 
         The Spark analog of the reference's per-segment heap + merge_fruits
@@ -1190,7 +1223,7 @@ class SearchIndex:
         memory is the partition's rows at 24 B each plus the chunked
         dense intermediates (BATCH_MATRIX_BUDGET).
         """
-        b = self._flat_plan_bcast(flats, atom_index, top_k)
+        b = self._flat_plan_bcast(flats, excls, atom_index, top_k)
 
         def topk_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # a doc's (atom, score) rows are co-located in this task by
@@ -1221,7 +1254,7 @@ class SearchIndex:
         return rows.mapInPandas(
             topk_part, "query_id int, row_id long, score double")
 
-    def _flat_plan_bcast(self, flats, atom_index, top_k):
+    def _flat_plan_bcast(self, flats, excls, atom_index, top_k):
         """Broadcast plan arrays for the flat batch kernel
         (``_flat_score_topk``): the atom->group incidence matrix W (and
         its float32 twin for the count matmul — counts are small exact
@@ -1267,12 +1300,44 @@ class SearchIndex:
         # are strictly increasing and cover all Q segments
         g_starts = np.searchsorted(g_qpos[g_order], np.arange(Q))
         qid_arr = np.asarray(qids, dtype=np.int32)
+
+        # exclusion (MustNot) groups: matching-only columns appended
+        # AFTER every positive column — they ride the same count
+        # matmul and arity test but have no score-weight columns, and
+        # the kernel ANDs their negation into the owning query's match
+        e_groups = []  # (query position, [atom ids], is_and)
+        for qid, egs in enumerate(excls or []):
+            if not egs or qid not in qpos:
+                continue
+            for keys, is_and in egs:
+                e_groups.append(
+                    (qpos[qid], [atom_index[k] for k, _ in keys], is_and))
+        e_groups.sort(key=lambda g: g[0])
+        n_e = len(e_groups)
+        Wc_e = np.zeros((n_atoms, n_e), dtype=np.float64)
+        gsize_e = np.zeros(n_e, dtype=np.float64)
+        e_and = np.zeros(n_e, dtype=bool)
+        for gi, (qp, aids, is_and) in enumerate(e_groups):
+            for a in aids:
+                Wc_e[a, gi] += 1.0
+            gsize_e[gi] = len(aids)
+            e_and[gi] = is_and
+        e_qpos_all = np.asarray([g[0] for g in e_groups], dtype=np.int64)
+        e_qpos = np.unique(e_qpos_all)
+        e_starts = np.searchsorted(e_qpos_all, e_qpos)
+
         return self._bcast((Ws[:, g_order],
-                            Wc[:, g_order].astype(np.float32),
-                            gsize[g_order].astype(np.float32),
-                            np.where(g_and[g_order])[0],
+                            np.concatenate(
+                                [Wc[:, g_order], Wc_e],
+                                axis=1).astype(np.float32),
+                            np.concatenate(
+                                [gsize[g_order], gsize_e]
+                            ).astype(np.float32),
+                            np.where(np.concatenate(
+                                [g_and[g_order], e_and]))[0],
                             g_starts, qid_arr, top_k,
-                            self.BATCH_MATRIX_BUDGET))
+                            self.BATCH_MATRIX_BUDGET,
+                            n_g, e_starts, e_qpos))
 
     def _n_shards(self) -> int:
         """Shard count of this index (= ceil(num_parts /
@@ -1280,7 +1345,8 @@ class SearchIndex:
         pps = max(1, self.config.parts_per_shard)
         return max(1, -(-int(self.meta.num_parts) // pps))
 
-    def _batch_topk_packed(self, packed, flats, atom_index, top_k):
+    def _batch_topk_packed(self, packed, flats, excls, atom_index,
+                           top_k):
         """Flat batch kernel over packed (shard, sub, atom, doc_ids,
         scores) rows from ``_scored_atoms_packed``: the exchange
         carries a few thousand binary-blob rows instead of one scalar
@@ -1288,7 +1354,7 @@ class SearchIndex:
         parallelism on (shard, sub) — REPARTITION_BY_NUM, exempt from
         AQE's byte-based coalescing, identical task DAG at every
         executor count."""
-        b = self._flat_plan_bcast(flats, atom_index, top_k)
+        b = self._flat_plan_bcast(flats, excls, atom_index, top_k)
 
         def topk_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             docs, atoms_l, scores = [], [], []

@@ -89,6 +89,29 @@ class TestBatchSearch:
                                         enable_nlq=True))
             assert by_q.get(qid, []) == want, s
 
+    def test_batch_nlq_mustnot_takes_flat_kernel(self, corpus_a_index):
+        """Top-level '-term' exclusions ride the flat kernel as
+        matching-only columns (no score contribution, AND-NOT into the
+        query match); equality vs the sequential compile path pins the
+        semantics, including exclusion of an AND group."""
+        ix = corpus_a_index
+        qs = [("col2:ancient -col2:rise", False),
+              ("col2:moral OR col2:ancient -col2:empires", False),
+              ("col2:ancient -(col2:moral col2:horizons)", False),
+              ("col2:ancient^2 -col2:rise", False)]
+        batch = ix.bm25_search_batch(qs, top_k=5, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        matched_any = False
+        for qid, (s, op_or) in enumerate(qs):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or,
+                                        enable_nlq=True))
+            assert by_q.get(qid, []) == want, s
+            matched_any = matched_any or bool(want)
+        assert matched_any  # the exclusions must not blank every query
+
     def test_batch_nlq_boosts_take_flat_kernel(self, corpus_a_index):
         """Boost factors are linear in the score, so flat_groups_weighted
         distributes them onto atom weights and boosted batches stay on
