@@ -220,7 +220,7 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     candidates are cut with an O(m) kth-score partition (ties kept)
     before the exact (score desc, row_id asc) sort."""
     (Wscore, Wcount32, gsize32, and_cols, g_starts, qid_arr, k, budget,
-     n_pos, e_starts, e_qpos) = env
+     n_pos, e_starts, e_qpos, dedup_atoms) = env
     na = Wscore.shape[0]
     n_g = Wcount32.shape[1]  # positives + exclusion columns
     nq = qid_arr.shape[0]
@@ -250,7 +250,13 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
         r_idx = inv_s[lo:hi] - d0
         a_idx = atom_s[lo:hi]
         M[r_idx, a_idx] = 1.0
-        S[r_idx, a_idx] = score_s[lo:hi]
+        if dedup_atoms:
+            # bare multi-column atoms repeat (doc, atom) once per
+            # column: scores SUM across columns (compile semantics),
+            # match stays idempotent (M set above)
+            np.add.at(S, (r_idx, a_idx), score_s[lo:hi])
+        else:
+            S[r_idx, a_idx] = score_s[lo:hi]
         C = M @ Wcount32
         matched_g = C > 0
         if and_cols.size:
@@ -1150,11 +1156,13 @@ class SearchIndex:
         all_flat = all(f is not None
                        for t, f in zip(trees, flats) if t is not None)
 
-        if (all_flat and not phrase_keys and unique_atoms
+        if (all_flat and not phrase_keys
                 and self._tombstone_small_array() is not None):
-            # hot path: pure concrete-term flat trees, broadcast-tier
-            # deletes — ship packed per-(shard, sub) posting blobs to
-            # the kernel instead of one scalar row per scored posting
+            # hot path: term-only flat trees, broadcast-tier deletes —
+            # ship packed per-(shard, sub) posting blobs to the kernel
+            # instead of one scalar row per scored posting.  Bare
+            # multi-column atoms (unique_atoms False) repeat (doc,
+            # atom) once per column; the kernel accumulates them.
             pin = self._pin_partitions()
             n_subs = max(1, -(-pin // self._n_shards()))
             packed = self._scored_atoms_packed(
@@ -1162,7 +1170,8 @@ class SearchIndex:
                 atom_ids=[atom_index[a] for a in term_keys],
                 n_subs=n_subs)
             cand = self._batch_topk_packed(packed, flats, excls,
-                                           atom_index, top_k)
+                                           atom_index, top_k,
+                                           dedup_atoms=not unique_atoms)
         else:
             parts = []
             if term_keys:
@@ -1254,7 +1263,8 @@ class SearchIndex:
         return rows.mapInPandas(
             topk_part, "query_id int, row_id long, score double")
 
-    def _flat_plan_bcast(self, flats, excls, atom_index, top_k):
+    def _flat_plan_bcast(self, flats, excls, atom_index, top_k,
+                         dedup_atoms=False):
         """Broadcast plan arrays for the flat batch kernel
         (``_flat_score_topk``): the atom->group incidence matrix W (and
         its float32 twin for the count matmul — counts are small exact
@@ -1337,7 +1347,7 @@ class SearchIndex:
                                 [g_and[g_order], e_and]))[0],
                             g_starts, qid_arr, top_k,
                             self.BATCH_MATRIX_BUDGET,
-                            n_g, e_starts, e_qpos))
+                            n_g, e_starts, e_qpos, dedup_atoms))
 
     def _n_shards(self) -> int:
         """Shard count of this index (= ceil(num_parts /
@@ -1346,7 +1356,7 @@ class SearchIndex:
         return max(1, -(-int(self.meta.num_parts) // pps))
 
     def _batch_topk_packed(self, packed, flats, excls, atom_index,
-                           top_k):
+                           top_k, dedup_atoms=False):
         """Flat batch kernel over packed (shard, sub, atom, doc_ids,
         scores) rows from ``_scored_atoms_packed``: the exchange
         carries a few thousand binary-blob rows instead of one scalar
@@ -1354,7 +1364,8 @@ class SearchIndex:
         parallelism on (shard, sub) — REPARTITION_BY_NUM, exempt from
         AQE's byte-based coalescing, identical task DAG at every
         executor count."""
-        b = self._flat_plan_bcast(flats, excls, atom_index, top_k)
+        b = self._flat_plan_bcast(flats, excls, atom_index, top_k,
+                                  dedup_atoms=dedup_atoms)
 
         def topk_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             docs, atoms_l, scores = [], [], []

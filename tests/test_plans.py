@@ -71,12 +71,16 @@ class TestPlans:
             rf"hashpartitioning\(shard#\d+, sub#\d+, {n}\), "
             r"REPARTITION_BY_NUM", p), p[:1500]
 
-    def test_batch_raw_fallback_exchange_pinned(self, corpus_a_index):
-        """Bare NLQ atoms span columns, so the batch falls back to the
-        scalar (doc_id, atom, score) rows with a JVM (doc, atom)
-        pre-agg — that path's doc_id exchange must also be pinned
-        (REPARTITION_BY_NUM), with no second exchange for the agg."""
+    def test_batch_raw_fallback_exchange_pinned(self, corpus_a_index,
+                                                monkeypatch):
+        """Anti-join-tier delete sets force the batch off the packed
+        path onto the scalar (doc_id, atom, score) rows with a JVM
+        (doc, atom) pre-agg — that path's doc_id exchange must also be
+        pinned (REPARTITION_BY_NUM), with no second exchange for the
+        agg."""
         spark = corpus_a_index.spark
+        monkeypatch.setattr(corpus_a_index, "_tombstone_small_array",
+                            lambda: None)
         q = corpus_a_index.bm25_search_batch(
             [("ancient rise", True), ("moral horizons", False)], top_k=3,
             enable_nlq=True)
