@@ -895,8 +895,14 @@ class SearchIndex:
         stats: Statistics | None,
         alive_bitmap: bytes | None,
         slop: int = 0,
+        packed: bool = False,
+        n_subs: int = 1,
     ) -> DataFrame:
-        """Position-verified phrase scoring -> (doc_id, atom, score).
+        """Position-verified phrase scoring -> (doc_id, atom, score),
+        or packed (shard, sub, atom, doc_ids, scores) blob rows when
+        ``packed=True`` (unioned with ``_scored_atoms_packed`` output
+        so phrase-containing batches ride the packed kernel; requires
+        the broadcast tombstone tier).
 
         Shards are disjoint doc ranges, so grouping candidate posting
         rows by shard co-locates every phrase term's postings for the
@@ -923,20 +929,20 @@ class SearchIndex:
         bs = self.config.block_size
         tomb = self._tombstone_small_array()
         anti_join_tombs = tomb is None
+        if packed and anti_join_tombs:
+            raise ValueError("packed phrase scoring requires the "
+                             "broadcast tombstone tier")  # caller gates
         b_env = self._bcast((list(terms), idf_map, avgdl,
                              np.empty(0, np.int64) if anti_join_tombs
                              else tomb, alive_bitmap, int(slop)))
 
-        def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        def phrase_docs_scores(pdf: pd.DataFrame):
             terms_l, idf_m, avgdl_l, tombs, alive, slop_l = b_env.value
-            empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
-                                  "atom": np.empty(0, np.int32),
-                                  "score": np.empty(0, np.float64)})
             per_term = {}
             for t in terms_l:
                 sub = pdf[pdf["term"] == t]
                 if not len(sub):
-                    return empty  # AND semantics: term absent in shard
+                    return None  # AND semantics: term absent in shard
                 runs = []
                 for r in sub.itertuples(index=False):
                     d, tf, nm = layout.decode_blocks(
@@ -955,11 +961,53 @@ class SearchIndex:
                 keep = mask_for_row_ids(docs, alive)
                 docs, scores = docs[keep], scores[keep]
             if not docs.size:
-                return empty
+                return None
+            return docs, scores
+
+        def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
+            got = phrase_docs_scores(pdf)
+            if got is None:
+                return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                     "atom": np.empty(0, np.int32),
+                                     "score": np.empty(0, np.float64)})
+            docs, scores = got
             return pd.DataFrame({
                 "doc_id": docs,
                 "atom": np.full(docs.size, atom_id, dtype=np.int32),
                 "score": scores,
+            })
+
+        def phrase_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "shard": pd.Series([], dtype="int32"),
+                "sub": pd.Series([], dtype="int32"),
+                "atom": pd.Series([], dtype="int32"),
+                "doc_ids": pd.Series([], dtype=object),
+                "scores": pd.Series([], dtype=object),
+            })
+            got = phrase_docs_scores(pdf)
+            if got is None:
+                return empty
+            docs, scores = got
+            shard = int(pdf["shard"].iloc[0])
+            o_sub, o_docs, o_scores = [], [], []
+            if n_subs <= 1:
+                o_sub, o_docs, o_scores = ([0], [docs.tobytes()],
+                                           [scores.tobytes()])
+            else:
+                sub_of = docs % n_subs
+                for sub in range(n_subs):
+                    m = sub_of == sub
+                    if m.any():
+                        o_sub.append(sub)
+                        o_docs.append(docs[m].tobytes())
+                        o_scores.append(scores[m].tobytes())
+            return pd.DataFrame({
+                "shard": pd.Series([shard] * len(o_sub), dtype="int32"),
+                "sub": pd.Series(o_sub, dtype="int32"),
+                "atom": pd.Series([atom_id] * len(o_sub), dtype="int32"),
+                "doc_ids": o_docs,
+                "scores": o_scores,
             })
 
         buckets = sorted({term_bucket(t, self.config.n_buckets)
@@ -970,6 +1018,11 @@ class SearchIndex:
             & (F.col("col") == col)
         ).select("shard", "term", "block_first", "deltas", "tfs", "norms",
                  "positions")
+        if packed:
+            return cand_rows.groupBy("shard").applyInPandas(
+                phrase_pack,
+                "shard int, sub int, atom int, doc_ids binary, "
+                "scores binary")
         out = cand_rows.groupBy("shard").applyInPandas(
             phrase_score, "doc_id long, atom int, score double")
         if anti_join_tombs:
@@ -1156,19 +1209,29 @@ class SearchIndex:
         all_flat = all(f is not None
                        for t, f in zip(trees, flats) if t is not None)
 
-        if (all_flat and not phrase_keys
-                and self._tombstone_small_array() is not None):
-            # hot path: term-only flat trees, broadcast-tier deletes —
-            # ship packed per-(shard, sub) posting blobs to the kernel
+        if all_flat and self._tombstone_small_array() is not None:
+            # hot path: flat trees, broadcast-tier deletes — ship
+            # packed per-(shard, sub) posting blobs to the kernel
             # instead of one scalar row per scored posting.  Bare
             # multi-column atoms (unique_atoms False) repeat (doc,
             # atom) once per column; the kernel accumulates them.
+            # Phrase atoms arrive as packed blobs from the (already
+            # shard-grouped) phrase scorer, unioned below.
             pin = self._pin_partitions()
             n_subs = max(1, -(-pin // self._n_shards()))
-            packed = self._scored_atoms_packed(
-                term_keys, statistics, alive_bitmap,
-                atom_ids=[atom_index[a] for a in term_keys],
-                n_subs=n_subs)
+            parts = []
+            if term_keys:
+                parts.append(self._scored_atoms_packed(
+                    term_keys, statistics, alive_bitmap,
+                    atom_ids=[atom_index[a] for a in term_keys],
+                    n_subs=n_subs))
+            for a in phrase_keys:
+                parts.append(self._scored_phrase_df(
+                    a[1], list(a[2]), atom_index[a], statistics,
+                    alive_bitmap, slop=a[3], packed=True, n_subs=n_subs))
+            packed = parts[0]
+            for p in parts[1:]:
+                packed = packed.unionByName(p)
             cand = self._batch_topk_packed(packed, flats, excls,
                                            atom_index, top_k,
                                            dedup_atoms=not unique_atoms)
