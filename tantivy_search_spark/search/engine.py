@@ -57,6 +57,15 @@ from tantivy_search_spark.index.layout import (
 from tantivy_search_spark.search import querytree as qt
 
 
+def _sql_int_list(vals) -> str:
+    return ",".join(str(int(v)) for v in vals)
+
+
+def _sql_str_list(vals) -> str:
+    return ",".join("'" + str(v).replace("\\", "\\\\").replace("'", "\\'")
+                    + "'" for v in vals)
+
+
 @dataclass
 class Statistics:
     """Reference ``Statistics`` FFI struct (src/lib.rs:46-50): externally
@@ -340,6 +349,13 @@ class SearchIndex:
         self._tombstone_n: int | None = None  # lazy count (cheap parquet agg)
         self._stats_cache: dict | None = None  # optional driver-side dict
         self._bcast_pool: list = []  # broadcasts of the most recent query
+        # prepared-plan cache: repeated query shapes skip the driver-side
+        # plan build (~150 ms of py4j round-trips); execution still runs
+        # per collect().  Invalidated by reload() — a cached plan embeds
+        # the tombstone array and idf constants of the index state it
+        # was compiled against.
+        self._plan_cache: dict = {}
+        self._plan_cache_max = 256
 
     @classmethod
     def open_local(cls, index_path: str) -> "SearchIndex":
@@ -394,6 +410,8 @@ class SearchIndex:
         self._tombstone_n = None
         self._pa_dataset = None
         self._postings_bytes_cache = None
+        self._plan_cache.clear()
+        self._empty_scores = None
         # bump the reload generation: bitmap-cache entries from the old
         # reader (reference cache key's reader.address component) die
         self._reload_gen = getattr(self, "_reload_gen", 0) + 1
@@ -521,10 +539,15 @@ class SearchIndex:
         terms = sorted({t for _, t in atoms})
         buckets = sorted({term_bucket(t, self.config.n_buckets) for t in terms})
         cols = sorted({c for c, _ in atoms if c is not None})
-        cond = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        # one F.expr instead of isin() Column chains: each py4j Column
+        # construction is a driver round-trip; Catalyst parses the text
+        # into the identical In/And predicates (pushdown unaffected,
+        # plan-asserted in test_plans)
+        cond = (f"bucket IN ({_sql_int_list(buckets)}) "
+                f"AND term IN ({_sql_str_list(terms)})")
         if cols and not any(c is None for c, _ in atoms):
-            cond = cond & F.col("col").isin(cols)
-        return self._postings.where(cond)
+            cond += f" AND col IN ({_sql_str_list(cols)})"
+        return self._postings.where(F.expr(cond))
 
     # ---------------------------------------------------------------- stats
     def _stats_lookup_df(self, terms: list[str]) -> DataFrame:
@@ -534,8 +557,9 @@ class SearchIndex:
         mirroring _candidate_postings (plan-asserted in test_plans)."""
         buckets = sorted({term_bucket(t, self.config.n_buckets)
                           for t in terms})
-        return self._stats.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        return self._stats.where(F.expr(
+            f"bucket IN ({_sql_int_list(buckets)}) "
+            f"AND term IN ({_sql_str_list(sorted(set(terms)))})"))
 
     def local_statistics(self, tokens_by_col: dict[str, list[str]]) -> Statistics:
         """This index's contribution to merged global stats (reference
@@ -605,7 +629,10 @@ class SearchIndex:
         atom_ids: list[int],
     ):
         """Broadcast scoring environment shared by the decode paths:
-        (b_subs, b_idf, b_avgdl, b_tomb, b_alive, anti_join_tombs)."""
+        (b_env, anti_join_tombs) with b_env.value = (subs, idf_map,
+        avgdl, tomb, alive_bitmap) — ONE broadcast per query, not five;
+        each TorrentBroadcast costs a driver round-trip (~4 ms) that
+        shows up directly in single-query p50."""
         cfg = self.config
 
         # global stats for idf/avgdl: injected (Q9) or this index's own
@@ -639,9 +666,8 @@ class SearchIndex:
         anti_join_tombs = tomb is None  # large delete set: DF anti-join below
         if anti_join_tombs:
             tomb = np.empty(0, dtype=np.int64)
-        return (self._bcast(subs), self._bcast(idf_map),
-                self._bcast(avgdl), self._bcast(tomb),
-                self._bcast(alive_bitmap), anti_join_tombs)
+        return (self._bcast((subs, idf_map, avgdl, tomb, alive_bitmap)),
+                anti_join_tombs)
 
     def _scored_atoms_df(
         self,
@@ -659,37 +685,36 @@ class SearchIndex:
         block_size = cfg.block_size
         if atom_ids is None:
             atom_ids = list(range(len(atoms)))
-        (b_subs, b_idf, b_avgdl, b_tomb, b_alive,
-         anti_join_tombs) = self._atom_score_env(
+        b_env, anti_join_tombs = self._atom_score_env(
             atoms, stats, alive_bitmap, atom_ids)
         norm_table = FIELD_NORMS_TABLE  # tiny, ships in closure
 
         def decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            subs, idf_map, avgdl, tombs, alive = b_env.value
             for pdf in it:
                 outs_doc, outs_atom, outs_score = [], [], []
                 for r in pdf.itertuples(index=False):
                     key = (r.col, r.term)
-                    atom_ids = b_subs.value.get(key)
+                    atom_ids = subs.get(key)
                     if not atom_ids:
                         continue
                     doc_ids, tfs, norm_ids = layout.decode_blocks(
                         r.block_first, r.deltas, r.tfs, r.norms, block_size
                     )
                     mask = np.ones(doc_ids.shape[0], dtype=bool)
-                    tombs = b_tomb.value
                     if tombs.size:
                         mask &= ~np.isin(doc_ids, tombs, assume_unique=False)
-                    if b_alive.value is not None:
-                        mask &= mask_for_row_ids(doc_ids, b_alive.value)
+                    if alive is not None:
+                        mask &= mask_for_row_ids(doc_ids, alive)
                     if not mask.all():
                         doc_ids, tfs, norm_ids = doc_ids[mask], tfs[mask], norm_ids[mask]
                     if doc_ids.size == 0:
                         continue
                     norm_d = bm25.doc_norm(
-                        norm_table[norm_ids], b_avgdl.value.get(r.col, 1.0), k1, b
+                        norm_table[norm_ids], avgdl.get(r.col, 1.0), k1, b
                     )
                     scores = bm25.term_score(
-                        tfs, b_idf.value[key], norm_d, k1
+                        tfs, idf_map[key], norm_d, k1
                     )
                     for a in atom_ids:
                         outs_doc.append(doc_ids)
@@ -742,8 +767,7 @@ class SearchIndex:
         cfg = self.config
         k1, b = cfg.k1, cfg.b
         block_size = cfg.block_size
-        (b_subs, b_idf, b_avgdl, b_tomb, b_alive,
-         anti_join_tombs) = self._atom_score_env(
+        b_env, anti_join_tombs = self._atom_score_env(
             atoms, stats, alive_bitmap, atom_ids)
         if anti_join_tombs:
             raise ValueError("packed decode requires the broadcast "
@@ -751,31 +775,31 @@ class SearchIndex:
         norm_table = FIELD_NORMS_TABLE
 
         def decode_pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            subs, idf_map, avgdl, tombs, alive = b_env.value
             for pdf in it:
                 o_shard, o_sub, o_atom = [], [], []
                 o_docs, o_scores = [], []
                 for r in pdf.itertuples(index=False):
                     key = (r.col, r.term)
-                    aids = b_subs.value.get(key)
+                    aids = subs.get(key)
                     if not aids:
                         continue
                     doc_ids, tfs, norm_ids = layout.decode_blocks(
                         r.block_first, r.deltas, r.tfs, r.norms, block_size)
                     mask = np.ones(doc_ids.shape[0], dtype=bool)
-                    tombs = b_tomb.value
                     if tombs.size:
                         mask &= ~np.isin(doc_ids, tombs)
-                    if b_alive.value is not None:
-                        mask &= mask_for_row_ids(doc_ids, b_alive.value)
+                    if alive is not None:
+                        mask &= mask_for_row_ids(doc_ids, alive)
                     if not mask.all():
                         doc_ids, tfs, norm_ids = (doc_ids[mask], tfs[mask],
                                                   norm_ids[mask])
                     if doc_ids.size == 0:
                         continue
                     norm_d = bm25.doc_norm(
-                        norm_table[norm_ids], b_avgdl.value.get(r.col, 1.0),
+                        norm_table[norm_ids], avgdl.get(r.col, 1.0),
                         k1, b)
-                    scores = bm25.term_score(tfs, b_idf.value[key], norm_d,
+                    scores = bm25.term_score(tfs, idf_map[key], norm_d,
                                              k1)
                     shard = int(r.shard)
                     if n_subs <= 1:
@@ -809,6 +833,15 @@ class SearchIndex:
         return cand.mapInPandas(
             decode_pack,
             "shard int, sub int, atom int, doc_ids binary, scores binary")
+
+    def _empty_scores_df(self) -> DataFrame:
+        """Cached empty (row_id, score) frame — createDataFrame costs a
+        ~20 ms driver round-trip, too much to pay on every query just in
+        case the tree is empty."""
+        if getattr(self, "_empty_scores", None) is None:
+            self._empty_scores = self._require_spark().createDataFrame(
+                [], "row_id long, score double")
+        return self._empty_scores
 
     def _bcast(self, obj):
         """Broadcast with lifecycle: kept for the current query, released
@@ -1054,6 +1087,15 @@ class SearchIndex:
         MustNot and nested groups fall back to the exact path.  Delete
         sets of any size keep WAND active (small sets broadcast, large
         sets cogroup per shard)."""
+        cache_key = None
+        if statistics is None and alive_bitmap is None:
+            cache_key = ("bm25", sentence,
+                         tuple(column_names) if column_names else None,
+                         top_k, operator_or, enable_nlq, with_docs, limit,
+                         use_wand)
+            hit = self._plan_cache.get(cache_key)
+            if hit is not None:
+                return hit
         cols = [c for c in (column_names or self.config.columns)
                 if c in self.config.columns]
         analyzers = self._analyzers()
@@ -1067,12 +1109,18 @@ class SearchIndex:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
             tree = qt.standard_query_tree(tokens_by_col, operator_or)
 
-        empty = self._require_spark().createDataFrame([], "row_id long, score double")
+        def done(df: DataFrame) -> DataFrame:
+            if cache_key is not None:
+                if len(self._plan_cache) >= self._plan_cache_max:
+                    self._plan_cache.clear()  # rare; keys are query shapes
+                self._plan_cache[cache_key] = df
+            return df
+
         if tree is None:
-            return empty
+            return done(self._empty_scores_df())
         atoms = qt.collect_atoms(tree)
         if not atoms:
-            return empty
+            return done(self._empty_scores_df())
         if use_wand and limit:
             plan = self._wand_plan(tree, atoms)
             if plan is not None:
@@ -1083,7 +1131,7 @@ class SearchIndex:
                         self.docs.withColumnRenamed("doc_id", "row_id"),
                         "row_id", "left"
                     ).orderBy(F.desc("score"), F.asc("row_id"))
-                return out
+                return done(out)
         atom_index = {a: i for i, a in enumerate(atoms)}
         term_keys = [a for a in atoms if not qt.is_phrase_key(a)]
         phrase_keys = [a for a in atoms if qt.is_phrase_key(a)]
@@ -1105,7 +1153,8 @@ class SearchIndex:
         # concrete (col, term) — skip the pre-agg shuffle then
         unique_atoms = all(a[0] is not None for a in term_keys)
         per_doc = self._per_doc_scores(scored, pre_agg=not unique_atoms)
-        matched, score = qt.compile_tree_map(tree, atom_index, "sc")
+        m_sql, s_sql = qt.compile_tree_map_sql(tree, atom_index, "sc")
+        matched, score = F.expr(m_sql), F.expr(s_sql)
         out = (
             per_doc.where(matched)
             .select(F.col("doc_id").alias("row_id"), score.alias("score"))
@@ -1116,7 +1165,7 @@ class SearchIndex:
         if with_docs:
             out = out.join(self.docs.withColumnRenamed("doc_id", "row_id"),
                            "row_id", "left").orderBy(F.desc("score"), F.asc("row_id"))
-        return out
+        return done(out)
 
     def bm25_search_batch(
         self,
@@ -1460,12 +1509,10 @@ class SearchIndex:
         for qid, tree in enumerate(trees):
             if tree is None:
                 continue
-            matched, score = qt.compile_tree_map(tree, atom_index, "sc")
-            qstructs.append(F.struct(
-                F.lit(qid).alias("query_id"),
-                matched.alias("ok"),
-                score.alias("score"),
-            ))
+            m_sql, s_sql = qt.compile_tree_map_sql(tree, atom_index, "sc")
+            qstructs.append(F.expr(
+                f"struct({qid} AS query_id, {m_sql} AS ok, "
+                f"{s_sql} AS score)"))
         parts = []
         for i in range(0, len(qstructs), CHUNK):
             parts.append(
@@ -1564,9 +1611,8 @@ class SearchIndex:
         a broadcast."""
         from tantivy_search_spark.search import wand as wand_mod
 
-        empty = self._require_spark().createDataFrame([], "row_id long, score double")
         if not atoms:
-            return empty
+            return self._empty_scores_df()
         cols_map: dict[str, list[str]] = {}
         for c, t in atoms:
             cols_map.setdefault(c, []).append(t)
@@ -1594,12 +1640,12 @@ class SearchIndex:
         terms = sorted({t for _, t in atoms})
         buckets = sorted({term_bucket(t, self.config.n_buckets)
                           for t in terms})
-        cand = self._postings.where(
-            F.col("bucket").isin(buckets)
-            & F.col("term").isin(terms)
-            & F.col("col").isin(sorted(cols_map))
-        ).select("shard", "col", "term", "df", "block_first", "block_last",
-                 "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
+        cand = self._postings.where(F.expr(
+            f"bucket IN ({_sql_int_list(buckets)}) "
+            f"AND term IN ({_sql_str_list(terms)}) "
+            f"AND col IN ({_sql_str_list(sorted(cols_map))})"
+        )).select("shard", "col", "term", "df", "block_first", "block_last",
+                  "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
 
         tomb = self._tombstone_small_array()
         if tomb is not None:
@@ -2199,13 +2245,20 @@ class SearchIndex:
         if not tokens:
             return self._require_spark().createDataFrame([], "row_id long")
         uniq = sorted(set(tokens))
+        cache_key = ("idsdf", col, tuple(uniq))
+        hit = self._plan_cache.get(cache_key)
+        if hit is not None:
+            return hit
         buckets = sorted({term_bucket(t, self.config.n_buckets) for t in uniq})
-        cand = self._postings.where(
-            F.col("bucket").isin(buckets)
-            & F.col("term").isin(uniq)
-            & (F.col("col") == col)
-        )
-        return self._decode_distinct_ids(cand)
+        cand = self._postings.where(F.expr(
+            f"bucket IN ({_sql_int_list(buckets)}) "
+            f"AND term IN ({_sql_str_list(uniq)}) "
+            f"AND col = '{col}'"))
+        out = self._decode_distinct_ids(cand)
+        if len(self._plan_cache) >= self._plan_cache_max:
+            self._plan_cache.clear()
+        self._plan_cache[cache_key] = out
+        return out
 
     # -- bitmap result cache (reference CACHE_FOR_SKIP_INDEX,
     # constants.rs:25-30: capacity-1000 cache keyed by reader address +

@@ -575,6 +575,54 @@ def compile_tree(tree, atom_index: dict[tuple[str | None, str], int]) -> tuple[C
     return walk(tree)
 
 
+def compile_tree_map_sql(
+    tree,
+    atom_index: dict[tuple[str | None, str], int],
+    map_col: str = "sc",
+) -> tuple[str, str]:
+    """SQL-text twin of :func:`compile_tree_map`: returns
+    ``(matched_sql, score_sql)`` strings with identical semantics.
+
+    Motivation is driver latency, not plan shape: the Column form makes
+    one py4j round-trip per node/operator (~3 ms each), which at a few
+    dozen nodes is most of a single query's plan-build time.  Building
+    the expression as text and wrapping it in ONE ``F.expr`` call per
+    output collapses that to two round-trips; Catalyst parses the text
+    into the same expression tree.
+    """
+
+    def walk(node) -> tuple[str, str]:
+        if isinstance(node, (Term, Phrase)):
+            i = atom_index[atom_key(node)]
+            v = f"`{map_col}`[{int(i)}]"
+            return f"({v} IS NOT NULL)", f"coalesce({v}, CAST(0.0 AS DOUBLE))"
+        if isinstance(node, Boost):
+            m, sc = walk(node.child)
+            f = float(node.factor)
+            return m, f"({sc} * CAST({f!r} AS DOUBLE))"
+        if isinstance(node, Bool):
+            if node.positive is None:
+                pm, ps = "false", "CAST(0.0 AS DOUBLE)"
+            else:
+                pm, ps = walk(node.positive)
+            excl = " OR ".join(walk(c)[0] for c in node.must_nots)
+            matched = f"({pm} AND NOT ({excl}))" if excl else f"({pm})"
+            return matched, (f"(CASE WHEN {matched} THEN {ps} "
+                             f"ELSE CAST(0.0 AS DOUBLE) END)")
+        kids = [walk(c) for c in node.children if c is not None]
+        if not kids:
+            return "false", "CAST(0.0 AS DOUBLE)"
+        total = "(" + " + ".join(s for _, s in kids) + ")"
+        if isinstance(node, And):
+            matched = "(" + " AND ".join(m for m, _ in kids) + ")"
+            return matched, (f"(CASE WHEN {matched} THEN {total} "
+                             f"ELSE CAST(0.0 AS DOUBLE) END)")
+        matched = "(" + " OR ".join(m for m, _ in kids) + ")"
+        return matched, total
+
+    return walk(tree)
+
+
 def compile_tree_map(
     tree,
     atom_index: dict[tuple[str | None, str], int],
