@@ -49,8 +49,11 @@ def main(sf_dir: str, only: list[str] | None = None):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if hasattr(entrymod, "extra_queries"):
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
