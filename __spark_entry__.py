@@ -1101,6 +1101,9 @@ FROM inter JOIN sz na ON na.doc_id = a JOIN sz nb ON nb.doc_id = b
 WHERE i * 1.0 / (na.n + nb.n - i) >= {{thr}}
 """
 
+    # the band-bucket cap counts exact-content groups per bucket
+    # (= banding-input representatives on the Spark side, which collapses
+    # exact groups before banding; dedup.DEFAULT_MAX_BAND_BUCKET)
     minhash_lsh = f"""
 WITH sh AS ({_SHINGLES}),
 perms AS (SELECT unnest(range(0, 8)) AS perm),
@@ -1109,10 +1112,20 @@ sig AS (
          min({_H60.format(x="p.perm::varchar || ':' || sh.shingle")}) AS mh
   FROM sh CROSS JOIN perms p GROUP BY sh.doc_id, p.perm),
 sigb AS (SELECT doc_id, perm, perm // 4 AS band, mh FROM sig),
-bandh AS (
+bandh0 AS (
   SELECT doc_id, band,
          md5(string_agg(mh::varchar, ',' ORDER BY perm)) AS band_hash
   FROM sigb GROUP BY doc_id, band),
+cmap AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS cmd5
+  FROM documents),
+bsz AS (
+  SELECT band, band_hash, count(DISTINCT cmd5) AS n_groups
+  FROM bandh0 JOIN cmap USING (doc_id) GROUP BY band, band_hash),
+bandh AS (
+  SELECT bandh0.* FROM bandh0 JOIN bsz USING (band, band_hash)
+  WHERE bsz.n_groups <= 10000),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bandh x JOIN bandh y

@@ -13,8 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tantivy_search_spark.pipeline.dedup import (
     _norm_text,
-    connected_components,
-    minhash_lsh_pairs,
+    fuzzy_duplicate_ids,
 )
 from tantivy_search_spark.pipeline.text import (
     lang_marker_columns,
@@ -79,12 +78,12 @@ def curate_corpus(
         .select("doc_id", "quality", "pred_lang", "group_size")
     )
     if fuzzy:
-        pairs = minhash_lsh_pairs(
+        # rep-level clustering (exact-dup groups collapse before LSH
+        # banding; see dedup.fuzzy_duplicate_ids) — the expanded pair
+        # set, quadratic in duplicate-cluster size, is never built
+        dup_ids = fuzzy_duplicate_ids(
             df.select("doc_id", text_col), text_col=text_col, w=fuzzy_w,
             n_perm=fuzzy_n_perm, bands=fuzzy_bands,
             threshold=fuzzy_threshold, family=fuzzy_family)
-        comp = connected_components(pairs)
-        dup_ids = comp.where(
-            F.col("component_id") != F.col("doc_id")).select("doc_id")
         out = out.join(dup_ids, "doc_id", "left_anti")
     return out

@@ -270,25 +270,33 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    w: int = 3,
-    n_perm: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    family: str = "md5",
-) -> DataFrame:
-    """Banded-LSH candidate generation + exact Jaccard verification.
+#: default cap on exact-content groups per LSH band bucket.  With exact
+#: duplicates collapsed to one representative each, a bucket bigger than
+#: this means > max distinct contents hash-agreeing on a whole band — a
+#: giant templated near-dup family whose in-bucket self-join would emit
+#: ~n^2 candidate rows.  Dropped buckets are auditable via
+#: :func:`hot_band_buckets` (no silent truncation), mirroring the
+#: hot-shingle cap of ngram_jaccard_pairs.
+DEFAULT_MAX_BAND_BUCKET = 10_000
 
-    rows_per_band = n_perm / bands; a pair becomes a candidate if any
-    band of the signature matches exactly (join on (band, band_hash) —
-    no cross join anywhere), then candidates are verified with true
-    shingle Jaccard >= threshold.
-    """
-    assert n_perm % bands == 0
+
+def _exact_members(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, rep): every doc mapped to the minimum doc_id of its
+    exact-content group (md5 of whitespace/case-normalized text — the
+    same key exact_dedup groups on)."""
+    keyed = df.select(
+        "doc_id", F.md5(_norm_text(text_col)).alias("_cmd5"))
+    reps = keyed.groupBy("_cmd5").agg(F.min("doc_id").alias("rep"))
+    return keyed.join(reps, "_cmd5").select("doc_id", "rep")
+
+
+def _banded_sigs(src: DataFrame, text_col: str, w: int, n_perm: int,
+                 bands: int, family: str,
+                 max_band_bucket: int | None) -> DataFrame:
+    """(doc_id, band, band_hash) rows, persisted, with over-cap buckets
+    dropped."""
     r = n_perm // bands
-    sigs = minhash_signatures(df, text_col, w, n_perm, family=family)
+    sigs = minhash_signatures(src, text_col, w, n_perm, family=family)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -309,8 +317,23 @@ def minhash_lsh_pairs(
     # a module registry; each new call releases the previous call's
     # blocks (unpersist is safe for still-lazy results — Spark simply
     # recomputes), and unpersist_cached() drops everything.
-    _swap_persisted_pool()
     banded = _track_persist(banded.persist())
+    if max_band_bucket is not None:
+        hot = (banded.groupBy("band", "band_hash")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_band_bucket)
+               .select("band", "band_hash"))
+        banded = banded.join(hot, ["band", "band_hash"], "left_anti")
+    return banded
+
+
+def _lsh_rep_pairs(src: DataFrame, text_col: str, w: int, n_perm: int,
+                   bands: int, threshold: float, family: str,
+                   max_band_bucket: int | None) -> DataFrame:
+    """Verified (a, b, jaccard) pairs over ``src`` (one doc per distinct
+    content when the caller pre-collapsed exact groups)."""
+    banded = _banded_sigs(src, text_col, w, n_perm, bands, family,
+                          max_band_bucket)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_hash"])
@@ -318,8 +341,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = _track_persist(shingles(df, text_col, w).persist())
-    verified = (
+    sh = _track_persist(shingles(src, text_col, w).persist())
+    return (
         cand.join(sh.withColumnRenamed("doc_id", "a")
                   .withColumnRenamed("shingles", "sa"), "a")
         .join(sh.withColumnRenamed("doc_id", "b")
@@ -333,7 +356,88 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified
+
+
+def hot_band_buckets(
+    df: DataFrame, text_col: str = "text", w: int = 3, n_perm: int = 16,
+    bands: int = 4, family: str = "md5",
+    max_band_bucket: int = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """The (band, band_hash, n) buckets a given cap would drop from
+    minhash_lsh_pairs' candidate join — audit before raising the cap.
+    ``n`` counts exact-content representatives (the banding input)."""
+    _swap_persisted_pool()
+    members = _exact_members(df.select("doc_id", text_col), text_col)
+    src = df.select("doc_id", text_col).join(
+        members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id")
+    banded = _banded_sigs(src, text_col, w, n_perm, bands, family, None)
+    return (banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_band_bucket))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    family: str = "md5",
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    rows_per_band = n_perm / bands; a pair becomes a candidate if any
+    band of the signature matches exactly (join on (band, band_hash) —
+    no cross join anywhere), then candidates are verified with true
+    shingle Jaccard >= threshold.
+
+    ``collapse_exact`` (default): exact-content groups are collapsed to
+    one representative BEFORE signature banding, and group membership is
+    re-expanded into the result afterwards.  Identical docs have
+    identical signatures, so without this every band bucket holds the
+    whole duplicate cluster and the self-join plus two shingle-array
+    verification joins process m(m-1)/2 candidate rows per m-member
+    cluster — quadratic *intermediate* work at 100 TB (boilerplate
+    clusters run 10^6 docs).  Collapsed, the expensive stages are linear
+    in distinct contents; only the final (spec-mandated) pair output
+    re-materializes within-cluster pairs, as cheap literal rows:
+    members of one exact group pair at jaccard 1.0 exactly, and a
+    member-pair across two groups has the representatives' jaccard
+    (identical normalized text => identical shingle sets).
+
+    ``max_band_bucket`` caps distinct contents per band bucket (see
+    DEFAULT_MAX_BAND_BUCKET; audit drops with :func:`hot_band_buckets`,
+    disable with None).
+    """
+    assert n_perm % bands == 0
+    _swap_persisted_pool()
+    base = df.select("doc_id", text_col)
+    if not collapse_exact:
+        return _lsh_rep_pairs(base, text_col, w, n_perm, bands, threshold,
+                              family, max_band_bucket)
+    members = _track_persist(_exact_members(base, text_col).persist())
+    src = base.join(
+        members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id")
+    rep_pairs = _lsh_rep_pairs(src, text_col, w, n_perm, bands, threshold,
+                               family, max_band_bucket)
+    ma = members.select(F.col("rep").alias("a"), F.col("doc_id").alias("_da"))
+    mb = members.select(F.col("rep").alias("b"), F.col("doc_id").alias("_db"))
+    cross = (rep_pairs.join(ma, "a").join(mb, "b")
+             .select(F.least("_da", "_db").alias("a"),
+                     F.greatest("_da", "_db").alias("b"), "jaccard"))
+    if threshold <= 1.0:
+        within = (members.alias("x").join(members.alias("y"), "rep")
+                  .where(F.col("x.doc_id") < F.col("y.doc_id"))
+                  .select(F.col("x.doc_id").alias("a"),
+                          F.col("y.doc_id").alias("b"),
+                          F.lit(1.0).alias("jaccard")))
+        cross = cross.unionByName(within)
+    return cross
 
 
 def simhash_signatures(
@@ -372,13 +476,22 @@ def simhash_signatures(
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", bits: int = 60,
     max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking: split the signature into `chunks` pieces; any
     pair within radius < chunks shares at least one exact chunk, so the
     join is on (chunk_idx, chunk_value) — never a cross join.
-    """
+
+    ``max_bucket``: optional cap on docs per (chunk, value) bucket —
+    the in-bucket self-join is quadratic in bucket size, so a hot chunk
+    value (all-zeros signatures from boilerplate) can dominate the
+    shuffle at corpus scale.  Dropped buckets mean missed pairs: audit
+    with a groupBy count before raising, same contract as
+    DEFAULT_MAX_BAND_BUCKET / hot_band_buckets on the MinHash path.
+    Default None keeps exact pigeonhole semantics (mirrored by the SQL
+    oracle)."""
     sig = simhash_signatures(df, text_col, bits)
     step = bits // chunks
     mask = (1 << step) - 1
@@ -393,6 +506,11 @@ def simhash_pairs(
             for i in range(chunks)
         ])).alias("p"),
     ).select("doc_id", "simhash", "p.chunk", "p.val")
+    if max_bucket is not None:
+        hot = (pieces.groupBy("chunk", "val")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_bucket).select("chunk", "val"))
+        pieces = pieces.join(hot, ["chunk", "val"], "left_anti")
     return (
         pieces.alias("x")
         .join(pieces.alias("y"), ["chunk", "val"])
@@ -534,10 +652,60 @@ def dedup_assign(
     )
 
 
+def fuzzy_duplicate_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    family: str = "md5",
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """doc_ids that are NON-canonical members of a fuzzy-dup cluster —
+    the scale path for curation, never materializing the expanded pair
+    set.
+
+    Clustering runs entirely at the exact-content-representative level:
+    LSH pairs over representatives -> connected components over those
+    (tiny) edges -> each doc joins its representative's component.  A
+    doc is a duplicate iff it is not the minimum doc_id of its combined
+    cluster (fuzzy component ∪ exact group).  Equivalent to
+    connected_components(minhash_lsh_pairs(df)) over the expanded pairs
+    — exact-group members are clique-connected at jaccard 1.0 there, and
+    component minima coincide because each representative is already its
+    group's minimum — but the work is linear in distinct contents
+    instead of quadratic in duplicate-cluster size.
+    """
+    assert n_perm % bands == 0
+    _swap_persisted_pool()
+    base = df.select("doc_id", text_col)
+    members = _track_persist(_exact_members(base, text_col).persist())
+    src = base.join(
+        members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id")
+    rep_pairs = _lsh_rep_pairs(src, text_col, w, n_perm, bands, threshold,
+                               family, max_band_bucket)
+    comp = connected_components(rep_pairs)
+    if threshold > 1.0:
+        # no pair can verify, and within-group pairs (jaccard 1.0)
+        # wouldn't clear the threshold either: nothing is a duplicate
+        return members.select("doc_id").limit(0)
+    clustered = (
+        members.join(comp.withColumnRenamed("doc_id", "rep"), "rep", "left")
+        .select("doc_id",
+                F.coalesce("component_id", "rep").alias("cluster_id"))
+    )
+    return (clustered
+            .where(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id"))
+
+
 def embedding_lsh_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
     seed: int = 42, dim: int = 64, family: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: sign-LSH bucketed candidates +
     exact cosine verification — the candidate tier that replaces
@@ -561,6 +729,15 @@ def embedding_lsh_pairs(
         family=family)
     _swap_persisted_pool()
     b = _track_persist(b.persist())
+    if max_bucket is not None:
+        # same quadratic-bucket guard as simhash_pairs/minhash banding:
+        # drop over-cap (table, bucket) groups before the self-join
+        # (audited drops — a vector's near-dups in OTHER buckets/tables
+        # still pair; default None keeps oracle-exact semantics)
+        hot = (b.groupBy("table", "bucket")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_bucket).select("table", "bucket"))
+        b = b.join(hot, ["table", "bucket"], "left_anti")
     cand = (
         b.alias("x").join(b.alias("y"), ["table", "bucket"])
         .where(F.col("x.vec_id") < F.col("y.vec_id"))
