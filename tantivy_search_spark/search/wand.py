@@ -44,6 +44,56 @@ from tantivy_search_spark.fieldnorm import FIELD_NORMS_TABLE
 from tantivy_search_spark.index import layout
 
 
+def _score_and_mode(rows_by_atom, order, idf_map, norm_of, apply_masks,
+                    rare_docs, acc_docs, acc_scores, acc_atoms,
+                    block_size, n_atoms, top_k, k1):
+    """AND-mode phase 2/3: every atom must match, so candidates are
+    exactly the rare atom's docs — decode only blocks whose doc range
+    intersects them, then keep docs matched by all atoms."""
+    for ai, key in enumerate(order[1:], start=1):
+        idf_t = idf_map[key]
+        for r in rows_by_atom[key]:
+            first = np.asarray(r.block_first, dtype=np.int64)
+            last = np.asarray(r.block_last, dtype=np.int64)
+            if rare_docs.size:
+                lo = np.searchsorted(rare_docs, first, side="left")
+                hi = np.searchsorted(rare_docs, last, side="right")
+                keep = hi > lo
+            else:
+                keep = np.zeros(first.size, dtype=bool)
+            if not keep.any():
+                continue
+            d, tf, nm = layout.decode_blocks(
+                r.block_first, r.deltas, r.tfs, r.norms, block_size,
+                keep_blocks=keep)
+            d, tf, nm = apply_masks(d, tf, nm)
+            if d.size == 0:
+                continue
+            s = bm25.term_score(tf, idf_t, norm_of(nm, key[0]), k1)
+            acc_docs.append(d)
+            acc_scores.append(s)
+            acc_atoms.append(np.full(d.size, ai, dtype=np.int8))
+
+    if not acc_docs:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    docs = np.concatenate(acc_docs)
+    scores = np.concatenate(acc_scores)
+    atom_ids = np.concatenate(acc_atoms)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tot = np.zeros(uniq.size)
+    np.add.at(tot, inv, scores)
+    natom = np.zeros(uniq.size, dtype=np.int32)
+    for ai in np.unique(atom_ids):
+        sel = np.unique(inv[atom_ids == ai])
+        natom[sel] += 1
+    keep_docs = natom == n_atoms
+    uniq, tot = uniq[keep_docs], tot[keep_docs]
+    if uniq.size > top_k:
+        idx = np.lexsort((uniq, -tot))[:top_k]
+        uniq, tot = uniq[idx], tot[idx]
+    return pd.DataFrame({"doc_id": uniq, "score": tot})
+
+
 def make_wand_scorer(
     atoms: list[tuple[str, str]],
     idf_map: dict[tuple[str, str], float],
@@ -133,24 +183,50 @@ def make_wand_scorer(
         if and_mode:
             theta = 0.0  # AND totals need every atom; bound by range only
 
-        # atoms processed in ascending-df order; a doc FIRST appearing at
-        # atom i can still gain at most sum of the LATER atoms' maxima,
-        # so the new-entrant bound uses suffix sums — far tighter than
-        # an all-other-atoms sum when the query anchors on a selective
-        # term and the tail terms are hot (idf ~0.04 keywords): their
-        # blocks then decode only where they overlap known candidates.
+        # non-pivot atoms in DESCENDING shard-max order: high-impact
+        # atoms first pump the accumulated totals (and with them θ),
+        # and leave the hot low-idf tails — which own most blocks — a
+        # near-zero suffix bound, so their blocks prune hardest.  A doc
+        # FIRST appearing at atom i can still gain at most the suffix
+        # sum of the atoms after i.
+        rest = sorted(order[1:], key=lambda a: -shard_max[a])
+        order = [rare] + rest
         suffix = {}
         run = 0.0
         for a in reversed(order):
             suffix[a] = run
             run += shard_max[a]
-        # candidate docs accumulated so far (sorted); blocks overlapping
-        # them must decode to keep candidate totals exact
-        cand = rare_docs
 
-        for ai, key in enumerate(order[1:], start=1):
+        if and_mode:
+            return _score_and_mode(
+                rows_by_atom, order, idf_map, norm_of, apply_masks,
+                rare_docs, acc_docs, acc_scores, acc_atoms, block_size,
+                n_atoms, top_k, k1)
+
+        # OR mode: candidates carry their accumulated totals so far.
+        # A candidate whose best possible final total
+        #   acc + shard_max[current] + suffix[current]
+        # is strictly below θ is DEAD — its exact total can no longer
+        # reach the shard top-k (≥ top_k docs already have totals ≥ θ),
+        # so blocks overlapping only dead candidates skip.  θ itself
+        # rises to the kth best accumulated total after every atom
+        # (totals only grow, so it stays a valid lower bound).  These
+        # two together are what make pruning bite on selective queries:
+        # the old any-candidate-overlap rule decoded ~99% of hot-atom
+        # blocks because phase-1 docs scatter across the shard's range.
+        cand = rare_docs
+        acc = np.zeros(cand.size)
+        if acc_scores:
+            # rare-atom scores, aligned to the sorted candidate order
+            d0 = np.concatenate(acc_docs)
+            s0 = np.concatenate(acc_scores)
+            acc[np.searchsorted(cand, d0)] += s0
+
+        for key in order[1:]:
             idf_t = idf_map[key]
-            new_docs = []
+            bound = shard_max[key] + suffix[key]
+            live = cand[acc + bound >= theta] if cand.size else cand
+            new_docs, new_scores = [], []
             for r in rows_by_atom[key]:
                 first = np.asarray(r.block_first, dtype=np.int64)
                 last = np.asarray(r.block_last, dtype=np.int64)
@@ -161,13 +237,10 @@ def make_wand_scorer(
                 # new-entrant bound: could a doc seen first here still
                 # reach theta with only later atoms' help?
                 keep = (bmax + suffix[key]) >= theta
-                if cand.size:
-                    lo = np.searchsorted(cand, first, side="left")
-                    hi = np.searchsorted(cand, last, side="right")
-                    overlap = hi > lo
-                    keep = (keep | overlap) if not and_mode else overlap
-                elif and_mode:
-                    keep &= False
+                if live.size:
+                    lo = np.searchsorted(live, first, side="left")
+                    hi = np.searchsorted(live, last, side="right")
+                    keep |= hi > lo
                 if not keep.any():
                     continue
                 d, tf, nm = layout.decode_blocks(
@@ -177,29 +250,28 @@ def make_wand_scorer(
                 if d.size == 0:
                     continue
                 s = bm25.term_score(tf, idf_t, norm_of(nm, key[0]), k1)
-                acc_docs.append(d)
-                acc_scores.append(s)
-                acc_atoms.append(np.full(d.size, ai, dtype=np.int8))
-                new_docs.append(d)
-            if not and_mode and new_docs:
-                cand = np.union1d(cand, np.concatenate(new_docs))
+                pos = np.searchsorted(cand, d)
+                pos_c = np.minimum(pos, max(cand.size - 1, 0))
+                in_cand = (cand[pos_c] == d) if cand.size \
+                    else np.zeros(d.size, dtype=bool)
+                acc[pos[in_cand]] += s[in_cand]
+                if (~in_cand).any():
+                    new_docs.append(d[~in_cand])
+                    new_scores.append(s[~in_cand])
+            if new_docs:
+                nd = np.concatenate(new_docs)
+                ns = np.concatenate(new_scores)
+                cand = np.concatenate([cand, nd])
+                acc = np.concatenate([acc, ns])
+                srt = np.argsort(cand, kind="stable")
+                cand, acc = cand[srt], acc[srt]
+            if acc.size >= top_k:
+                theta = max(theta, float(
+                    np.partition(acc, -top_k)[-top_k]))
 
-        if not acc_docs:
+        if not cand.size:
             return pd.DataFrame({"doc_id": [], "score": []})
-        docs = np.concatenate(acc_docs)
-        scores = np.concatenate(acc_scores)
-        atom_ids = np.concatenate(acc_atoms)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        tot = np.zeros(uniq.size)
-        np.add.at(tot, inv, scores)
-        if and_mode:
-            natom = np.zeros(uniq.size, dtype=np.int32)
-            # count distinct atoms per doc (rows arrive grouped by atom)
-            for ai in np.unique(atom_ids):
-                sel = np.unique(inv[atom_ids == ai])
-                natom[sel] += 1
-            keep_docs = natom == n_atoms
-            uniq, tot = uniq[keep_docs], tot[keep_docs]
+        uniq, tot = cand, acc
         if uniq.size > top_k:
             # local heap: keep top_k by (score desc, doc asc)
             idx = np.lexsort((uniq, -tot))[:top_k]
