@@ -59,11 +59,13 @@ def _mix(x: np.ndarray) -> np.ndarray:
 
 
 def _gen_batch(ids: np.ndarray, seed: int,
-               ident_frac: float = 0.0, ident_vocab: int = 200_000
+               ident_frac: float = 0.0, ident_vocab: int = 200_000,
+               min_tokens: int = 10, max_tokens: int = 2000,
                ) -> pd.DataFrame:
     s = np.uint64(seed)
     h = _mix(ids.astype(np.uint64) ^ s)
-    n_tokens = (10 + (h % np.uint64(1991))).astype(np.int64)  # 10..2000
+    n_tokens = (min_tokens + (h % np.uint64(
+        max_tokens - min_tokens + 1))).astype(np.int64)
     pool_n = np.uint64(_POOL.shape[0])
 
     offsets = np.concatenate(([0], np.cumsum(n_tokens)))
@@ -111,6 +113,7 @@ def synth_code_corpus(
     spark: SparkSession, n_files: int, seed: int = 42,
     num_partitions: int | None = None,
     ident_frac: float = 0.0, ident_vocab: int = 200_000,
+    min_tokens: int = 10, max_tokens: int = 2000,
 ) -> DataFrame:
     """Distributed deterministic corpus of `n_files` source files.
 
@@ -118,13 +121,18 @@ def synth_code_corpus(
     (``ident_vocab`` distinct tokens) alongside the hot keyword pool —
     the realistic code-corpus shape where WAND/skip-index selectivity
     matters; 0 keeps the original all-hot vocabulary (the adversarial
-    skew case the merge sharding is sized for)."""
+    skew case the merge sharding is sized for).
+
+    ``min_tokens``/``max_tokens`` bound the uniform per-doc length
+    draw; (10, 200) approximates the reference benchmark's wiki_560w
+    abstract corpus (short docs) for doc-count-normalized comparisons."""
     parts = num_partitions or spark.sparkContext.defaultParallelism
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield _gen_batch(pdf["id"].to_numpy(dtype=np.int64), seed,
-                             ident_frac, ident_vocab)
+                             ident_frac, ident_vocab, min_tokens,
+                             max_tokens)
 
     return spark.range(0, n_files, 1, parts).mapInPandas(
         gen,

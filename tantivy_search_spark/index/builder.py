@@ -683,6 +683,7 @@ class IndexBuilder:
             total_tokens=total_tokens,
             part_ranges=sorted(part_ranges),
             build_metrics=metrics,
+            committed_fence=self._data_fence(),
         )
         meta.save(self.index_path)
         return meta
@@ -788,6 +789,24 @@ class IndexBuilder:
             f"compact{int(time.time())}", metrics)
         return metrics
 
+    def _data_fence(self) -> float:
+        """Max mtime over the index's data files right before a meta
+        save — stored as IndexMeta.committed_fence so repair() can skip
+        committed files without trusting wall-clock margins.  getmtime
+        only (no footer reads); the directory walk is the same cost
+        repair() already pays."""
+        import glob as _glob
+
+        fence = 0.0
+        for sub in (DOCS_DIR, POSTINGS_DIR):
+            for f in _glob.glob(os.path.join(self.index_path, sub, "**",
+                                             "*.parquet"), recursive=True):
+                try:
+                    fence = max(fence, os.path.getmtime(f))
+                except OSError:
+                    pass
+        return fence
+
     # -- crash repair ---------------------------------------------------------
     def repair(self) -> dict:
         """Remove the artifacts of a crashed append().
@@ -812,17 +831,22 @@ class IndexBuilder:
                             default=-1)
         removed = {"docs": 0, "postings": 0, "stats_rebuilt": False}
 
-        # short-circuit: the meta save is the commit point, so any
-        # crashed-append artifact is NEWER than the meta file.  Files
-        # older than the last commit (minus a clock-skew margin) are
-        # committed by construction — skip their footer/column reads so
-        # repair() stays O(files since last commit), not O(index), on
-        # every append() start.
-        meta_mtime = os.path.getmtime(
-            os.path.join(self.index_path, layout.META_FILE))
-        cutoff = meta_mtime - 60.0
+        # short-circuit: meta.committed_fence is the max data-file mtime
+        # captured at the last commit, on the storage system's own clock
+        # — any file strictly older is committed by construction, so its
+        # footer/column read is skipped and repair() stays O(files since
+        # last commit), not O(index).  Post-commit writes land AT or
+        # after the fence (same clock; ties from coarse mtime
+        # granularity just fall through to the id check), so crashed
+        # artifacts cannot be misclassified even under writer clock skew
+        # (ADVICE r3 — the old heuristic compared against the meta
+        # file's mtime minus a fixed wall-clock margin).  Metas without
+        # a fence (older layout) check every file.
+        cutoff = meta.committed_fence
 
         def _committed(f: str) -> bool:
+            if cutoff is None:
+                return False
             try:
                 return os.path.getmtime(f) < cutoff
             except OSError:
@@ -1007,6 +1031,7 @@ class IndexBuilder:
             total_tokens=total_tokens,
             part_ranges=sorted(part_ranges),
             build_metrics=meta.build_metrics,
+            committed_fence=self._data_fence(),
         )
         new_meta.save(self.index_path)  # <- the commit point
         # bookkeeping AFTER the commit: a crash before meta.save leaves

@@ -314,6 +314,13 @@ class IndexMeta:
     total_tokens: dict | None = None  # col -> raw token count
     part_ranges: list | None = None  # [(part_id, first_doc, last_doc, rows)]
     build_metrics: dict | None = None
+    #: max data-file mtime observed at commit (meta save) time, on the
+    #: storage system's own clock — repair() treats files with mtime
+    #: strictly below it as committed without reading footers.  Unlike a
+    #: wall-clock margin against the meta file's mtime, this cannot
+    #: misclassify a crashed append's artifacts under writer/storage
+    #: clock skew: any post-commit write lands at or after the fence.
+    committed_fence: float | None = None
 
     def save(self, index_path: str) -> None:
         with open(os.path.join(index_path, META_FILE), "w") as f:

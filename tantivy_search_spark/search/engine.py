@@ -1648,6 +1648,13 @@ class SearchIndex:
                   "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
 
         tomb = self._tombstone_small_array()
+        if tomb is None and self.meta.part_ranges is None:
+            # pre-part_ranges meta (older index layout): the cogrouped
+            # tier can't map tombstones to shards without doc-range
+            # bounds — ship the full array instead of raising (ADVICE
+            # r3; costlier than the cogroup but correct, and only
+            # reachable on legacy metas with over-cap delete sets)
+            tomb = self._tombstone_array()
         if tomb is not None:
             scored = cand.groupBy("shard").applyInPandas(
                 wand_mod.with_broadcast_tombstones(scorer, tomb),
@@ -2129,25 +2136,22 @@ class SearchIndex:
         if tree is None:
             return []
         groups = qt.flat_groups(tree)
-        if groups is None:  # nested NLQ: reuse the distributed path
-            rows = self.bm25_search(
-                sentence, column_names=cols, top_k=top_k,
-                operator_or=operator_or, alive_bitmap=alive_bitmap,
-                enable_nlq=enable_nlq, statistics=statistics).collect()
-            return [(r["row_id"], r["score"]) for r in rows]
+        if groups is None:
+            # nested NLQ (MustNot, boosts, nested groups): in-process
+            # tree evaluator — open_local() indexes have no Spark tier
+            # to fall back to (ADVICE r3)
+            return self._bm25_local_tree(tree, top_k, alive_bitmap,
+                                         statistics)
 
         # expand col=None atoms (bare NLQ terms) to concrete columns; a
-        # None atom inside an AND group has no flat expansion -> fall
-        # back to the distributed tree evaluator
+        # None atom inside an AND group has no flat expansion -> use
+        # the in-process tree evaluator
         concrete: list[tuple[list, bool]] = []
         for keys, is_and in groups:
             if is_and and any(not qt.is_phrase_key(k) and k[0] is None
                               for k in keys):
-                rows = self.bm25_search(
-                    sentence, column_names=cols, top_k=top_k,
-                    operator_or=operator_or, alive_bitmap=alive_bitmap,
-                    enable_nlq=enable_nlq, statistics=statistics).collect()
-                return [(r["row_id"], r["score"]) for r in rows]
+                return self._bm25_local_tree(tree, top_k, alive_bitmap,
+                                             statistics)
             ks: list = []
             for k in keys:
                 if qt.is_phrase_key(k):
@@ -2234,6 +2238,145 @@ class SearchIndex:
             total += S[:, ai].sum(axis=1) * gm
             matched |= gm
         sel = np.flatnonzero(matched)
+        order = np.lexsort((all_docs[sel], -total[sel]))[:top_k]
+        pick = sel[order]
+        return [(int(all_docs[i]), float(total[i])) for i in pick]
+
+    def _bm25_local_tree(
+        self,
+        tree,
+        top_k: int,
+        alive_bitmap: bytes | None,
+        statistics: Statistics | None,
+    ) -> list[tuple[int, float]]:
+        """In-process evaluator for arbitrary NLQ trees (MustNot, boost
+        factors, nested groups) — the numpy twin of
+        querytree.compile_tree_map, so open_local() indexes answer every
+        query shape without a Spark tier (ADVICE r3: the old fallback
+        raised through _require_spark and killed whole SearchPool
+        batches)."""
+        atoms = qt.collect_atoms(tree)
+        if not atoms:
+            return []
+        cfg = self.config
+        phrase_atoms = [a for a in atoms if qt.is_phrase_key(a)]
+        term_atoms = [a for a in atoms if not qt.is_phrase_key(a)]
+        # concrete (col, term) fetches; a (None, term) atom reads every
+        # column and sums matches per doc (compile subs semantics)
+        fetch = sorted({(c, t) for (c0, t) in term_atoms
+                        for c in ([c0] if c0 is not None else cfg.columns)})
+        postings = self._local_postings(fetch)
+
+        stats_tokens: dict[str, list[str]] = {c: [] for c in cfg.columns}
+        for (cc, t) in fetch:
+            stats_tokens[cc].append(t)
+        for a in phrase_atoms:
+            stats_tokens[a[1]].extend(a[2])
+        local = self.local_statistics(stats_tokens)
+        use = statistics if statistics is not None and statistics.docs_freq \
+            else local
+        n_docs = use.total_num_docs or 1
+        df_map = {(c, t): d for (t, c, d) in use.docs_freq}
+        for (t, c, d) in local.docs_freq:
+            df_map.setdefault((c, t), d)
+        avgdl = {c: (use.total_num_tokens.get(c, 0) / n_docs)
+                 for c in cfg.columns}
+        tomb = self._tombstone_array()
+        k1, b = cfg.k1, cfg.b
+
+        def concrete_scores(cc: str, t: str):
+            d, tf, m = postings[(cc, t)]
+            if not d.size:
+                return d, np.empty(0, np.float64)
+            idf = float(bm25.idf(df_map.get((cc, t), 0), n_docs))
+            norm_d = bm25.doc_norm(FIELD_NORMS_TABLE[m],
+                                   avgdl.get(cc, 1.0) or 1.0, k1, b)
+            return d, bm25.term_score(tf, idf, norm_d, k1)
+
+        per_atom: dict = {}
+        for a in atoms:
+            if qt.is_phrase_key(a):
+                d, s = self._local_phrase_scores(
+                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3])
+            elif a[0] is not None:
+                d, s = concrete_scores(a[0], a[1])
+            else:
+                parts = [concrete_scores(cc, a[1]) for cc in cfg.columns]
+                parts = [(d, s) for d, s in parts if d.size]
+                if parts:
+                    d = np.concatenate([p[0] for p in parts])
+                    s = np.concatenate([p[1] for p in parts])
+                    d, inv = np.unique(d, return_inverse=True)
+                    tot = np.zeros(d.size)
+                    np.add.at(tot, inv, s)
+                    s = tot
+                else:
+                    d = np.empty(0, np.int64)
+                    s = np.empty(0, np.float64)
+            if tomb.size and d.size:
+                mask = ~np.isin(d, tomb)
+                d, s = d[mask], s[mask]
+            if alive_bitmap is not None and d.size:
+                mask = mask_for_row_ids(d, alive_bitmap)
+                d, s = d[mask], s[mask]
+            per_atom[a] = (d, s)
+
+        all_docs = np.unique(np.concatenate(
+            [per_atom[a][0] for a in atoms])) if atoms else np.empty(0)
+        if all_docs.size == 0:
+            return []
+        nd = all_docs.shape[0]
+        apos = {a: i for i, a in enumerate(atoms)}
+        S = np.zeros((nd, len(atoms)))
+        M = np.zeros((nd, len(atoms)), dtype=bool)
+        for a in atoms:
+            d, s = per_atom[a]
+            if d.size:
+                idx = np.searchsorted(all_docs, d)
+                S[idx, apos[a]] = s
+                M[idx, apos[a]] = True
+
+        def walk(node):
+            """(matched bool[nd], score float[nd]) — exactly
+            compile_tree_map's column semantics."""
+            if isinstance(node, (qt.Term, qt.Phrase)):
+                i = apos[qt.atom_key(node)]
+                return M[:, i], np.where(M[:, i], S[:, i], 0.0)
+            if isinstance(node, qt.Boost):
+                m, sc = walk(node.child)
+                return m, sc * float(node.factor)
+            if isinstance(node, qt.Bool):
+                if node.positive is None:
+                    pm = np.zeros(nd, dtype=bool)
+                    ps = np.zeros(nd)
+                else:
+                    pm, ps = walk(node.positive)
+                excl = np.zeros(nd, dtype=bool)
+                for c in node.must_nots:
+                    em, _ = walk(c)
+                    excl |= em
+                matched = pm & ~excl
+                return matched, np.where(matched, ps, 0.0)
+            kids = [walk(c) for c in node.children if c is not None]
+            if not kids:
+                return np.zeros(nd, dtype=bool), np.zeros(nd)
+            total = kids[0][1].copy()
+            for _, s in kids[1:]:
+                total += s
+            if isinstance(node, qt.And):
+                matched = kids[0][0].copy()
+                for m, _ in kids[1:]:
+                    matched &= m
+                return matched, np.where(matched, total, 0.0)
+            matched = kids[0][0].copy()
+            for m, _ in kids[1:]:
+                matched |= m
+            return matched, total
+
+        matched, total = walk(tree)
+        sel = np.flatnonzero(matched)
+        if sel.size == 0:
+            return []
         order = np.lexsort((all_docs[sel], -total[sel]))[:top_k]
         pick = sel[order]
         return [(int(all_docs[i]), float(total[i])) for i in pick]

@@ -58,15 +58,44 @@ def _set_fork_parent_index(ix) -> None:
     _WORKER_INDEX = ix
 
 
-def _worker_search(item) -> list[tuple[int, float]]:
+class PoolQueryError:
+    """Per-query failure marker: one bad query (unsupported shape,
+    malformed NLQ) must not abort the pool.map batch the other queries
+    ride in.  Falsy so ``if result:`` skips it like an empty hit list."""
+
+    __slots__ = ("query", "error")
+
+    def __init__(self, query: str, error: str):
+        self.query = query
+        self.error = error
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return f"PoolQueryError({self.query!r}, {self.error!r})"
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, PoolQueryError)
+                and (self.query, self.error) == (other.query, other.error))
+
+
+def _worker_search(item):
     """item is a sentence, or (sentence, overrides-dict) for per-query
-    options (the FFI surface takes per-call flags; so does the pool)."""
+    options (the FFI surface takes per-call flags; so does the pool).
+    Exceptions come back as PoolQueryError values instead of propagating
+    (a raise inside pool.map poisons the whole batch)."""
     if isinstance(item, tuple):
         sentence, overrides = item
         kw = {**_WORKER_KWARGS, **overrides}
     else:
         sentence, kw = item, _WORKER_KWARGS
-    return _WORKER_INDEX.bm25_search_local(sentence, **kw)
+    try:
+        return _WORKER_INDEX.bm25_search_local(sentence, **kw)
+    except Exception as e:  # noqa: BLE001 — worker boundary
+        return PoolQueryError(sentence if isinstance(sentence, str)
+                              else str(sentence),
+                              f"{type(e).__name__}: {e}")
 
 
 class SearchPool:
@@ -103,6 +132,19 @@ class SearchPool:
                 for q in warm_queries:
                     parent_ix.bm25_search_local(q, **search_kwargs)
             _set_fork_parent_index(parent_ix)
+            # the warm queries above exercised pyarrow dataset reads, so
+            # Arrow worker threads exist NOW; forking a process with
+            # live threads can deadlock children inside allocator /
+            # thread-pool locks (known pyarrow hazard, ADVICE r3).  Cap
+            # both Arrow pools to the calling thread before forking —
+            # point queries decode small arrays, intra-op threads buy
+            # nothing here anyway.
+            try:
+                import pyarrow as pa
+                pa.set_cpu_count(1)
+                pa.set_io_thread_count(1)
+            except Exception:
+                pass
             ctx = mp.get_context("fork")
             self._pool = ctx.Pool(
                 self.processes, initializer=_init_worker,
@@ -138,7 +180,11 @@ class SearchPool:
         Each element is a sentence string, or a ``(sentence,
         overrides)`` tuple whose dict overrides the pool-level
         ``search_kwargs`` for that one query (e.g. ``("a b",
-        {"operator_or": True, "top_k": 100})``)."""
+        {"operator_or": True, "top_k": 100})``).
+
+        A query that raises in its worker yields a (falsy)
+        :class:`PoolQueryError` at its position instead of aborting the
+        batch."""
         if not sentences:
             return []
         cs = chunksize or max(1, len(sentences) // (self.processes * 4))

@@ -20,15 +20,26 @@ _VIRAMA = "்"          # ்
 _MIN = 4                     # has_min_length: only stem longer words
 
 
+#: never stem below one syllable: a result of fewer than 3 code points
+#: (e.g. a bare consonant + virama) merges unrelated lemmas into one
+#: term — வந்தானா must stop at வந்தான், not collapse to வ்
+#: (ADVICE r4; rarely reached, the _MIN word-length guard handles most)
+_MIN_RESULT = 3
+
+
 def _replace(w: str, table) -> tuple[str, bool]:
     """Longest-match one (suffix -> replacement) rule; None keeps the
-    word unchanged when no rule matches."""
+    word unchanged when no rule matches, or when the result would drop
+    under _MIN_RESULT code points."""
     for suf, repl in table:
         if w.endswith(suf) and len(w) - len(suf) >= 1:
             head = w[: -len(suf)]
             if repl == _VIRAMA and head.endswith(_VIRAMA):
                 repl = ""
-            return head + repl, True
+            out = head + repl
+            if len(out) < _MIN_RESULT:
+                return w, False
+            return out, True
     return w, False
 
 

@@ -159,3 +159,34 @@ class TestAutoRoute:
         ix.reload()
         assert ix._postings_bytes_cache is None
         assert ix._postings_bytes() == n
+
+
+class TestLocalTreeEvaluator:
+    """Non-flat NLQ trees (MustNot, boosts, nested groups) must answer
+    IN-PROCESS — open_local() indexes have no Spark tier to fall back
+    to (ADVICE r4)."""
+
+    NESTED = [
+        "ancient -empires",                       # top-level MustNot
+        "moral^2 horizons",                       # boost factor != 1
+        "(ancient empires) AND (rise OR fall)",   # nested groups
+        "ancient AND (rise OR -fall)",
+    ]
+
+    def test_nested_nlq_local_equals_distributed(self, corpus_a_index):
+        ix = corpus_a_index
+        ix.enable_stats_cache()
+        for q in self.NESTED:
+            got = _loc(ix, q, False, enable_nlq=True)
+            want = _dist(ix, q, False, enable_nlq=True)
+            assert got == want, q
+
+    def test_nested_nlq_without_spark(self, corpus_a_index):
+        from tantivy_search_spark.search.engine import SearchIndex
+        local = SearchIndex.open_local(corpus_a_index.index_path)
+        ix = corpus_a_index
+        for q in self.NESTED:
+            got = [(rid, round(sc, 4)) for rid, sc in
+                   local.bm25_search_local(q, top_k=5, enable_nlq=True)]
+            want = _dist(ix, q, False, enable_nlq=True)
+            assert got == want, q

@@ -217,3 +217,30 @@ class TestSearchPool:
                  local_ix.bm25_search_local(s, top_k=5)]
                 for s in sentences]
         assert got == want
+
+    def test_query_error_isolated(self, corpus_a_index, local_ix):
+        """One failing query returns a falsy PoolQueryError at its slot;
+        the rest of the batch still answers (ADVICE r4)."""
+        from unittest import mock
+
+        from tantivy_search_spark.search import pool as pool_mod
+
+        real = pool_mod._WORKER_INDEX
+        items = ["ancient", ("BOOM", {}), "moral horizons"]
+
+        class Exploding:
+            def bm25_search_local(self, sentence, **kw):
+                if sentence == "BOOM":
+                    raise ValueError("unsupported query shape")
+                return local_ix.bm25_search_local(sentence, **kw)
+
+        try:
+            pool_mod._WORKER_INDEX = Exploding()
+            pool_mod._WORKER_KWARGS = {"top_k": 5}
+            out = [pool_mod._worker_search(i) for i in items]
+        finally:
+            pool_mod._WORKER_INDEX = real
+        assert out[0] and isinstance(out[2], list)  # real hit lists
+        err = out[1]
+        assert isinstance(err, pool_mod.PoolQueryError) and not err
+        assert "unsupported query shape" in err.error

@@ -145,7 +145,10 @@ class TestOtherLanguages:
                    ("ελληνικός", "ελληνικ"),
                    ("ελληνική", "ελληνικ")]),
         ("tamil", [("புத்தகங்கள்", "புத்தகம்"),
-                   ("வந்தானா", "வ்")]),
+                   # stops at the past stem: stripping the tense ending
+                   # would leave the sub-syllable வ் (term-collision
+                   # guard, ADVICE r4)
+                   ("வந்தானா", "வந்தான்")]),
     ])
     def test_spot_vectors(self, lang, pairs):
         stem = get_stemmer(lang)
