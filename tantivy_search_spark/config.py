@@ -15,6 +15,7 @@ The parsed config is persisted alongside the index tables as
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 from tantivy_search_spark.tokenizers import (
@@ -74,8 +75,13 @@ def _validate_tokenizer(tok: dict) -> None:
         if min_gram == 0 or min_gram >= max_gram:
             raise TokenizerError("ngram: require 0 < min_gram < max_gram")
     if ttype == "chinese":
-        if tok.get("jieba", "default") not in _CHINESE_JIEBA:
-            raise TokenizerError("chinese: jieba must be default|empty")
+        jb = tok.get("jieba", "default")
+        # besides the named providers, a filesystem path to a
+        # jieba-format dictionary file enables real dictionary mode
+        if jb not in _CHINESE_JIEBA and not os.path.isfile(str(jb)):
+            raise TokenizerError(
+                "chinese: jieba must be default|empty or a path to a "
+                "jieba-format dictionary file")
         if tok.get("mode", "search") not in _CHINESE_MODES:
             raise TokenizerError("chinese: bad mode")
     if ttype == "icu" and tok.get("mode", "word") not in _ICU_MODES:

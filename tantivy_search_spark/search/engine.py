@@ -57,6 +57,26 @@ from tantivy_search_spark.index.layout import (
 from tantivy_search_spark.search import querytree as qt
 
 
+def _kernel_prof_emit(stage: str, rec: dict) -> None:
+    """Opt-in per-task phase timings for the batch path's Python
+    stages: when $TSS_KERNEL_PROF_DIR is set, each task appends one
+    JSON line there (scripts/scaling attribution uses this to split
+    shuffle feed vs Arrow gather vs numpy kernel seconds — task-level
+    Spark metrics can't see inside a pandas UDF).  No-op otherwise."""
+    import json as _json
+
+    d = os.environ.get("TSS_KERNEL_PROF_DIR")
+    if not d:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        rec = {"stage": stage, "pid": os.getpid(), **rec}
+        with open(os.path.join(d, f"kp-{os.getpid()}.jsonl"), "a") as f:
+            f.write(_json.dumps(rec) + "\n")
+    except Exception:
+        pass
+
+
 def _sql_int_list(vals) -> str:
     return ",".join(str(int(v)) for v in vals)
 
@@ -775,6 +795,8 @@ class SearchIndex:
         norm_table = FIELD_NORMS_TABLE
 
         def decode_pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time as _time
+            t_start = _time.time()
             subs, idf_map, avgdl, tombs, alive = b_env.value
             for pdf in it:
                 o_shard, o_sub, o_atom = [], [], []
@@ -827,6 +849,8 @@ class SearchIndex:
                         "doc_ids": o_docs,
                         "scores": o_scores,
                     })
+            _kernel_prof_emit("decode_pack", {
+                "task_s": round(_time.time() - t_start, 4)})
 
         cand = self._candidate_postings(atoms).select(
             "shard", "col", "term", "block_first", "deltas", "tfs", "norms")
@@ -1480,18 +1504,40 @@ class SearchIndex:
                                   dedup_atoms=dedup_atoms)
 
         def topk_packed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time as _time
+            t_start = _time.time()
+            fetch_s = gather_s = 0.0
+            n_rows = n_bytes = 0
             docs, atoms_l, scores = [], [], []
-            for pdf in it:
+            while True:
+                t0 = _time.time()
+                pdf = next(it, None)
+                fetch_s += _time.time() - t0  # Arrow IPC + shuffle feed
+                if pdf is None:
+                    break
+                t0 = _time.time()
                 for r in pdf.itertuples(index=False):
                     d = np.frombuffer(r.doc_ids, dtype=np.int64)
                     docs.append(d)
                     atoms_l.append(np.full(d.size, r.atom, dtype=np.int64))
                     scores.append(np.frombuffer(r.scores, dtype=np.float64))
+                    n_rows += 1
+                    n_bytes += len(r.doc_ids) + len(r.scores)
+                gather_s += _time.time() - t0
             if not docs:
                 return
+            t0 = _time.time()
             out = _flat_score_topk(b.value, np.concatenate(docs),
                                    np.concatenate(atoms_l),
                                    np.concatenate(scores))
+            kernel_s = _time.time() - t0
+            _kernel_prof_emit("topk_packed", {
+                "task_s": round(_time.time() - t_start, 4),
+                "arrow_fetch_s": round(fetch_s, 4),
+                "row_gather_s": round(gather_s, 4),
+                "numpy_kernel_s": round(kernel_s, 4),
+                "rows": n_rows, "payload_bytes": n_bytes,
+            })
             if out is not None:
                 yield out
 

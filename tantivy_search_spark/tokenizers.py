@@ -87,34 +87,180 @@ _ALNUM_RUNS = re.compile(r"[^\W_]+", re.UNICODE)
 _ASCII_RUN_OR_CHAR = re.compile(r"[0-9A-Za-z]+|.", re.DOTALL)
 
 
+#: jieba's default block regex: runs of han / latin / digits /
+#: word-joining punctuation segment through the DAG; everything else
+#: passes through per char (and is then nonsense-stripped)
+_JIEBA_HAN_BLOCK = re.compile(r"[一-鿕a-zA-Z0-9+#&._%\-]+")
+_JIEBA_ENG = re.compile(r"[a-zA-Z0-9]")
+
+
+class _JiebaDict:
+    """Dictionary-mode segmentation — the public jieba algorithm
+    (prefix dictionary -> DAG -> max-log-prob route), matching
+    jieba_rs::Jieba::{cut, cut_all, cut_for_search} with hmm=false over
+    a user-supplied dictionary file (`word freq [tag]` per line, the
+    standard jieba dict format).  The jieba project's own bundled
+    dict.txt is data this environment does not ship — point ``jieba``
+    at any dictionary file to enable these modes
+    (cangjie/tokenizer.rs:29-48 semantics)."""
+
+    def __init__(self, path: str):
+        import math
+
+        self.freq: dict[str, int] = {}
+        total = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                w = parts[0]
+                fr = (int(parts[1]) if len(parts) > 1
+                      and parts[1].isdigit() else 1)
+                self.freq[w] = self.freq.get(w, 0) + fr
+                total += fr
+                for i in range(1, len(w)):
+                    self.freq.setdefault(w[:i], 0)
+        self.total = max(total, 1)
+        self._logtotal = math.log(self.total)
+
+    def _dag(self, s: str) -> dict[int, list[int]]:
+        dag: dict[int, list[int]] = {}
+        n = len(s)
+        for k in range(n):
+            ends = []
+            i = k
+            frag = s[k]
+            while i < n and frag in self.freq:
+                if self.freq[frag]:
+                    ends.append(i)
+                i += 1
+                frag = s[k:i + 1]
+            if not ends:
+                ends.append(k)
+            dag[k] = ends
+        return dag
+
+    def _route(self, s: str, dag: dict[int, list[int]]) -> list[int]:
+        import math
+
+        n = len(s)
+        route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            route[i] = max(
+                (math.log(self.freq.get(s[i:j + 1]) or 1)
+                 - self._logtotal + route[j + 1][0], j)
+                for j in dag[i])
+        return [route[i][1] for i in range(n)]
+
+    def _cut_block(self, s: str) -> list[str]:
+        """__cut_DAG_NO_HMM: best route; consecutive single alnum chars
+        buffer into one token (english runs survive a CJK dict)."""
+        route = self._route(s, self._dag(s))
+        out: list[str] = []
+        i = 0
+        buf = ""
+        while i < len(s):
+            j = route[i] + 1
+            word = s[i:j]
+            if len(word) == 1 and _JIEBA_ENG.match(word):
+                buf += word
+            else:
+                if buf:
+                    out.append(buf)
+                    buf = ""
+                out.append(word)
+            i = j
+        if buf:
+            out.append(buf)
+        return out
+
+    def _cut_all_block(self, s: str) -> list[str]:
+        dag = self._dag(s)
+        out: list[str] = []
+        old_j = -1
+        for k in range(len(s)):
+            ends = dag[k]
+            if len(ends) == 1 and k > old_j:
+                out.append(s[k:ends[0] + 1])
+                old_j = ends[0]
+            else:
+                for j in ends:
+                    if j > k:
+                        out.append(s[k:j + 1])
+                        old_j = j
+        return out
+
+    def _cut_for_search_block(self, s: str) -> list[str]:
+        out: list[str] = []
+        for w in self._cut_block(s):
+            for gram in (2, 3):
+                if len(w) > gram:
+                    for i in range(len(w) - gram + 1):
+                        g = w[i:i + gram]
+                        if self.freq.get(g):
+                            out.append(g)
+            out.append(w)
+        return out
+
+    def tokenize(self, text: str, mode: str) -> list[str]:
+        cut = {"all": self._cut_all_block,
+               "search": self._cut_for_search_block}.get(
+                   mode, self._cut_block)
+        out: list[str] = []
+        pos = 0
+        for m in _JIEBA_HAN_BLOCK.finditer(text):
+            out.extend(text[pos:m.start()])  # per-char passthrough
+            out.extend(cut(m.group(0)))
+            pos = m.end()
+        out.extend(text[pos:])
+        return out
+
+
+_JIEBA_DICT_CACHE: dict[str, _JiebaDict] = {}
+
+
 def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
                       case_sensitive: bool) -> Callable[[str], list[str]]:
     """Reference `chinese` chain (CangjieTokenizer + nonsense strip +
     LowerCaser; parser.rs:197-227, cangjie/tokenizer.rs:29-48).
 
-    Implemented without the jieba crate for the configurations that
-    don't need its data files:
+    Configurations:
     * mode=unicode — per-character split (exact reference semantics,
       no dictionary involved).
     * jieba=empty + default/all/search, hmm=False — with an empty
       dictionary every CJK char is its own word and ASCII alnum runs
       group, which is what Jieba::empty() produces.
-    jieba=default (the bundled dictionary) and hmm=True (the HMM model)
-    raise NotImplementedError at config creation — capability gap.
+    * jieba=<path to a jieba-format dictionary file> — real dictionary
+      DAG segmentation for default/all/search (hmm=False), via
+      :class:`_JiebaDict`.
+    jieba=default (jieba's own bundled dict.txt, absent here) and
+    hmm=True (the trained HMM emission model, likewise data) raise
+    NotImplementedError at config creation — capability gap recorded
+    in COVERAGE.md.
     """
     if jieba == "default":
         raise NotImplementedError(
-            "chinese tokenizer with jieba='default' needs the jieba "
-            "dictionary, which is not available in this environment; "
-            "use jieba='empty' or mode='unicode' (COVERAGE.md)")
+            "chinese tokenizer with jieba='default' needs jieba's "
+            "bundled dict.txt, which is not available in this "
+            "environment; pass jieba='<path to a jieba-format "
+            "dictionary file>' for dictionary mode, or use "
+            "jieba='empty' / mode='unicode' (COVERAGE.md)")
     if hmm and mode in ("default", "search"):
         raise NotImplementedError(
             "chinese tokenizer with hmm=true needs the jieba HMM model; "
             "set hmm=false (COVERAGE.md)")
+    jdict: _JiebaDict | None = None
+    if jieba != "empty":
+        if jieba not in _JIEBA_DICT_CACHE:
+            _JIEBA_DICT_CACHE[jieba] = _JiebaDict(jieba)
+        jdict = _JIEBA_DICT_CACHE[jieba]
 
     def analyze(text: str) -> list[str]:
         if mode == "unicode":
             raw = list(text)
+        elif jdict is not None:
+            raw = jdict.tokenize(text, mode)
         else:  # default / all / search over the empty dictionary
             raw = _ASCII_RUN_OR_CHAR.findall(text)
         out: list[str] = []

@@ -366,3 +366,57 @@ class TestChineseTokenizer:
             '{"text": {"tokenizer": {"type": "chinese",'
             ' "jieba": "empty", "mode": "unicode"}}}')
         assert cfg.analyzer("text")("潮汐 ab") == ["潮", "汐", "a", "b"]
+
+
+class TestJiebaDictionaryMode:
+    """Dictionary DAG segmentation (public jieba algorithm) over a
+    user-supplied dict file — cangjie default/all/search semantics with
+    a real dictionary; only jieba's bundled dict.txt data stays
+    env-blocked (VERDICT r3 item 7)."""
+
+    DICT = [("潮汐", 100), ("锁定", 80), ("潮汐锁定", 40), ("月球", 60),
+            ("系统", 50), ("中", 5), ("在", 5), ("地", 5), ("月", 5)]
+    SENT = "在地月潮汐锁定（Tidal Locking）系统中"
+
+    @pytest.fixture()
+    def dict_path(self, tmp_path):
+        p = tmp_path / "dict.txt"
+        p.write_text("\n".join(f"{w} {f} n" for w, f in self.DICT),
+                     encoding="utf-8")
+        return str(p)
+
+    def test_cut_default(self, dict_path):
+        an = build_analyzer("chinese", jieba=dict_path, mode="default")
+        got = an(self.SENT)
+        # 潮汐锁定 as one word beats 潮汐+锁定 only if its prob wins;
+        # with freq 40 vs (100/T)*(80/T) it does (T=350, product is far
+        # smaller).  English runs buffer whole; punctuation drops.
+        assert got == ["在", "地", "月", "潮汐锁定", "tidal", "locking",
+                       "系统", "中"]
+
+    def test_cut_all_emits_overlaps(self, dict_path):
+        an = build_analyzer("chinese", jieba=dict_path, mode="all")
+        got = an("潮汐锁定")
+        assert "潮汐" in got and "锁定" in got and "潮汐锁定" in got
+
+    def test_cut_for_search_subwords(self, dict_path):
+        an = build_analyzer("chinese", jieba=dict_path, mode="search")
+        got = an(self.SENT)
+        # the 4-char word additionally emits its in-dict 2-grams first
+        i = got.index("潮汐")
+        assert got[i:i + 3] == ["潮汐", "锁定", "潮汐锁定"]
+
+    def test_oov_chars_stand_alone(self, dict_path):
+        an = build_analyzer("chinese", jieba=dict_path, mode="default")
+        assert an("潮汐涨落") == ["潮汐", "涨", "落"]
+
+    def test_config_level_dict_path(self, dict_path):
+        import json
+
+        from tantivy_search_spark.config import IndexConfig
+        cfg = IndexConfig.from_json(
+            ["text"],
+            json.dumps({"text": {"tokenizer": {
+                "type": "chinese", "jieba": dict_path,
+                "mode": "search"}}}))
+        assert "潮汐" in cfg.analyzer("text")("潮汐锁定")
