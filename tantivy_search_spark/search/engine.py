@@ -253,11 +253,35 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     na = Wscore.shape[0]
     n_g = Wcount32.shape[1]  # positives + exclusion columns
     nq = qid_arr.shape[0]
+    # memory-traffic diet (round-4 scaling attribution,
+    # BENCH/scaling_attribution.json: identical work costs 2.1x the
+    # CPU-seconds at 32 cores vs 8 — the dense per-(doc, group) temps
+    # saturate DRAM, not the FLOPs): BM25 term scores are strictly
+    # positive (idf = log1p(>0), tf > 0 on present postings), so a
+    # positive OR group matched iff its score sum is > 0.  The count
+    # matmul C, the matched_g bool temp and the logical_or reduceat are
+    # then only needed for the AND-arity columns and the matching-only
+    # exclusion columns — usually a small slice of n_g.  A non-positive
+    # score weight (explicit `^0` boost) would break score>0 matching,
+    # so such plans keep the legacy full-width match path.
+    member = Wcount32[:, :n_pos] > 0
+    slim = bool(np.all(Wscore[member] > 0.0)) if member.any() else True
+    needed = np.union1d(
+        and_cols, np.arange(n_pos, n_g)).astype(np.int64)
+    if slim:
+        Wc_needed = np.ascontiguousarray(Wcount32[:, needed])
+        and_in_needed = np.searchsorted(needed, and_cols)
+        pos_and = and_cols[and_cols < n_pos]
+        pos_and_in_needed = np.searchsorted(needed, pos_and)
+        excl_in_needed = np.searchsorted(needed, np.arange(n_pos, n_g))
     # wide batches (many unique atoms x many queries) would allocate
     # multi-GB dense M/S/C per task: bound the doc axis so every dense
     # intermediate fits in `budget` bytes.  The per-chunk top-k union
     # contains the batch top-k, so the final per-query cut is exact.
-    per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
+    if slim:
+        per_row = (12 * na + 5 * needed.size + 8 * n_pos + 17 * nq) or 1
+    else:
+        per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
     rows_chunk = max(32, int(budget // per_row))
     # one vectorized factorize replaces the per-doc map rows: uniq[j]
     # is doc j's id, inv maps each row to its doc slot
@@ -274,40 +298,59 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
         lo, hi = np.searchsorted(inv_s, (d0, d1))
         row_ids = uniq[d0:d1]
         n = d1 - d0
-        M = np.zeros((n, na), dtype=np.float32)
         S = np.zeros((n, na), dtype=np.float64)
         r_idx = inv_s[lo:hi] - d0
         a_idx = atom_s[lo:hi]
-        M[r_idx, a_idx] = 1.0
         if dedup_atoms:
             # bare multi-column atoms repeat (doc, atom) once per
             # column: scores SUM across columns (compile semantics),
-            # match stays idempotent (M set above)
+            # match stays idempotent
             np.add.at(S, (r_idx, a_idx), score_s[lo:hi])
         else:
             S[r_idx, a_idx] = score_s[lo:hi]
-        C = M @ Wcount32
-        matched_g = C > 0
-        if and_cols.size:
-            matched_g[:, and_cols] = (
-                C[:, and_cols] == gsize32[and_cols])
         SW = S @ Wscore
-        SW *= matched_g[:, :n_pos]
+        if slim:
+            matched_n = None
+            if needed.size:
+                M = np.zeros((n, na), dtype=np.float32)
+                M[r_idx, a_idx] = 1.0
+                Cn = M @ Wc_needed
+                matched_n = Cn > 0
+                if and_in_needed.size:
+                    matched_n[:, and_in_needed] = (
+                        Cn[:, and_in_needed] == gsize32[and_cols])
+                if pos_and.size:
+                    # AND groups that miss their arity score zero; OR
+                    # groups need no mask (unmatched => score already 0)
+                    SW[:, pos_and] *= matched_n[:, pos_and_in_needed]
+        else:
+            M = np.zeros((n, na), dtype=np.float32)
+            M[r_idx, a_idx] = 1.0
+            C = M @ Wcount32
+            matched_g = C > 0
+            if and_cols.size:
+                matched_g[:, and_cols] = (
+                    C[:, and_cols] == gsize32[and_cols])
+            SW *= matched_g[:, :n_pos]
         # segmented group->query reduce over the POSITIVE columns
         # (query-major; see _flat_plan_bcast's g_order — reduceat on a
         # slice stops at the slice end, so exclusion columns can't
         # bleed into the last query's segment)
         score_qT = np.ascontiguousarray(
             np.add.reduceat(SW, g_starts, axis=1).T)
-        matched_qT = np.ascontiguousarray(
-            np.logical_or.reduceat(
-                matched_g[:, :n_pos], g_starts, axis=1).T)
+        if slim:
+            matched_qT = score_qT > 0.0
+        else:
+            matched_qT = np.ascontiguousarray(
+                np.logical_or.reduceat(
+                    matched_g[:, :n_pos], g_starts, axis=1).T)
         if e_qpos.size:
             # MustNot: a doc leaves its query's match set when ANY of
             # the query's exclusion groups matched (scores untouched —
             # excluded columns have no score weights)
             excl = np.logical_or.reduceat(
-                matched_g[:, n_pos:], e_starts, axis=1)
+                matched_n[:, excl_in_needed] if slim
+                else matched_g[:, n_pos:], e_starts, axis=1)
             for j in range(e_qpos.size):
                 matched_qT[e_qpos[j]] &= ~excl[:, j]
         hit_counts = matched_qT.sum(axis=1)
