@@ -138,6 +138,28 @@ class TestBatchSearch:
                                         enable_nlq=True))
             assert by_q.get(qid, []) == want, s
 
+    def test_batch_zero_boost_takes_legacy_kernel(self, corpus_a_index):
+        """'^0' zeroes a subtree's score weight, breaking the slim
+        kernel's score>0 == matched inference — such plans must route to
+        the legacy full-width match path and still equal the sequential
+        compile path (a zero-boosted AND group can gate matching while
+        contributing nothing to the score)."""
+        ix = corpus_a_index
+        qs = [("col2:ancient^0 col2:rise", False),
+              ("col2:moral OR (col2:ancient col2:empires)^0", False)]
+        batch = ix.bm25_search_batch(qs, top_k=5, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        matched_any = False
+        for qid, (s, op_or) in enumerate(qs):
+            want = _rows(ix.bm25_search(s, top_k=5, operator_or=op_or,
+                                        enable_nlq=True))
+            assert by_q.get(qid, []) == want, s
+            matched_any = matched_any or bool(want)
+        assert matched_any
+
     def test_batch_all_empty(self, corpus_a_index):
         out = corpus_a_index.bm25_search_batch(
             [("", False), ("", True)], top_k=5)
