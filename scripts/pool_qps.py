@@ -123,18 +123,31 @@ def sample_queries() -> dict[str, tuple[list[str], bool]]:
 
 
 def measure() -> dict:
+    from tantivy_search_spark.search.engine import SearchIndex
     from tantivy_search_spark.search.pool import SearchPool
 
     classes = sample_queries()
     out: dict = {"n_files": N_FILES, "ident_frac": IDENT_FRAC,
                  "n_queries": N_QUERIES, "n_distinct": N_DISTINCT,
                  "classes": {}}
+    # one warmed parent reader shared across every proc level via
+    # SearchPool(parent_index=...): the warm phase (512 distinct
+    # queries, cold posting decodes) is paid once per class instead of
+    # once per (class, level) — on the 5.6M-doc corpus-normalized run
+    # that's the difference between ~4 min and ~1 h of setup
+    parent = SearchIndex.open_local(INDEX)
     for name, (distinct, op_or) in classes.items():
+        t0 = time.time()
+        for q in distinct:
+            parent.bm25_search_local(q, top_k=10, operator_or=op_or,
+                                     use_wand=True)
+        print(f"{name:>14} warm {len(distinct)} queries: "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
         workload = [distinct[i % len(distinct)] for i in range(N_QUERIES)]
         levels = {}
         for procs in PROC_LEVELS:
             pool = SearchPool(
-                INDEX, processes=procs, warm_queries=distinct,
+                INDEX, processes=procs, parent_index=parent,
                 top_k=10, operator_or=op_or, use_wand=True)
             assert pool._fork, "JVM still alive — fork mode expected"
             pool.search_batch(workload[:procs * 32])  # spin up workers
@@ -158,11 +171,12 @@ def measure() -> dict:
         "qps_16proc": qps16,
         "reference_16thread_qps": 7874,
     }
-    out["bitmap"] = measure_bitmap(classes)
+    out["bitmap"] = measure_bitmap(classes, parent)
+    parent.close()
     return out
 
 
-def measure_bitmap(classes) -> dict:
+def measure_bitmap(classes, ix) -> dict:
     """Embedded-tier bitmap QPS — the honest comparison against the
     reference's skip-index figure (~2,083 q/s, 16 threads,
     /root/reference/benchmark/README.md): single-term u8 bitmaps via
@@ -170,9 +184,6 @@ def measure_bitmap(classes) -> dict:
     cache per query (pays the pyarrow pruned scan + decode); ``warm``
     exercises CACHE_FOR_SKIP_INDEX semantics, as the reference's
     steady-state serving does."""
-    from tantivy_search_spark.search.engine import SearchIndex
-
-    ix = SearchIndex.open_local(INDEX)
     col = "content"
     terms = []
     for sentences, _ in classes.values():

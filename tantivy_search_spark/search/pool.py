@@ -110,15 +110,27 @@ class SearchPool:
     statistics / column_names) are fixed per pool — they ship to the
     workers once at startup, keeping the per-query payload to the query
     string itself.
+
+    ``parent_index``: an already-``open_local``-ed (and typically
+    warmed) :class:`SearchIndex` to fork the workers from, instead of
+    opening and warming a fresh reader.  Lets a server resize its pool
+    (or run several pools with different fixed kwargs) without re-paying
+    the warm phase — the caller keeps ownership: ``close()`` leaves the
+    reader open, and ``reload()`` abandons it for a freshly opened
+    (re-warmed) owned reader, since the caller's instance cannot be
+    assumed to see segments committed after it was opened.  Fork mode
+    only; ignored under spawn (workers re-open from disk there anyway).
     """
 
     def __init__(self, index_path: str, processes: int | None = None,
                  warm_queries: list[str] | None = None,
+                 parent_index: Any | None = None,
                  **search_kwargs: Any):
         self.index_path = index_path
         self.processes = processes or (os.cpu_count() or 4)
         self.search_kwargs = search_kwargs
         self._warm_queries = warm_queries
+        self._ext_parent = parent_index
         self._start()
 
     def _start(self) -> None:
@@ -126,11 +138,14 @@ class SearchPool:
         search_kwargs = self.search_kwargs
         self._fork = self._fork_safe()
         if self._fork:
-            from tantivy_search_spark.search.engine import SearchIndex
-            parent_ix = SearchIndex.open_local(self.index_path)
-            if warm_queries:
-                for q in warm_queries:
-                    parent_ix.bm25_search_local(q, **search_kwargs)
+            parent_ix = self._ext_parent
+            self._parent_owned = parent_ix is None
+            if parent_ix is None:
+                from tantivy_search_spark.search.engine import SearchIndex
+                parent_ix = SearchIndex.open_local(self.index_path)
+                if warm_queries:
+                    for q in warm_queries:
+                        parent_ix.bm25_search_local(q, **search_kwargs)
             _set_fork_parent_index(parent_ix)
             # the warm queries above exercised pyarrow dataset reads, so
             # Arrow worker threads exist NOW; forking a process with
@@ -157,6 +172,7 @@ class SearchPool:
                 self.processes, initializer=_init_worker,
                 initargs=(self.index_path, search_kwargs))
             self._parent_ix = None
+            self._parent_owned = True
             if warm_queries:
                 # run the warm set once so every worker faults in its terms
                 for _ in range(self.processes):
@@ -196,15 +212,19 @@ class SearchPool:
         every worker see the new segments.  Implemented as a clean
         restart — fork mode re-opens and re-warms the parent reader so
         children again share its caches copy-on-write; spawn workers
-        re-open from disk."""
+        re-open from disk.  An externally supplied ``parent_index`` is
+        abandoned (left open, caller's to close) in favor of a fresh
+        owned reader — the caller's instance may predate the commit."""
         self._shutdown()
+        self._ext_parent = None
         self._start()
 
     def _shutdown(self) -> None:
         self._pool.close()
         self._pool.join()
         if self._parent_ix is not None:
-            self._parent_ix.close()
+            if self._parent_owned:
+                self._parent_ix.close()
             _set_fork_parent_index(None)
             self._parent_ix = None
 

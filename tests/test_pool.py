@@ -218,6 +218,47 @@ class TestSearchPool:
                 for s in sentences]
         assert got == want
 
+    def test_shared_parent_index_across_pools(self, corpus_a_index,
+                                              local_ix):
+        """parent_index= forks successive pools from one caller-owned
+        warmed reader (pool-resize / multi-pool serving without
+        re-paying the warm phase): results match sequential, the reader
+        survives close(), and ownership stays with the caller."""
+        sentences = [s for s, _ in QUERIES]
+        script = (
+            "import json, sys\n"
+            "sys.path.insert(0, %r)\n"
+            "from tantivy_search_spark.search.engine import SearchIndex\n"
+            "from tantivy_search_spark.search.pool import SearchPool\n"
+            "parent = SearchIndex.open_local(%r)\n"
+            "for q in %r:\n"
+            "    parent.bm25_search_local(q, top_k=5)\n"
+            "rows = []\n"
+            "for procs in (1, 2):\n"
+            "    pool = SearchPool(%r, processes=procs,\n"
+            "                      parent_index=parent, top_k=5,\n"
+            "                      operator_or=False)\n"
+            "    assert pool._fork and not pool._parent_owned\n"
+            "    rows.append(pool.search_batch(%r))\n"
+            "    pool.close()\n"
+            "# caller's reader is still open after both pools closed\n"
+            "parent.bm25_search_local('ancient', top_k=1)\n"
+            "parent.close()\n"
+            "print(json.dumps([[[(r, round(s, 4)) for r, s in row]\n"
+            "                   for row in out] for out in rows]))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             corpus_a_index.index_path, sentences[:2],
+             corpus_a_index.index_path, sentences)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        got = json.loads(proc.stdout.strip().splitlines()[-1])
+        want = [[[r, round(s, 4)] for r, s in
+                 local_ix.bm25_search_local(s, top_k=5)]
+                for s in sentences]
+        assert got == [want, want]
+
     def test_query_error_isolated(self, corpus_a_index, local_ix):
         """One failing query returns a falsy PoolQueryError at its slot;
         the rest of the batch still answers (ADVICE r4)."""
