@@ -126,7 +126,9 @@ def measure() -> dict:
     from tantivy_search_spark.search.engine import SearchIndex
     from tantivy_search_spark.search.pool import SearchPool
 
+    _tick("sample_queries start")
     classes = sample_queries()
+    _tick("sample_queries done; open_local")
     out: dict = {"n_files": N_FILES, "ident_frac": IDENT_FRAC,
                  "n_queries": N_QUERIES, "n_distinct": N_DISTINCT,
                  "classes": {}}
@@ -136,6 +138,7 @@ def measure() -> dict:
     # once per (class, level) — on the 5.6M-doc corpus-normalized run
     # that's the difference between ~4 min and ~1 h of setup
     parent = SearchIndex.open_local(INDEX)
+    _tick("parent reader open")
     for name, (distinct, op_or) in classes.items():
         t0 = time.time()
         for q in distinct:
@@ -150,6 +153,7 @@ def measure() -> dict:
                 INDEX, processes=procs, parent_index=parent,
                 top_k=10, operator_or=op_or, use_wand=True)
             assert pool._fork, "JVM still alive — fork mode expected"
+            _tick(f"{name} procs={procs} pool constructed")
             pool.search_batch(workload[:procs * 32])  # spin up workers
             t0 = time.time()
             res = pool.search_batch(workload)
@@ -202,16 +206,36 @@ def measure_bitmap(classes, ix) -> dict:
     for i in range(n):
         ix.query_term_bitmap(col, terms[i % len(terms)])
     warm = n / (time.time() - t0)
+    # apples-to-apples with the reference's 16-thread figure: the same
+    # decode-path (cache-bypassed) workload across a 16-worker pool
+    from tantivy_search_spark.search.pool import SearchPool
+
+    pool = SearchPool(INDEX, processes=16, parent_index=ix)
+    workload = [terms[i % len(terms)] for i in range(n * 4)]
+    pool.term_bitmap_batch(col, workload[:256], bypass_cache=True)  # spin up
+    t0 = time.time()
+    res = pool.term_bitmap_batch(col, workload, bypass_cache=True)
+    cold16 = len(workload) / (time.time() - t0)
+    assert all(isinstance(b, bytes) for b in res)
+    pool.close()
     out = {"cold_qps_1proc": round(cold, 1),
            "warm_qps_1proc": round(warm, 1),
+           "cold_qps_16proc": round(cold16, 1),
            "reference_16thread_qps": 2083}
-    print(f"bitmap embedded: cold {cold:.0f} q/s, warm {warm:.0f} q/s",
-          file=sys.stderr)
+    print(f"bitmap embedded: cold {cold:.0f} q/s (x16 {cold16:.0f}), "
+          f"warm {warm:.0f} q/s", file=sys.stderr)
     return out
 
 
+def _tick(msg: str) -> None:
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main() -> None:
+    _tick("build_index start")
     build_index()
+    _tick("build_index done; measure start")
     result = measure()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, OUT_JSON), "w") as f:

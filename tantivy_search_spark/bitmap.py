@@ -44,15 +44,20 @@ def like_to_regex(like_pattern: str) -> str:
 
 
 def row_ids_to_u8_bitmap(row_ids) -> bytes:
-    """Sorted-or-not row id iterable -> LSB-first byte bitset."""
-    arr = np.asarray(list(row_ids) if not isinstance(row_ids, np.ndarray) else row_ids,
-                     dtype=np.int64)
+    """Sorted-or-not row id iterable -> LSB-first byte bitset.
+
+    Packs via a byte-per-bit scatter + ``np.packbits`` rather than
+    ``np.bitwise_or.at`` (ufunc.at is an unbuffered scalar loop, ~10x
+    slower on multi-million-id hot terms); duplicate ids are naturally
+    idempotent, so callers need not unique/sort first."""
+    arr = (row_ids if isinstance(row_ids, np.ndarray)
+           else np.asarray(list(row_ids), dtype=np.int64))
     if arr.size == 0:
         return b""
-    size = int(arr.max()) // 8 + 1
-    bitmap = np.zeros(size, dtype=np.uint8)
-    np.bitwise_or.at(bitmap, arr // 8, (1 << (arr % 8)).astype(np.uint8))
-    return bitmap.tobytes()
+    n_bytes = int(arr.max()) // 8 + 1
+    bits = np.zeros(n_bytes * 8, dtype=np.uint8)
+    bits[arr] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def u8_bitmap_to_row_ids(bitmap: bytes | bytearray | np.ndarray) -> np.ndarray:

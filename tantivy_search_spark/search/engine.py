@@ -2525,11 +2525,24 @@ class SearchIndex:
         parts = [d for (d, _t, _m) in postings.values() if d.size]
         if not parts:
             return row_ids_to_u8_bitmap([])
-        ids = np.unique(np.concatenate(parts))
+        # OR the terms directly into a byte-per-bit scatter: no
+        # concatenate / unique / sort of multi-million-id hot postings
+        # (setting a bit twice is idempotent), then packbits.  Sizing
+        # must follow the max ALIVE id (reference bitmaps carry no
+        # trailing zero bytes), so pack first and trim after clearing
+        # tombstones.
+        hi = max(int(p.max()) for p in parts)
+        bits = np.zeros((hi // 8 + 1) * 8, dtype=np.uint8)
+        for p in parts:
+            bits[p] = 1
         tomb = self._tombstone_array()
         if tomb.size:
-            ids = ids[~np.isin(ids, tomb)]
-        return row_ids_to_u8_bitmap(ids.tolist())
+            bits[tomb[tomb <= hi]] = 0
+        packed = np.packbits(bits, bitorder="little")
+        nz = np.nonzero(packed)[0]
+        if nz.size == 0:
+            return b""
+        return packed[: int(nz[-1]) + 1].tobytes()
 
     def query_term_bitmap_df(self, col: str, term: str) -> DataFrame:
         return self._doc_ids_for_terms(col, self.config.analyzer(col)(term))

@@ -98,6 +98,19 @@ def _worker_search(item):
                               f"{type(e).__name__}: {e}")
 
 
+def _worker_term_bitmap(item):
+    """(col, term, bypass_cache) -> u8 bitmap bytes.  bypass_cache
+    skips the reference-style result cache (used by benchmarks to
+    measure the decode path; serving normally leaves it False)."""
+    col, term, bypass = item
+    try:
+        if bypass:
+            getattr(_WORKER_INDEX, "_bitmap_cache", {}).clear()
+        return _WORKER_INDEX.query_term_bitmap(col, term)
+    except Exception as e:  # noqa: BLE001 — worker boundary
+        return PoolQueryError(f"{col}:{term}", f"{type(e).__name__}: {e}")
+
+
 class SearchPool:
     """N-way concurrent BM25 point-query service over one index.
 
@@ -205,6 +218,19 @@ class SearchPool:
             return []
         cs = chunksize or max(1, len(sentences) // (self.processes * 4))
         return self._pool.map(_worker_search, sentences, chunksize=cs)
+
+    def term_bitmap_batch(self, col: str, terms: list[str],
+                          bypass_cache: bool = False,
+                          chunksize: int | None = None) -> list[bytes]:
+        """Single-term u8 bitmaps (Q1 semantics) across the pool — the
+        reference's skip-index serving shape (its published ~2k q/s
+        bitmap figure is a 16-thread pool).  Results in input order; a
+        failing term yields a falsy :class:`PoolQueryError`."""
+        if not terms:
+            return []
+        items = [(col, t, bypass_cache) for t in terms]
+        cs = chunksize or max(1, len(items) // (self.processes * 4))
+        return self._pool.map(_worker_term_bitmap, items, chunksize=cs)
 
     def reload(self) -> None:
         """Reader reload on commit (reference B5/Q14 semantics for the

@@ -259,6 +259,30 @@ class TestSearchPool:
                 for s in sentences]
         assert got == [want, want]
 
+    def test_term_bitmap_batch(self, corpus_a_index, local_ix):
+        """Pooled single-term bitmaps == sequential embedded bitmaps
+        (byte-identical), with and without the result cache."""
+        script = (
+            "import json, sys\n"
+            "sys.path.insert(0, %r)\n"
+            "from tantivy_search_spark.search.pool import SearchPool\n"
+            "pool = SearchPool(%r, processes=2)\n"
+            "terms = ['ancient', 'moral', 'zzz_nothing']\n"
+            "a = pool.term_bitmap_batch('col2', terms)\n"
+            "b = pool.term_bitmap_batch('col2', terms, bypass_cache=True)\n"
+            "pool.close()\n"
+            "print(json.dumps([[x.hex() for x in out] for out in (a, b)]))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             corpus_a_index.index_path)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        got = json.loads(proc.stdout.strip().splitlines()[-1])
+        want = [local_ix.query_term_bitmap("col2", t).hex()
+                for t in ["ancient", "moral", "zzz_nothing"]]
+        assert got == [want, want]
+
     def test_query_error_isolated(self, corpus_a_index, local_ix):
         """One failing query returns a falsy PoolQueryError at its slot;
         the rest of the batch still answers (ADVICE r4)."""
