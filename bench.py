@@ -24,6 +24,7 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/dev/shm")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BM25_QUERIES = [
@@ -53,6 +54,14 @@ def main() -> None:
         # skip PySpark's per-API-call stack-frame capture (~15 ms/query
         # of driver time on the single-query path)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # shuffle files on tmpfs: this sandbox's shared block device has
+        # multi-second fsync-latency spikes (tenant noise) that dominated
+        # and randomized every shuffle-bearing timing (measured 9-23 s of
+        # shuffle.write.writeTime per 32-task stage on KB-sized shuffles);
+        # a real cluster's local SSDs don't.  Shuffle volume at bench SF
+        # is MBs, far under the 126 GB tmpfs.
+        .config("spark.local.dir", os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
@@ -63,9 +72,18 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = docs.count()
+    # the sf* documents table is ONE tiny parquet file (single row
+    # group), so every full-text scan downstream would run as a single
+    # task; a real corpus arrives in thousands of splits.  Spread it
+    # once so the pipeline ops measure compute, not a 1-task scan.
+    docs = docs.repartition(CPUS, "doc_id").persist()
+    docs.count()
 
     # ---- index build ------------------------------------------------------
-    idx_path = f"/tmp/tss_bench_idx_{CPUS}"
+    # index artifacts live on tmpfs for the same reason as
+    # spark.local.dir above: the sandbox block device's latency spikes
+    # would otherwise dominate cold index reads and build commit writes
+    idx_path = f"{BENCH_TMP}/tss_bench_idx_{CPUS}"
     shutil.rmtree(idx_path, ignore_errors=True)
     cfg = IndexConfig.from_json(["text"], "{}")
     cfg.parts_per_shard = 8
@@ -154,7 +172,7 @@ def main() -> None:
     timings["bitmap_term_warm_p50"] = round(statistics.median(latw_b), 4)
 
     # ---- phrase queries (positions-enabled index) -------------------------
-    pidx_path = f"/tmp/tss_bench_pidx_{CPUS}"
+    pidx_path = f"{BENCH_TMP}/tss_bench_pidx_{CPUS}"
     shutil.rmtree(pidx_path, ignore_errors=True)
     pcfg = IndexConfig.from_json(["text"], "{}")
     pcfg.parts_per_shard = 8

@@ -68,6 +68,24 @@ def unpersist_cached() -> None:
     _swap_persisted_pool()
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """persist + eager count: a frame consumed by several joins of ONE
+    downstream action must be materialized BEFORE the action, or AQE's
+    concurrently-launched broadcast-build jobs each race past the
+    still-empty cache and recompute the whole subtree — for frames whose
+    lineage contains a Python (mapInPandas) stage that multiplies the
+    expensive pass AND explodes the python-worker pool (each concurrent
+    stage demands its own workers; a fresh worker pays the ~2 s
+    pandas/pyarrow import).  Measured on the sf0.1 bench corpus: the LSH
+    candidate plan with lazy persists ran the shingle pass 4x
+    (18-24 s cold); materialized it runs once (see BENCH notes).  The
+    count is one cheap extra job; at cluster scale this is the standard
+    checkpoint-the-fanout pattern for reused index artifacts."""
+    df = _track_persist(df.persist())
+    df.count()
+    return df
+
+
 def _norm_text(text_col: str):
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
@@ -235,7 +253,7 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", w: int = 3, n_perm: int = 16,
-    family: str = "md5",
+    family: str = "md5", shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + minhash signature array (length n_perm).
 
@@ -247,8 +265,13 @@ def minhash_signatures(
     the 100 TB production path; same banding math, no SQL oracle (no
     cross-engine xxhash64), so correctness rides on the md5 family's
     oracle plus the shared plumbing.
+
+    ``shingle_df``: optional precomputed (doc_id, shingle) rows — lets
+    callers that also need the verification shingle sets run the
+    mapInPandas shingle pass ONCE (see _lsh_rep_pairs).
     """
-    ex = shingle_rows(df, text_col, w)
+    ex = shingle_df if shingle_df is not None else shingle_rows(
+        df, text_col, w)
     # flat projection of n_perm hash columns keeps the hash work inside
     # whole-stage codegen (a nested transform/array_min formulation falls
     # back to interpreted evaluation — ~40x slower measured)
@@ -290,13 +313,13 @@ def _exact_members(df: DataFrame, text_col: str) -> DataFrame:
     return keyed.join(reps, "_cmd5").select("doc_id", "rep")
 
 
-def _banded_sigs(src: DataFrame, text_col: str, w: int, n_perm: int,
-                 bands: int, family: str,
-                 max_band_bucket: int | None) -> DataFrame:
-    """(doc_id, band, band_hash) rows, persisted, with over-cap buckets
-    dropped."""
+def _band_rows(sigs: DataFrame, n_perm: int, bands: int,
+               max_band_bucket: int | None) -> DataFrame:
+    """(doc_id, band, band_hash) rows from a signature frame, persisted
+    + eagerly materialized (it feeds both sides of the candidate
+    self-join AND the hot-bucket scan — see _materialize), with over-cap
+    buckets dropped."""
     r = n_perm // bands
-    sigs = minhash_signatures(src, text_col, w, n_perm, family=family)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -310,14 +333,7 @@ def _banded_sigs(src: DataFrame, text_col: str, w: int, n_perm: int,
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band", "bh.band_hash")
-    # materialize signatures before the self-join: otherwise Catalyst
-    # re-evaluates the whole (md5 x n_perm x shingles) expression tree on
-    # both join sides, interpreted — at scale the signature table is an
-    # index artifact you persist anyway.  Persisted frames are tracked in
-    # a module registry; each new call releases the previous call's
-    # blocks (unpersist is safe for still-lazy results — Spark simply
-    # recomputes), and unpersist_cached() drops everything.
-    banded = _track_persist(banded.persist())
+    banded = _materialize(banded)
     if max_band_bucket is not None:
         hot = (banded.groupBy("band", "band_hash")
                .agg(F.count("*").alias("_n"))
@@ -327,13 +343,32 @@ def _banded_sigs(src: DataFrame, text_col: str, w: int, n_perm: int,
     return banded
 
 
+def _banded_sigs(src: DataFrame, text_col: str, w: int, n_perm: int,
+                 bands: int, family: str,
+                 max_band_bucket: int | None) -> DataFrame:
+    """(doc_id, band, band_hash) rows computed from scratch (one-shot
+    callers like hot_band_buckets; _lsh_rep_pairs builds its bands from
+    the shared shingle pass instead)."""
+    sigs = minhash_signatures(src, text_col, w, n_perm, family=family)
+    return _band_rows(sigs, n_perm, bands, max_band_bucket)
+
+
 def _lsh_rep_pairs(src: DataFrame, text_col: str, w: int, n_perm: int,
                    bands: int, threshold: float, family: str,
                    max_band_bucket: int | None) -> DataFrame:
     """Verified (a, b, jaccard) pairs over ``src`` (one doc per distinct
-    content when the caller pre-collapsed exact groups)."""
-    banded = _banded_sigs(src, text_col, w, n_perm, bands, family,
-                          max_band_bucket)
+    content when the caller pre-collapsed exact groups).
+
+    The mapInPandas shingle pass — the only Python stage and the
+    dominant per-doc cost — runs exactly ONCE: its rows are persisted
+    and eagerly materialized, then BOTH the minhash signatures (banding)
+    and the verification shingle sets derive from the cached rows as
+    pure JVM plans.  Every frame consumed by multiple join branches is
+    materialized before the fan-out (see _materialize)."""
+    rows = _materialize(shingle_rows(src, text_col, w))
+    sigs = minhash_signatures(None, text_col, w, n_perm, family=family,
+                              shingle_df=rows)
+    banded = _band_rows(sigs, n_perm, bands, max_band_bucket)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_hash"])
@@ -341,7 +376,8 @@ def _lsh_rep_pairs(src: DataFrame, text_col: str, w: int, n_perm: int,
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = _track_persist(shingles(src, text_col, w).persist())
+    sh = _materialize(rows.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shingles")))
     return (
         cand.join(sh.withColumnRenamed("doc_id", "a")
                   .withColumnRenamed("shingles", "sa"), "a")
@@ -419,7 +455,9 @@ def minhash_lsh_pairs(
     if not collapse_exact:
         return _lsh_rep_pairs(base, text_col, w, n_perm, bands, threshold,
                               family, max_band_bucket)
-    members = _track_persist(_exact_members(base, text_col).persist())
+    # members feeds the rep filter plus several downstream joins —
+    # materialize before the fan-out (see _materialize)
+    members = _materialize(_exact_members(base, text_col))
     src = base.join(
         members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id")
@@ -680,7 +718,9 @@ def fuzzy_duplicate_ids(
     assert n_perm % bands == 0
     _swap_persisted_pool()
     base = df.select("doc_id", text_col)
-    members = _track_persist(_exact_members(base, text_col).persist())
+    # members feeds the rep filter plus several downstream joins —
+    # materialize before the fan-out (see _materialize)
+    members = _materialize(_exact_members(base, text_col))
     src = base.join(
         members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id")
