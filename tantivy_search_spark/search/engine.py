@@ -2259,7 +2259,17 @@ class SearchIndex:
                               key=repr)
         term_atoms = sorted(a for a in all_keys if not qt.is_phrase_key(a))
         atoms = term_atoms + phrase_atoms
-        postings = self._local_postings(term_atoms)
+        # scored (doc_ids, scores, max) vectors are shared with the WAND
+        # local path's LRU — same key, same post-tombstone contents;
+        # reload() (and therefore delete_row_ids) clears it
+        cacheable = statistics is None or not statistics.docs_freq
+        if not hasattr(self, "_local_score_cache"):
+            from collections import OrderedDict
+            self._local_score_cache = OrderedDict()
+        scache = self._local_score_cache
+        need = [a for a in term_atoms
+                if not (cacheable and a in scache)]
+        postings = self._local_postings(need)
 
         stats_tokens: dict[str, list[str]] = {c: [] for c in
                                               self.config.columns}
@@ -2284,8 +2294,17 @@ class SearchIndex:
             if qt.is_phrase_key(a):
                 d, s = self._local_phrase_scores(
                     a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3])
+                if tomb.size and d.size:
+                    mask = ~np.isin(d, tomb)
+                    d, s = d[mask], s[mask]
+            elif cacheable and a in scache:
+                scache.move_to_end(a)
+                d, s, _ = scache[a]
             else:
                 d, t, m = postings[a]
+                if tomb.size and d.size:
+                    mask = ~np.isin(d, tomb)
+                    d, t, m = d[mask], t[mask], m[mask]
                 if d.size:
                     idf = float(bm25.idf(df_map.get((a[0], a[1]), 0),
                                          n_docs))
@@ -2295,13 +2314,48 @@ class SearchIndex:
                     s = bm25.term_score(t, idf, norm_d, k1)
                 else:
                     s = np.empty(0, np.float64)
-            if tomb.size and d.size:
-                mask = ~np.isin(d, tomb)
-                d, s = d[mask], s[mask]
+                if cacheable:
+                    scache[a] = (d, s,
+                                 float(s.max()) if s.size else 0.0)
+                    while len(scache) > 512:
+                        scache.popitem(last=False)
             if alive_bitmap is not None and d.size:
                 mask = mask_for_row_ids(d, alive_bitmap)
                 d, s = d[mask], s[mask]
             per_atom[a] = (d, s)
+
+        if len(concrete) == 1:
+            # single flat group (the standard AND / OR query): skip the
+            # dense (docs x atoms) matrices — one concat + unique +
+            # bincount replaces per-atom searchsorted scatter, ~2x on
+            # the warm point-query path
+            ks, is_and = concrete[0]
+            uks = list(dict.fromkeys(ks))
+            ds = np.concatenate([per_atom[a][0] for a in ks])
+            if ds.size == 0:
+                return []
+            ss = np.concatenate([per_atom[a][1] for a in ks])
+            docs, inv = np.unique(ds, return_inverse=True)
+            total = np.bincount(inv, weights=ss, minlength=docs.size)
+            if is_and and len(uks) > 1:
+                if len(uks) == len(ks):
+                    cnt = np.bincount(inv, minlength=docs.size)
+                else:  # duplicate atoms score twice but count once
+                    du = np.concatenate([per_atom[a][0] for a in uks])
+                    cnt = np.bincount(np.searchsorted(docs, du),
+                                      minlength=docs.size)
+                keep = np.flatnonzero(cnt == len(uks))
+                docs, total = docs[keep], total[keep]
+                if docs.size == 0:
+                    return []
+            if total.size > top_k * 8:
+                kth = np.partition(total, total.size - top_k)[
+                    total.size - top_k]
+                cand = np.flatnonzero(total >= kth)
+            else:
+                cand = np.arange(total.size)
+            order = cand[np.lexsort((docs[cand], -total[cand]))][:top_k]
+            return [(int(docs[i]), float(total[i])) for i in order]
 
         # dense per-doc score/presence matrices over the candidate set
         all_docs = np.unique(np.concatenate(
