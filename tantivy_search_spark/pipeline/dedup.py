@@ -359,16 +359,51 @@ def _lsh_rep_pairs(src: DataFrame, text_col: str, w: int, n_perm: int,
     """Verified (a, b, jaccard) pairs over ``src`` (one doc per distinct
     content when the caller pre-collapsed exact groups).
 
-    The mapInPandas shingle pass — the only Python stage and the
-    dominant per-doc cost — runs exactly ONCE: its rows are persisted
-    and eagerly materialized, then BOTH the minhash signatures (banding)
-    and the verification shingle sets derive from the cached rows as
-    pure JVM plans.  Every frame consumed by multiple join branches is
-    materialized before the fan-out (see _materialize)."""
-    rows = _materialize(shingle_rows(src, text_col, w))
-    sigs = minhash_signatures(None, text_col, w, n_perm, family=family,
-                              shingle_df=rows)
-    banded = _band_rows(sigs, n_perm, bands, max_band_bucket)
+    One Python stage, one shuffle, one materialization: the mapInPandas
+    shingle pass feeds a single groupBy(doc_id) that computes BOTH the
+    minhash signature (min over per-shingle hashes, flat codegen'd
+    columns) AND the verification shingle set (collect_list over the
+    already per-doc-distinct rows).  That per-doc frame is persisted +
+    eagerly counted (see _materialize), then banding, the candidate
+    self-join, and jaccard verification are all pure JVM plans over the
+    cache — no second aggregation, no re-run of the Python pass."""
+    rows = shingle_rows(src, text_col, w)
+    if family == "xxhash":
+        hash_cols = [F.xxhash64(F.lit(i), F.col("shingle")).alias(f"mh{i}")
+                     for i in range(n_perm)]
+    else:
+        hash_cols = [
+            _h60(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))
+            .alias(f"mh{i}")
+            for i in range(n_perm)
+        ]
+    per_doc = _materialize(
+        rows.select("doc_id", "shingle", *hash_cols)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"),
+             *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_perm)])
+    )
+    r = n_perm // bands
+    banded = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(
+                        ",", *[F.col(f"mh{b * r + j}").cast("string")
+                               for j in range(r)])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    if max_band_bucket is not None:
+        hot = (banded.groupBy("band", "band_hash")
+               .agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_band_bucket)
+               .select("band", "band_hash"))
+        banded = banded.join(hot, ["band", "band_hash"], "left_anti")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "band_hash"])
@@ -376,8 +411,7 @@ def _lsh_rep_pairs(src: DataFrame, text_col: str, w: int, n_perm: int,
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    sh = _materialize(rows.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shingles")))
+    sh = per_doc.select("doc_id", "shingles")
     return (
         cand.join(sh.withColumnRenamed("doc_id", "a")
                   .withColumnRenamed("shingles", "sa"), "a")
@@ -455,9 +489,12 @@ def minhash_lsh_pairs(
     if not collapse_exact:
         return _lsh_rep_pairs(base, text_col, w, n_perm, bands, threshold,
                               family, max_band_bucket)
-    # members feeds the rep filter plus several downstream joins —
-    # materialize before the fan-out (see _materialize)
-    members = _materialize(_exact_members(base, text_col))
+    # members feeds the rep filter plus several downstream joins; its
+    # lineage is pure JVM (md5 + groupBy), so a lazy persist suffices —
+    # _lsh_rep_pairs' per_doc materialization is the first action and
+    # populates the cache, later joins reuse it (eager counts are
+    # reserved for Python-lineage frames, see _materialize)
+    members = _track_persist(_exact_members(base, text_col).persist())
     src = base.join(
         members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id")
@@ -718,9 +755,12 @@ def fuzzy_duplicate_ids(
     assert n_perm % bands == 0
     _swap_persisted_pool()
     base = df.select("doc_id", text_col)
-    # members feeds the rep filter plus several downstream joins —
-    # materialize before the fan-out (see _materialize)
-    members = _materialize(_exact_members(base, text_col))
+    # members feeds the rep filter plus several downstream joins; its
+    # lineage is pure JVM (md5 + groupBy), so a lazy persist suffices —
+    # _lsh_rep_pairs' per_doc materialization is the first action and
+    # populates the cache, later joins reuse it (eager counts are
+    # reserved for Python-lineage frames, see _materialize)
+    members = _track_persist(_exact_members(base, text_col).persist())
     src = base.join(
         members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         "doc_id")
