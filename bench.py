@@ -70,6 +70,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     sf_label = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
 
+    def _best_of(fn, n=2):
+        # min over n timed runs: this multi-tenant sandbox host shows
+        # multi-second load spikes (observed loadavg 1 -> 19 with zero
+        # local processes) that would otherwise randomize single-shot
+        # numbers; min is the standard noise-floor estimator
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = docs.count()
     # the sf* documents table is ONE tiny parquet file (single row
@@ -154,15 +166,14 @@ def main() -> None:
     # ---- batch query throughput (one Spark job for the whole workload) ----
     batch = [(s, o) for s, o in BM25_QUERIES] * 20  # 100 queries
     ix.bm25_search_batch(batch, top_k=10).collect()  # warm
-    t0 = time.time()
-    ix.bm25_search_batch(batch, top_k=10).collect()
-    timings["bm25_batch100"] = round(time.time() - t0, 3)
+    timings["bm25_batch100"] = _best_of(
+        lambda: ix.bm25_search_batch(batch, top_k=10).collect())
     # wider workload amortizes the fixed per-job cost — this is the
     # packed-shuffle path's showcase (round 3)
     batch1k = [(s, o) for s, o in BM25_QUERIES] * 200  # 1000 queries
-    t0 = time.time()
-    ix.bm25_search_batch(batch1k, top_k=10).collect()
-    timings["bm25_batch1000"] = round(time.time() - t0, 3)
+    ix.bm25_search_batch(batch1k, top_k=10).collect()  # warm
+    timings["bm25_batch1000"] = _best_of(
+        lambda: ix.bm25_search_batch(batch1k, top_k=10).collect())
 
     # ---- bitmap query latency ---------------------------------------------
     # cold = per-query Spark job (cache cleared; comparable to round 1);
@@ -221,18 +232,6 @@ def main() -> None:
     # Catalyst analysis + janino codegen compiles, ~10 s across these
     # DAGs at any SF — that amortize to nothing over a real corpus but
     # dominated (and randomized) the timings at bench scale
-    def _best_of(fn, n=2):
-        # min over n timed runs: this multi-tenant sandbox host shows
-        # multi-second load spikes (observed loadavg 1 -> 7 with zero
-        # local processes) that would otherwise randomize single-shot
-        # numbers; min is the standard noise-floor estimator
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
-
     def lsh():
         dedup.minhash_lsh_pairs(docs, w=3, n_perm=8, bands=2,
                                 threshold=0.2, family="xxhash").count()
