@@ -552,6 +552,7 @@ def simhash_pairs(
     df: DataFrame, text_col: str = "text", bits: int = 60,
     max_hamming: int = 3, chunks: int = 4,
     max_bucket: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -566,7 +567,38 @@ def simhash_pairs(
     with a groupBy count before raising, same contract as
     DEFAULT_MAX_BAND_BUCKET / hot_band_buckets on the MinHash path.
     Default None keeps exact pigeonhole semantics (mirrored by the SQL
-    oracle)."""
+    oracle).
+
+    ``collapse_exact`` (default): same duplicate-cluster linearization
+    as :func:`minhash_lsh_pairs` — simhash derives from the identical
+    ``_norm_text`` normalization, so exact-content groups share one
+    signature; collapsing them to a representative before the chunk
+    self-join keeps the expensive stages linear in distinct contents.
+    Within-group pairs re-expand at hamming 0 (identical signatures),
+    cross-group member pairs inherit the representatives' hamming —
+    output is row-identical to the uncollapsed join."""
+    if collapse_exact:
+        base = df.select("doc_id", text_col)
+        _swap_persisted_pool()
+        members = _track_persist(_exact_members(base, text_col).persist())
+        src = base.join(
+            members.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+            "doc_id")
+        rep_pairs = simhash_pairs(src, text_col, bits, max_hamming,
+                                  chunks, max_bucket, collapse_exact=False)
+        ma = members.select(F.col("rep").alias("a"),
+                            F.col("doc_id").alias("_da"))
+        mb = members.select(F.col("rep").alias("b"),
+                            F.col("doc_id").alias("_db"))
+        cross = (rep_pairs.join(ma, "a").join(mb, "b")
+                 .select(F.least("_da", "_db").alias("a"),
+                         F.greatest("_da", "_db").alias("b"), "hamming"))
+        within = (members.alias("x").join(members.alias("y"), "rep")
+                  .where(F.col("x.doc_id") < F.col("y.doc_id"))
+                  .select(F.col("x.doc_id").alias("a"),
+                          F.col("y.doc_id").alias("b"),
+                          F.lit(0).cast("int").alias("hamming")))
+        return cross.unionByName(within)
     sig = simhash_signatures(df, text_col, bits)
     step = bits // chunks
     mask = (1 << step) - 1

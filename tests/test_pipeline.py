@@ -390,6 +390,26 @@ class TestExactClusterCollapse:
             df, collapse_exact=False, **kw).collect()))
         assert a == b and len(a) >= 4
 
+    def test_simhash_collapse_matches_uncollapsed(self, spark):
+        from tantivy_search_spark.pipeline import dedup
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+            (2, "alpha  beta gamma delta epsilon zeta "), # ws-normalized dup
+            (3, "alpha beta gamma delta epsilon eta"),    # near-dup
+            (4, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(bits=60, max_hamming=16, chunks=4)
+        a = sorted(map(tuple, dedup.simhash_pairs(
+            df, collapse_exact=True, **kw).collect()))
+        b = sorted(map(tuple, dedup.simhash_pairs(
+            df, collapse_exact=False, **kw).collect()))
+        assert a == b and len(a) >= 4
+        # within-group pairs surface at hamming 0
+        assert (0, 1, 0) in a and (0, 2, 0) in a and (1, 2, 0) in a
+
     def test_band_bucket_cap_audited(self, spark):
         from tantivy_search_spark.pipeline import dedup
 
