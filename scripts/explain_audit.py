@@ -106,6 +106,50 @@ def main() -> int:
     check("docs projection in WholeStageCodegen",
           "WholeStageCodegen" in p5 or "codegen id" in p5)
 
+    # 6: fused LSH per-doc stage = ONE wide shuffle (signature mins +
+    # verification shingle set from a single groupBy over the one
+    # mapInPandas shingle pass)
+    from tantivy_search_spark.pipeline import dedup
+    docs_tbl = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    rows = dedup.shingle_rows(docs_tbl, "text", 3)
+    hash_cols = [F.xxhash64(F.lit(i), F.col("shingle")).alias(f"mh{i}")
+                 for i in range(8)]
+    per_doc = (rows.select("doc_id", "shingle", *hash_cols)
+               .groupBy("doc_id")
+               .agg(F.collect_list("shingle").alias("shingles"),
+                    *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(8)]))
+    def tree_of(df) -> str:
+        # simple mode prints the physical tree once (formatted mode
+        # repeats node names in detail blocks and inlines cached child
+        # plans under InMemoryTableScan, inflating counts)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+
+    p6 = tree_of(per_doc)
+    check("LSH per-doc stage single shuffle",
+          p6.count("Exchange") == 1 and p6.count("MapInPandas") == 1,
+          f"exchanges={p6.count('Exchange')} "
+          f"python_stages={p6.count('MapInPandas')}")
+
+    # 6b: the pair-generation plan runs entirely off the materialized
+    # per-doc cache — no Python stage may reappear downstream
+    pairs = dedup.minhash_lsh_pairs(docs_tbl, w=3, n_perm=8, bands=2,
+                                    threshold=0.2, family="xxhash")
+    # every reference to the per-doc frame (banding self-join x2,
+    # verification shingle joins x2) and to members must resolve to an
+    # InMemoryTableScan — cache substitution happened, so the Python
+    # shingle pass executes only inside the already-run materialization
+    # (explain inlines cached CHILD plans under every InMemoryRelation,
+    # so a textual "no MapInPandas" check is impossible; single
+    # execution of the Python stage is additionally pinned by the
+    # _materialize contract and the LSH timing evidence in BENCH)
+    p6b = tree_of(pairs)
+    n_scans = p6b.count("InMemoryTableScan")
+    check("LSH pair join reads caches",
+          n_scans >= 5, f"InMemoryTableScan x{n_scans}")
+    dedup.unpersist_cached()
+
     print("\n==== candidate scan plan ====\n" + p + "\n")
     print("==== top-k plan (tail) ====\n" + p3[:2000] + "\n")
     spark.stop()
