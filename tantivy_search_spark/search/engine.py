@@ -279,7 +279,8 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # intermediate fits in `budget` bytes.  The per-chunk top-k union
     # contains the batch top-k, so the final per-query cut is exact.
     if slim:
-        per_row = (12 * na + 5 * needed.size + 8 * n_pos + 17 * nq) or 1
+        # S and M are both float32 now (4*na each; was 8*na + 4*na)
+        per_row = (8 * na + 5 * needed.size + 8 * n_pos + 17 * nq) or 1
     else:
         per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
     rows_chunk = max(32, int(budget // per_row))
@@ -293,14 +294,25 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # per-query candidate accumulators across doc chunks
     cand_r: list = [[] for _ in range(nq)]
     cand_s: list = [[] for _ in range(nq)]
+    Wscore32 = np.ascontiguousarray(Wscore, dtype=np.float32) if slim \
+        else None
     for d0 in range(0, uniq.size, rows_chunk):
         d1 = min(d0 + rows_chunk, uniq.size)
         lo, hi = np.searchsorted(inv_s, (d0, d1))
         row_ids = uniq[d0:d1]
         n = d1 - d0
-        S = np.zeros((n, na), dtype=np.float64)
         r_idx = inv_s[lo:hi] - d0
         a_idx = atom_s[lo:hi]
+        # slim path: the dense per-(doc, atom) score matrix — the
+        # kernel's dominant DRAM traffic (scaling_attribution.json) —
+        # scatters and multiplies in float32; exact float64 scores are
+        # re-gathered below for the per-query top-k CANDIDATES only.
+        # Provably rank-safe: slim guarantees all score weights (and
+        # BM25 per-posting scores) strictly positive, so the float32
+        # sums have no cancellation and the candidate threshold keeps
+        # an epsilon-guarded superset of the true top-k before the
+        # exact rescore decides.
+        S = np.zeros((n, na), dtype=np.float32 if slim else np.float64)
         if dedup_atoms:
             # bare multi-column atoms repeat (doc, atom) once per
             # column: scores SUM across columns (compile semantics),
@@ -308,7 +320,7 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             np.add.at(S, (r_idx, a_idx), score_s[lo:hi])
         else:
             S[r_idx, a_idx] = score_s[lo:hi]
-        SW = S @ Wscore
+        SW = S @ (Wscore32 if slim else Wscore)
         if slim:
             matched_n = None
             if needed.size:
@@ -354,6 +366,61 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             for j in range(e_qpos.size):
                 matched_qT[e_qpos[j]] &= ~excl[:, j]
         hit_counts = matched_qT.sum(axis=1)
+        if slim:
+            # float32 scores pick an epsilon-guarded candidate SUPERSET
+            # per query; exact float64 scores are re-gathered for those
+            # rows only and make every ranking decision.  Guard bound:
+            # all terms positive, so |f32 sum - f64 sum| <= m * eps32 *
+            # max_term <= m * eps32 * s32.max(); m (atoms per query) is
+            # sentence-sized, 1e-5 relative covers m <= ~160.
+            kept_per_q: list = [None] * nq
+            all_rows = []
+            for ci in range(nq):
+                if not hit_counts[ci]:
+                    continue
+                rloc = np.flatnonzero(matched_qT[ci])
+                s32 = score_qT[ci][rloc]
+                if s32.size > k:
+                    kth32 = np.partition(s32, s32.size - k)[s32.size - k]
+                    guard = 1e-5 * float(s32.max())
+                    rloc = rloc[s32 >= kth32 - guard]
+                kept_per_q[ci] = rloc
+                all_rows.append(rloc)
+            if not all_rows:
+                continue
+            crows = np.unique(np.concatenate(all_rows))
+            sel_mask = np.zeros(n, dtype=bool)
+            sel_mask[crows] = True
+            pmask = sel_mask[r_idx]
+            comp = np.searchsorted(crows, r_idx[pmask])
+            ca_idx = a_idx[pmask]
+            cscore = score_s[lo:hi][pmask]
+            S64 = np.zeros((crows.size, na), dtype=np.float64)
+            if dedup_atoms:
+                np.add.at(S64, (comp, ca_idx), cscore)
+            else:
+                S64[comp, ca_idx] = cscore
+            SW64 = S64 @ Wscore
+            if matched_n is not None and pos_and.size:
+                SW64[:, pos_and] *= matched_n[crows][:, pos_and_in_needed]
+            score64_qT = np.add.reduceat(SW64, g_starts, axis=1).T
+            pos_in_crows = np.full(n, -1, dtype=np.int64)
+            pos_in_crows[crows] = np.arange(crows.size)
+            for ci in range(nq):
+                rloc = kept_per_q[ci]
+                if rloc is None or not rloc.size:
+                    continue
+                r = row_ids[rloc]
+                s = score64_qT[ci][pos_in_crows[rloc]]
+                # chunk-local cut keeps accumulators O(chunks*k)
+                if s.size > k:
+                    kth = np.partition(s, s.size - k)[s.size - k]
+                    keep = s >= kth
+                    r, s = r[keep], s[keep]
+                idx = np.lexsort((r, -s))[:k]
+                cand_r[ci].append(r[idx])
+                cand_s[ci].append(s[idx])
+            continue
         for ci in range(nq):
             if not hit_counts[ci]:
                 continue
