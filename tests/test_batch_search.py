@@ -258,3 +258,49 @@ class TestBatchSearch:
         got = [(r["row_id"], round(r["score"], 4)) for r in batch]
         assert got == want
         assert all(rid in (0, 4) for rid, _ in got)
+
+
+class TestF32PrefilterTies:
+    """Adversarial pin for the float32 score prefilter (round 4): a
+    mass tie at the top-k boundary — scores equal beyond float32
+    resolution — must still cut by exact float64 (score desc, row_id
+    asc), identical to the sequential path.  The tie forces the
+    epsilon-guarded candidate superset to its worst case (every matched
+    doc survives the prefilter), exercising the full exact-rescore
+    branch."""
+
+    def test_mass_tie_at_k_boundary(self, spark, tmp_path):
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        # 120 docs with identical token multisets (permuted order):
+        # identical tf / doclen => bit-identical BM25 scores
+        words = ["tie", "score", "alpha", "beta", "gamma"]
+        rows = []
+        for i in range(120):
+            perm = words[i % 5:] + words[:i % 5]
+            rows.append({"doc_id": i, "text": " ".join(perm)})
+        # plus distinct higher-scoring docs that must stay on top
+        rows.append({"doc_id": 1000, "text": "tie tie score tie"})
+        rows.append({"doc_id": 1001, "text": "tie score tie score"})
+        df = spark.createDataFrame(rows)
+        path = str(tmp_path / "tie_idx")
+        cfg = IndexConfig.from_json(["text"], "{}")
+        cfg.parts_per_shard = 2
+        IndexBuilder(spark, path, cfg, rows_per_part=16).build(
+            df, id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        qs = [("tie score", True), ("tie score", False)]
+        batch = ix.bm25_search_batch(qs, top_k=10).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], r["score"]))
+        for qid, (s, op_or) in enumerate(qs):
+            want = [(r["row_id"], r["score"]) for r in
+                    ix.bm25_search(s, top_k=10, operator_or=op_or).collect()]
+            assert by_q.get(qid, []) == want, f"query {qid}"
+            # ties broken by ascending row_id among the equal-score docs
+            tie_rows = [rid for rid, _ in want if rid < 1000]
+            assert tie_rows == sorted(tie_rows)
