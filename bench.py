@@ -109,11 +109,14 @@ def main() -> None:
     IndexBuilder(spark, warm_path, wcfg, rows_per_part=64).build(
         docs.limit(256), id_col="doc_id")
     shutil.rmtree(warm_path, ignore_errors=True)
-    t0 = time.time()
-    IndexBuilder(spark, idx_path, cfg,
-                 rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
-        docs, id_col="doc_id")
-    build_secs = time.time() - t0
+    build_secs = float("inf")
+    for _ in range(2):  # min-of-2, same rationale as _best_of below
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, idx_path, cfg,
+                     rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+            docs, id_col="doc_id")
+        build_secs = min(build_secs, time.time() - t0)
     timings["index_build"] = round(build_secs, 3)
 
     ix = SearchIndex(spark, idx_path)
@@ -198,11 +201,15 @@ def main() -> None:
     pcfg = IndexConfig.from_json(["text"], "{}")
     pcfg.parts_per_shard = 8
     pcfg.with_positions = True
-    t0 = time.time()
-    IndexBuilder(spark, pidx_path, pcfg,
-                 rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
-        docs, id_col="doc_id")
-    timings["index_build_positions"] = round(time.time() - t0, 3)
+    pbuild = float("inf")
+    for _ in range(2):  # min-of-2, same rationale as _best_of
+        shutil.rmtree(pidx_path, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, pidx_path, pcfg,
+                     rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+            docs, id_col="doc_id")
+        pbuild = min(pbuild, time.time() - t0)
+    timings["index_build_positions"] = round(pbuild, 3)
     pix = SearchIndex(spark, pidx_path)
     pix.enable_stats_cache()
     PHRASES = ['"spark join"', '"order window"', '"hash table"',
