@@ -107,6 +107,27 @@ def test_wand_large_delete_set_cogroup(big_index):
         big_index._tombstones = None
 
 
+def test_wand_large_delete_set_legacy_meta(big_index):
+    """part_ranges=None (pre-part_ranges meta layout) + an over-cap
+    delete set: the cogrouped tier can't map tombstones to shards, so
+    the WAND path must fall back to shipping the full tombstone array
+    instead of raising TypeError (ADVICE r3)."""
+    old_cap = big_index.TOMBSTONE_BROADCAST_MAX
+    old_ranges = big_index.meta.part_ranges
+    big_index.TOMBSTONE_BROADCAST_MAX = 0
+    big_index.meta.part_ranges = None
+    big_index._tombstones = None
+    try:
+        assert big_index._tombstone_small_array() is None
+        exact, wand = both(big_index, "spark join order", top_k=15,
+                           operator_or=True)
+        assert_topk_equal(exact, wand)
+    finally:
+        big_index.TOMBSTONE_BROADCAST_MAX = old_cap
+        big_index.meta.part_ranges = old_ranges
+        big_index._tombstones = None
+
+
 def test_wand_nlq_flat_or(big_index):
     """Flat-OR NLQ trees route through WAND (round-3 extension) and
     match the exact path."""
