@@ -2689,6 +2689,10 @@ class SearchIndex:
                 runs = got[a]
                 ids = (np.concatenate(runs) if runs
                        else np.empty(0, np.int64))
+                if ids.size and int(ids.max()) < 2**31:
+                    # int32 halves the bytes the bitmap scatter reads;
+                    # doc ids exceed 2**31 only past ~2e9 docs/index
+                    ids = ids.astype(np.int32)
                 cache[a] = ids
                 out[a] = ids
             current = set(atoms)
