@@ -63,6 +63,8 @@ def build_index() -> None:
     from tantivy_search_spark.config import IndexConfig
     from tantivy_search_spark.index.builder import IndexBuilder
 
+    if os.path.exists(os.path.join(INDEX, "_index_meta.json")):
+        return  # index ready; don't regenerate a deleted corpus
     spark = (
         SparkSession.builder.master(f"local[{BUILD_CPUS}]")
         .appName("tss-pool-qps-build")
@@ -141,11 +143,12 @@ def measure() -> dict:
     _tick("parent reader open")
     for name, (distinct, op_or) in classes.items():
         t0 = time.time()
+        n_toks = parent.warm_terms("content", distinct)
         for q in distinct:
             parent.bm25_search_local(q, top_k=10, operator_or=op_or,
                                      use_wand=True)
-        print(f"{name:>14} warm {len(distinct)} queries: "
-              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"{name:>14} warm {len(distinct)} queries "
+              f"({n_toks} toks): {time.time() - t0:.1f}s", file=sys.stderr)
         workload = [distinct[i % len(distinct)] for i in range(N_QUERIES)]
         levels = {}
         for procs in PROC_LEVELS:
@@ -194,8 +197,9 @@ def measure_bitmap(classes, ix) -> dict:
         for s in sentences[:128]:
             terms.extend(s.split())
     terms = sorted(set(terms))[:256]
+    ix.warm_terms(col, terms, bitmaps=True)  # bulk-fill the ids LRU
     for t in terms:
-        ix.query_term_bitmap(col, t)  # warm decoded-postings LRU
+        ix.query_term_bitmap(col, t)  # fill per-term result entries
     n = 2048
     t0 = time.time()
     for i in range(n):

@@ -789,6 +789,50 @@ class IndexBuilder:
             f"compact{int(time.time())}", metrics)
         return metrics
 
+    def optimize_layout(self, row_group_mb: int = 4) -> dict:
+        """Term-major rewrite of the postings table — serve-optimize.
+
+        The merge stage writes posting rows in task order, so a term's
+        fragment rows (tail terms pass through unmerged, one row per
+        part — `_merge_fragments`) smear across every file of their
+        bucket: parquet term min/max statistics then prune nothing, and
+        a single-term lookup reads ~the whole bucket's heavy columns
+        (measured 177 ms/term on a 5.6M-doc index whose real postings
+        were a few KB).  This job re-sorts each bucket by (col, term,
+        shard, sub) into one file with small row groups — a pure JVM
+        repartition+sort (no Python stage, rows and encodings are
+        byte-identical), after which term row-group pruning works for
+        BOTH tiers: the embedded pyarrow reader (row-group stats) and
+        the Spark scan (page-level column index).  The reference analog
+        is Tantivy's term-dictionary-ordered .idx segment layout, which
+        gets this locality by construction.
+
+        Idempotent; call after build/append/compact.  Open readers must
+        ``reload()`` afterwards (same contract as compact)."""
+        spark = self.spark
+        layout.recover_swaps(self.index_path, drop_stray=True)
+        postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
+        postings = spark.read.parquet(postings_dir)
+        n_buckets = self.config.n_buckets
+        t0 = time.time()
+        new_dir = postings_dir + "_optimizing"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        (postings
+         .repartition(n_buckets, F.col("bucket"))
+         .sortWithinPartitions("bucket", "col", "term", "shard", "sub")
+         .write.mode("overwrite")
+         .option("parquet.block.size", row_group_mb * 1024 * 1024)
+         .partitionBy("bucket").parquet(new_dir))
+        old_dir = postings_dir + "_old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(postings_dir, old_dir)
+        os.rename(new_dir, postings_dir)
+        shutil.rmtree(old_dir)
+        metrics = {"secs": round(time.time() - t0, 3),
+                   "row_group_mb": row_group_mb}
+        self._ckpt_write(f"optimize{int(time.time())}", metrics)
+        return metrics
+
     def _data_fence(self) -> float:
         """Max mtime over the index's data files right before a meta
         save — stored as IndexMeta.committed_fence so repair() can skip

@@ -1944,8 +1944,15 @@ class SearchIndex:
                 [(col, t) for t in missing],
                 ["col", "term", "shard", "df", "block_first", "block_last",
                  "block_max_tf", "block_min_norm", "deltas", "tfs", "norms"])
+            pdf = pdf[pdf["col"] == col]
+            # group once instead of scanning pdf per token — bulk warms
+            # (warm_terms) pass hundreds of tokens against ~1e5 fragment
+            # rows, where per-token boolean masks go quadratic
+            by_term = dict(iter(pdf.groupby("term", sort=False))) \
+                if len(pdf) else {}
+            empty = pdf.iloc[0:0]
             for t in missing:
-                sub = pdf[(pdf["col"] == col) & (pdf["term"] == t)]
+                sub = by_term.get(t, empty)
                 if len(sub) > 1:
                     sub = sub.assign(_first=sub["block_first"].map(
                         lambda a: int(a[0]) if len(a) else -1)
@@ -1981,6 +1988,33 @@ class SearchIndex:
             cache.move_to_end((col, t))
             out.append(cache[(col, t)])
         return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    def warm_terms(self, col: str, queries: list[str],
+                   bitmaps: bool = False, batch_size: int = 512) -> int:
+        """Bulk-warm the embedded reader for a known query workload.
+
+        First touch of a term pays a pruned parquet scan whose cost is
+        dominated by the bucket's fragment files, not the term's own
+        postings (a tail term's fragments are per-shard rows smeared
+        across every file of its bucket).  ``_local_raw_rows`` /
+        ``_local_doc_ids`` already fetch all cache misses in ONE scan,
+        so warming a workload's distinct terms in batches costs a few
+        bucket scans instead of one scan per query: 512 distinct
+        2-term queries warm in seconds instead of ~20 minutes on a
+        5.6M-doc index.
+
+        ``queries`` are raw query strings (or bare terms); they pass
+        through the column's analyzer.  ``bitmaps=True`` additionally
+        fills the ids-only LRU the bitmap family reads.  Returns the
+        number of distinct tokens warmed."""
+        an = self.config.analyzer(col)
+        toks = sorted({t for q in queries for t in an(q)})
+        for i in range(0, len(toks), batch_size):
+            chunk = toks[i:i + batch_size]
+            self._local_raw_rows(col, chunk)
+            if bitmaps:
+                self._local_doc_ids([(col, t) for t in chunk])
+        return len(toks)
 
     def _local_phrase_scores(
         self,

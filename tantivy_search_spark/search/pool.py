@@ -201,6 +201,14 @@ class SearchPool:
                 from tantivy_search_spark.search.engine import SearchIndex
                 parent_ix = SearchIndex.open_local(self.index_path)
                 if warm_queries:
+                    # bulk-fetch the workload's distinct terms first (one
+                    # pruned scan per batch), then run the queries to
+                    # fill the score caches — first-touch scans per
+                    # query would dominate pool startup otherwise
+                    cols = (search_kwargs.get("column_names")
+                            or parent_ix.config.columns)
+                    for c in cols:
+                        parent_ix.warm_terms(c, warm_queries)
                     for q in warm_queries:
                         parent_ix.bm25_search_local(q, **search_kwargs)
             _set_fork_parent_index(parent_ix)

@@ -114,3 +114,48 @@ class TestMergeRouting:
                ix.bm25_search_local("common word0", top_k=10,
                                     operator_or=False)]
         assert loc == got
+
+
+class TestOptimizeLayout:
+    def test_optimize_preserves_everything(self, spark, tmp_path):
+        """optimize_layout() is a pure row-preserving rewrite: every
+        query path (Spark BM25, embedded BM25/WAND, bitmaps byte-level,
+        deletes) answers identically, and the row multiset survives."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        cfg.parts_per_shard = 2
+        path = str(tmp_path / "oidx")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=4)
+        b.build(spark.createDataFrame(corpus_a_rows()), id_col="doc_id")
+
+        ix = SearchIndex(spark, path)
+        ix.delete_row_ids([1])
+        before = _results(ix)
+        bm_before = ix.query_term_bitmap("col1", "ancient")
+        rows_before = sorted(
+            (r["col"], r["term"], r["shard"], r["sub"], bytes(r["deltas"]))
+            for r in ix._postings.collect())
+        loc = SearchIndex.open_local(path)
+        local_before = loc.bm25_search_local(
+            "Ancient empires rise and fall", top_k=20, operator_or=True,
+            use_wand=True)
+        loc.close()
+
+        metrics = b.optimize_layout(row_group_mb=1)
+        assert metrics["secs"] > 0
+        ix.reload()
+
+        assert _results(ix) == before
+        assert ix.query_term_bitmap("col1", "ancient") == bm_before
+        rows_after = sorted(
+            (r["col"], r["term"], r["shard"], r["sub"], bytes(r["deltas"]))
+            for r in ix._postings.collect())
+        assert rows_after == rows_before
+        loc = SearchIndex.open_local(path)
+        assert loc.bm25_search_local(
+            "Ancient empires rise and fall", top_k=20, operator_or=True,
+            use_wand=True) == local_before
+        loc.close()

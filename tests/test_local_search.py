@@ -82,6 +82,28 @@ class TestLocalSearch:
         assert again == first
         assert len(after) == len(before), "warm local query ran a Spark job"
 
+    def test_warm_terms_bulk_prefetch(self, corpus_a_index):
+        """warm_terms bulk-fills the raw/ids LRUs in one scan; queries
+        and bitmaps afterwards return exactly what cold calls return."""
+        ix = corpus_a_index
+        queries = ["ancient rise fall", "moral horizons"]
+        for c in ix.config.columns:
+            n = ix.warm_terms(c, queries, bitmaps=True)
+            assert n > 0
+        warm = [ix.bm25_search_local(q, top_k=5, use_wand=True)
+                for q in queries]
+        warm_bm = ix.query_term_bitmap(ix.config.columns[0], "ancient")
+        for attr in ("_local_raw_cache", "_local_ids_cache",
+                     "_local_cache", "_local_score_cache",
+                     "_bitmap_cache"):
+            if hasattr(ix, attr):
+                getattr(ix, attr).clear()
+        cold = [ix.bm25_search_local(q, top_k=5, use_wand=True)
+                for q in queries]
+        cold_bm = ix.query_term_bitmap(ix.config.columns[0], "ancient")
+        assert warm == cold
+        assert warm_bm == cold_bm
+
     def test_local_wand_equals_exact(self, corpus_a_index):
         ix = corpus_a_index
         for s, op in [("ancient rise fall", True),
