@@ -813,12 +813,16 @@ class IndexBuilder:
         layout.recover_swaps(self.index_path, drop_stray=True)
         postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
         postings = spark.read.parquet(postings_dir)
-        n_buckets = self.config.n_buckets
         t0 = time.time()
         new_dir = postings_dir + "_optimizing"
         shutil.rmtree(new_dir, ignore_errors=True)
+        # NO exchange: the hive layout already groups each bucket's
+        # files, and Spark's file splits never span files, so every
+        # read task holds whole buckets — an in-task sort plus the
+        # partitionBy writer gives per-bucket term-sorted files with
+        # zero shuffle (a full repartition spills ~the index size to
+        # shuffle disk for nothing)
         (postings
-         .repartition(n_buckets, F.col("bucket"))
          .sortWithinPartitions("bucket", "col", "term", "shard", "sub")
          .write.mode("overwrite")
          .option("parquet.block.size", row_group_mb * 1024 * 1024)
