@@ -85,11 +85,16 @@ def build_index() -> None:
         cfg = IndexConfig.from_json(["content"], "{}")
         cfg.parts_per_shard = 8
         t0 = time.time()
-        IndexBuilder(spark, INDEX, cfg, rows_per_part=4096).build(
-            spark.read.parquet(CORPUS),
-            order_cols=["repo", "path", "commit"])
+        b = IndexBuilder(spark, INDEX, cfg, rows_per_part=4096)
+        b.build(spark.read.parquet(CORPUS),
+                order_cols=["repo", "path", "commit"])
         print(f"built {N_FILES} docs in {time.time() - t0:.1f}s",
               file=sys.stderr)
+        if os.environ.get("POOL_OPTIMIZE", "1") == "1":
+            # serve-optimized term-major layout (Tantivy's .idx files are
+            # term-dictionary-ordered by construction; this is the analog)
+            m = b.optimize_layout()
+            print(f"optimize_layout: {m}", file=sys.stderr)
     spark.stop()
 
 

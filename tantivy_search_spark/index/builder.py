@@ -39,12 +39,13 @@ import numpy as np
 import pandas as pd
 
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from tantivy_search_spark.config import IndexConfig
 from tantivy_search_spark.fieldnorm import fieldnorm_to_id
 from tantivy_search_spark.index import layout
 from tantivy_search_spark.index.layout import (
+    BITMAPS_DIR,
     CHECKPOINTS_DIR,
     DOCS_DIR,
     POSTINGS_DIR,
@@ -414,6 +415,48 @@ def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
             pos_flat[int(cum_tf[s]) * 4: int(cum_tf[e]) * 4]
             if pos_flat else b"")
     return pd.DataFrame(out)
+
+
+#: one sidecar row per (col, term, chunk); `total` repeats the full
+#: bitmap byte length so the driver-side assembler knows when a term's
+#: chunks are complete without a second pass
+BITMAP_SIDECAR_SCHEMA = T.StructType([
+    T.StructField("col", T.StringType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("chunk", T.IntegerType(), False),
+    T.StructField("total", T.LongType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def _bitmap_packer(block_size: int, chunk_bytes: int):
+    """Grouped-map fn: all posting rows of one hot (col, term) -> its
+    packed little-endian u8 bitmap, split into arrow-safe chunks.  Hot
+    terms are dense by construction (df >= min_df), so the bits-array +
+    packbits route beats a scattered ``bitwise_or.at``."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        runs = [layout.decode_doc_ids(r.block_first, r.deltas, block_size)
+                for r in pdf.itertuples(index=False)]
+        ids = np.concatenate(runs) if runs else np.empty(0, np.int64)
+        if not ids.size:
+            return pd.DataFrame(
+                {"col": [], "term": [], "chunk": [], "total": [],
+                 "data": []})
+        bits = np.zeros(int(ids.max()) + 1, dtype=np.uint8)
+        bits[ids] = 1
+        packed = np.packbits(bits, bitorder="little").tobytes()
+        chunks = [packed[o:o + chunk_bytes]
+                  for o in range(0, len(packed), chunk_bytes)]
+        return pd.DataFrame({
+            "col": [key[0]] * len(chunks),
+            "term": [key[1]] * len(chunks),
+            "chunk": np.arange(len(chunks), dtype=np.int32),
+            "total": np.full(len(chunks), len(packed), dtype=np.int64),
+            "data": chunks,
+        })
+
+    return pack
 
 
 def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
@@ -835,6 +878,74 @@ class IndexBuilder:
         metrics = {"secs": round(time.time() - t0, 3),
                    "row_group_mb": row_group_mb}
         self._ckpt_write(f"optimize{int(time.time())}", metrics)
+        return metrics
+
+    def build_bitmap_sidecar(self, min_df: int | None = None,
+                             chunk_bytes: int = 16 * 1024 * 1024) -> dict:
+        """Precompute packed u8 bitmaps for hot terms (df >= min_df).
+
+        The bitmap family (Q1-Q4) answers with a row-id bitmap; for a
+        hot term on a large corpus the embedded tier's cold path decodes
+        millions of delta ids and scatters them into a packed array per
+        first query.  The reference never pays this: its skip-index
+        bitmaps are materialized structures served as-is (ClickHouse
+        skip-index granule bitmaps; tantivy's analog is the alive
+        bitset segment file).  This job materializes the same thing:
+        one little-endian packed bitmap per hot (col, term), chunked for
+        Arrow, written under ``bitmaps/`` with a `_sidecar.json` fence.
+
+        Serving contract (engine._sidecar_bitmaps): the embedded tier
+        uses the sidecar only while its recorded fence matches the live
+        meta — append()/compact() save a new meta and silently retire
+        it (re-run this job afterwards).  Deletes do NOT retire it:
+        tombstones are masked at serve time, exactly like the postings
+        path.  Cold terms (df < min_df) keep the decode path — their
+        bitmaps are cheap and precomputing every tail term would dwarf
+        the postings themselves.
+
+        Default min_df = max(1024, total_docs // 100): bitmaps cost
+        ~total_docs/8 bytes each, so this caps sidecar size at ~12.5x
+        postings-bytes-per-hot-term while covering every term whose
+        scatter actually hurts."""
+        spark = self.spark
+        meta = IndexMeta.load(self.index_path)
+        if min_df is None:
+            min_df = max(1024, meta.total_docs // 100)
+        layout.recover_swaps(self.index_path, drop_stray=True)
+        t0 = time.time()
+        stats = spark.read.parquet(os.path.join(self.index_path, STATS_DIR))
+        hot = stats.where(F.col("df") >= min_df).select("col", "term")
+        n_hot = hot.count()
+        bitmaps_dir = os.path.join(self.index_path, BITMAPS_DIR)
+        new_dir = bitmaps_dir + "_building"
+        shutil.rmtree(new_dir, ignore_errors=True)
+        if n_hot:
+            postings = spark.read.parquet(
+                os.path.join(self.index_path, POSTINGS_DIR))
+            (postings
+             .join(F.broadcast(hot), ["col", "term"], "left_semi")
+             .select("col", "term", "block_first", "deltas")
+             .groupBy("col", "term")
+             .applyInPandas(
+                 _bitmap_packer(self.config.block_size, chunk_bytes),
+                 BITMAP_SIDECAR_SCHEMA)
+             .write.mode("overwrite").parquet(new_dir))
+        else:
+            os.makedirs(new_dir, exist_ok=True)
+        with open(os.path.join(new_dir, "_sidecar.json"), "w") as f:
+            json.dump({"fence": meta.committed_fence,
+                       "total_docs": meta.total_docs,
+                       "num_parts": meta.num_parts,
+                       "min_df": min_df, "n_terms": n_hot}, f)
+        old_dir = bitmaps_dir + "_old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(bitmaps_dir):
+            os.rename(bitmaps_dir, old_dir)
+        os.rename(new_dir, bitmaps_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        metrics = {"secs": round(time.time() - t0, 3),
+                   "n_terms": n_hot, "min_df": min_df}
+        self._ckpt_write(f"bitmaps{int(time.time())}", metrics)
         return metrics
 
     def _data_fence(self) -> float:

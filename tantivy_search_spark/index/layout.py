@@ -42,6 +42,7 @@ SEGMENTS_DIR = "segments"
 POSTINGS_DIR = "postings"
 STATS_DIR = "stats"
 TOMBSTONES_DIR = "tombstones"
+BITMAPS_DIR = "bitmaps"
 CHECKPOINTS_DIR = "_checkpoints"
 
 
@@ -65,7 +66,7 @@ def recover_swaps(index_path: str, drop_stray: bool = False) -> None:
         concurrent writer's in-progress dir)
     """
     import shutil as _shutil
-    for d in (POSTINGS_DIR, STATS_DIR):
+    for d in (POSTINGS_DIR, STATS_DIR, BITMAPS_DIR):
         live = os.path.join(index_path, d)
         old = live + "_old"
         if os.path.exists(old):
@@ -74,7 +75,8 @@ def recover_swaps(index_path: str, drop_stray: bool = False) -> None:
             else:
                 os.rename(old, live)
         if drop_stray:
-            for suffix in ("_new", "_compacting"):
+            for suffix in ("_new", "_compacting", "_optimizing",
+                           "_building"):
                 stray = live + suffix
                 if os.path.exists(stray):
                     _shutil.rmtree(stray)

@@ -28,6 +28,7 @@ per-partition scores equal to single-index scores.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field as dc_field
@@ -47,6 +48,7 @@ from tantivy_search_spark.config import IndexConfig
 from tantivy_search_spark.fieldnorm import FIELD_NORMS_TABLE
 from tantivy_search_spark.index import layout
 from tantivy_search_spark.index.layout import (
+    BITMAPS_DIR,
     DOCS_DIR,
     POSTINGS_DIR,
     STATS_DIR,
@@ -570,6 +572,7 @@ class SearchIndex:
                      "_local_ids_cache"):
             if hasattr(self, attr):
                 getattr(self, attr).clear()
+        self._sidecar = None  # re-validate the fence on next bitmap query
 
     def close(self) -> None:
         """Reference ffi_free_index_reader analog (Q14): release every
@@ -587,6 +590,7 @@ class SearchIndex:
                      "_local_ids_cache", "_bitmap_cache"):
             if hasattr(self, attr):
                 getattr(self, attr).clear()
+        self._sidecar = None
 
     @property
     def docs(self) -> DataFrame:
@@ -2736,14 +2740,133 @@ class SearchIndex:
                 cache.pop(evictable.pop(0), None)
         return out
 
+    #: decoded sidecar bitmaps kept in memory (bytes, not entries — one
+    #: hot-term bitmap is ~total_docs/8 B, so an entry cap would be
+    #: corpus-size-blind)
+    SIDECAR_CACHE_BYTES = 256 * 1024 * 1024
+
+    def _sidecar_open(self) -> dict:
+        """Lazy-open the hot-term bitmap sidecar written by
+        ``IndexBuilder.build_bitmap_sidecar``, validating its fence
+        against the live meta: a sidecar built before the last
+        append/compact is ignored wholesale (those save a new meta with
+        a new committed_fence / total_docs).  Deletes don't retire it —
+        tombstones are masked at serve time."""
+        sc = getattr(self, "_sidecar", None)
+        if sc is not None:
+            return sc
+        sc = {"terms": frozenset(), "dset": None, "cache": None, "bytes": 0}
+        path = os.path.join(self.index_path, BITMAPS_DIR)
+        try:
+            with open(os.path.join(path, "_sidecar.json")) as f:
+                sm = json.load(f)
+            if (sm.get("n_terms")
+                    and sm.get("fence") == self.meta.committed_fence
+                    and sm.get("total_docs") == self.meta.total_docs
+                    and sm.get("num_parts") == self.meta.num_parts):
+                import pyarrow.dataset as ds
+                dset = ds.dataset(path, format="parquet")
+                tbl = dset.to_table(columns=["col", "term"],
+                                    filter=ds.field("chunk") == 0)
+                from collections import OrderedDict
+                sc = {"terms": frozenset(
+                          zip(tbl.column("col").to_pylist(),
+                              tbl.column("term").to_pylist())),
+                      "dset": dset, "cache": OrderedDict(), "bytes": 0}
+        except (OSError, ValueError, KeyError):
+            pass
+        self._sidecar = sc
+        return sc
+
+    def _sidecar_bitmaps(self, atoms: list[tuple[str, str]]) -> dict:
+        """Subset of ``atoms`` served from the sidecar: atom -> packed
+        little-endian u8 array (alive-unmasked; caller handles
+        tombstones).  Byte-budgeted LRU over assembled bitmaps."""
+        sc = self._sidecar_open()
+        if not sc["terms"]:
+            return {}
+        want = [a for a in atoms if a in sc["terms"]]
+        if not want:
+            return {}
+        out, missing = {}, []
+        cache = sc["cache"]
+        for a in want:
+            if a in cache:
+                cache.move_to_end(a)
+                out[a] = cache[a]
+            else:
+                missing.append(a)
+        if missing:
+            import pyarrow.dataset as ds
+            expr = (ds.field("col").isin(sorted({c for c, _ in missing}))
+                    & ds.field("term").isin(sorted({t for _, t in missing})))
+            pdf = sc["dset"].to_table(filter=expr).to_pandas()
+            for (c, t), grp in pdf.groupby(["col", "term"], sort=False):
+                a = (c, t)
+                if a in cache:
+                    continue
+                grp = grp.sort_values("chunk")
+                arr = np.frombuffer(b"".join(grp["data"]), dtype=np.uint8)
+                if arr.nbytes != int(grp["total"].iloc[0]):
+                    continue  # torn sidecar row group: fall back to decode
+                cache[a] = arr
+                sc["bytes"] += arr.nbytes
+            for a in missing:
+                if a in cache:
+                    cache.move_to_end(a)
+                    out[a] = cache[a]
+            current = set(want)
+            evictable = [k for k in cache if k not in current]
+            while sc["bytes"] > self.SIDECAR_CACHE_BYTES and evictable:
+                sc["bytes"] -= cache.pop(evictable.pop(0)).nbytes
+        return out
+
     def _local_ids_for_terms(self, col: str, tokens: list[str]) -> bytes:
         """In-process TermSetQuery: OR of tokens -> u8 bitmap, via the
-        ids-only decoded LRU (no Spark job; same semantics as
-        ``_doc_ids_for_terms`` incl. tombstone exclusion)."""
+        hot-term bitmap sidecar (precomputed packed bitmaps, zero
+        decode) plus the ids-only decoded LRU for tail terms (no Spark
+        job; same semantics as ``_doc_ids_for_terms`` incl. tombstone
+        exclusion)."""
         if not tokens:
             return row_ids_to_u8_bitmap([])
-        postings = self._local_doc_ids(
-            sorted({(col, t) for t in set(tokens)}))
+        atoms = sorted({(col, t) for t in set(tokens)})
+        side = self._sidecar_bitmaps(atoms)
+        if side:
+            postings = self._local_doc_ids(
+                [a for a in atoms if a not in side])
+            parts = [d for d in postings.values() if d.size]
+            packs = [p for p in side.values() if p.size]
+            nbytes = max(
+                max((len(p) for p in packs), default=0),
+                max((int(p.max()) for p in parts), default=-1) // 8 + 1)
+            if not nbytes:
+                return row_ids_to_u8_bitmap([])
+            packed = np.zeros(nbytes, dtype=np.uint8)
+            for p in packs:
+                np.bitwise_or(packed[:len(p)], p, out=packed[:len(p)])
+            one = np.uint8(1)
+            if parts:
+                if sum(p.size for p in parts) < nbytes // 8:
+                    for p in parts:  # sparse tail terms: packed scatter
+                        np.bitwise_or.at(
+                            packed, p >> 3,
+                            one << (p & 7).astype(np.uint8))
+                else:
+                    bits = np.zeros(nbytes * 8, dtype=np.uint8)
+                    for p in parts:
+                        bits[p] = 1
+                    np.bitwise_or(packed,
+                                  np.packbits(bits, bitorder="little"),
+                                  out=packed)
+            tomb = self._tombstone_array()
+            if tomb.size:
+                t = tomb[tomb < nbytes * 8]
+                if t.size:
+                    np.bitwise_and.at(
+                        packed, t >> 3,
+                        np.invert(one << (t & 7).astype(np.uint8)))
+            return _trim_trailing_zeros(packed)
+        postings = self._local_doc_ids(atoms)
         parts = [d for d in postings.values() if d.size]
         if not parts:
             return row_ids_to_u8_bitmap([])
