@@ -95,6 +95,8 @@ def build_index() -> None:
             # term-dictionary-ordered by construction; this is the analog)
             m = b.optimize_layout()
             print(f"optimize_layout: {m}", file=sys.stderr)
+            m = b.build_bitmap_sidecar()
+            print(f"bitmap_sidecar: {m}", file=sys.stderr)
     spark.stop()
 
 
