@@ -51,6 +51,13 @@ CORPUS = os.environ.get("POOL_CORPUS", "/tmp/tss_pool_corpus")
 INDEX = os.environ.get("POOL_INDEX", "/tmp/tss_pool_idx")
 OUT_JSON = os.environ.get("POOL_OUT", "BENCH/pool_qps.json")
 BUILD_CPUS = int(os.environ.get("POOL_BUILD_CPUS", "8"))
+# 1 = skip the BM25 class sweep and measure only the bitmap family —
+# used for the corpus-normalized sidecar re-measure, where the class
+# numbers are already recorded and only the bitmap path changed
+BITMAP_ONLY = os.environ.get("POOL_BITMAP_ONLY", "0") == "1"
+# 1 = never materialize the corpus parquet: build straight from the
+# deterministic generator with pre-assigned doc ids (zero-shuffle)
+INMEM_CORPUS = os.environ.get("POOL_INMEM_CORPUS", "0") == "1"
 PROC_LEVELS = [1, 2, 4, 8, 16]
 N_DISTINCT = 512          # distinct queries per class (term-cache bound)
 N_QUERIES = int(os.environ.get("POOL_N_QUERIES", "16384"))
@@ -75,19 +82,36 @@ def build_index() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        shutil.rmtree(CORPUS, ignore_errors=True)
-        synth_code_corpus(spark, N_FILES, seed=42, num_partitions=64,
-                          ident_frac=IDENT_FRAC,
-                          max_tokens=MAX_TOKENS).write.parquet(CORPUS)
+    if INMEM_CORPUS:
+        # disk-light path for corpus-normalized runs (5.6M docs): the
+        # synthetic corpus is deterministic, so feed the generator
+        # DataFrame straight into build() with its range id as a
+        # pre-assigned doc_id — no 18 GB corpus parquet, no staging
+        # sort, zero-shuffle segments stage.  Each build stage re-runs
+        # the cheap stateless generator instead of re-reading parquet.
+        src = synth_code_corpus(spark, N_FILES, seed=42, num_partitions=64,
+                                ident_frac=IDENT_FRAC,
+                                max_tokens=MAX_TOKENS, with_doc_id=True)
+    else:
+        if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+            shutil.rmtree(CORPUS, ignore_errors=True)
+            synth_code_corpus(spark, N_FILES, seed=42, num_partitions=64,
+                              ident_frac=IDENT_FRAC,
+                              max_tokens=MAX_TOKENS).write.parquet(CORPUS)
+        src = None
     if not os.path.exists(os.path.join(INDEX, "_index_meta.json")):
         shutil.rmtree(INDEX, ignore_errors=True)
         cfg = IndexConfig.from_json(["content"], "{}")
         cfg.parts_per_shard = 8
         t0 = time.time()
-        b = IndexBuilder(spark, INDEX, cfg, rows_per_part=4096)
-        b.build(spark.read.parquet(CORPUS),
-                order_cols=["repo", "path", "commit"])
+        if INMEM_CORPUS:
+            b = IndexBuilder(spark, INDEX, cfg, rows_per_part=4096,
+                             segment_shuffle="stream")
+            b.build(src, id_col="doc_id")
+        else:
+            b = IndexBuilder(spark, INDEX, cfg, rows_per_part=4096)
+            b.build(spark.read.parquet(CORPUS),
+                    order_cols=["repo", "path", "commit"])
         print(f"built {N_FILES} docs in {time.time() - t0:.1f}s",
               file=sys.stderr)
         if os.environ.get("POOL_OPTIMIZE", "1") == "1":
@@ -148,7 +172,7 @@ def measure() -> dict:
     # that's the difference between ~4 min and ~1 h of setup
     parent = SearchIndex.open_local(INDEX)
     _tick("parent reader open")
-    for name, (distinct, op_or) in classes.items():
+    for name, (distinct, op_or) in ({} if BITMAP_ONLY else classes).items():
         t0 = time.time()
         n_toks = parent.warm_terms("content", distinct)
         for q in distinct:
@@ -180,11 +204,12 @@ def measure() -> dict:
             "speedup_16": round(levels[16] / base, 2),
         }
     qps16 = {k: v["qps_by_procs"][16] for k, v in out["classes"].items()}
-    out["headline"] = {
-        "best_qps_16proc": max(qps16.values()),
-        "qps_16proc": qps16,
-        "reference_16thread_qps": 7874,
-    }
+    if qps16:
+        out["headline"] = {
+            "best_qps_16proc": max(qps16.values()),
+            "qps_16proc": qps16,
+            "reference_16thread_qps": 7874,
+        }
     out["bitmap"] = measure_bitmap(classes, parent)
     parent.close()
     return out
@@ -309,9 +334,10 @@ def main() -> None:
                 best["bitmap"][k] = max(best["bitmap"].get(k, 0.0), v)
     qps16 = {k: v["qps_by_procs"]["16"]
              for k, v in best["classes"].items()}
-    best["headline"] = {"best_qps_16proc": max(qps16.values()),
-                        "qps_16proc": qps16,
-                        "reference_16thread_qps": 7874}
+    if qps16:
+        best["headline"] = {"best_qps_16proc": max(qps16.values()),
+                            "qps_16proc": qps16,
+                            "reference_16thread_qps": 7874}
     doc["best_of_runs"] = best
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

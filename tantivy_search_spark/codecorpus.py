@@ -114,6 +114,7 @@ def synth_code_corpus(
     num_partitions: int | None = None,
     ident_frac: float = 0.0, ident_vocab: int = 200_000,
     min_tokens: int = 10, max_tokens: int = 2000,
+    with_doc_id: bool = False,
 ) -> DataFrame:
     """Distributed deterministic corpus of `n_files` source files.
 
@@ -130,11 +131,21 @@ def synth_code_corpus(
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _gen_batch(pdf["id"].to_numpy(dtype=np.int64), seed,
-                             ident_frac, ident_vocab, min_tokens,
-                             max_tokens)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            out = _gen_batch(ids, seed, ident_frac, ident_vocab,
+                             min_tokens, max_tokens)
+            if with_doc_id:
+                out.insert(0, "doc_id", ids)
+            yield out
 
-    return spark.range(0, n_files, 1, parts).mapInPandas(
-        gen,
-        "repo string, path string, commit string, lang string, content string",
-    )
+    schema = "repo string, path string, commit string, lang string, content string"
+    if with_doc_id:
+        # the range id doubles as a pre-assigned doc_id: spark.range
+        # partitions are contiguous non-overlapping ascending ranges, so
+        # the result satisfies IndexBuilder's zero-shuffle 'stream'
+        # contract directly (id_col="doc_id", no staging sort) — this
+        # is how a real ingest with upstream-stable ids would run at
+        # 100 TB, and it lets huge synthetic builds skip the corpus
+        # materialization entirely
+        schema = "doc_id long, " + schema
+    return spark.range(0, n_files, 1, parts).mapInPandas(gen, schema)

@@ -378,3 +378,31 @@ class TestPositionsCodec:
                     got.append((int(d[j]),
                                 tuple(flat[offs[j]:offs[j + 1]].tolist())))
             assert sorted(got) == sorted(truth), trial
+
+
+class TestSynthCorpusDocIds:
+    def test_with_doc_id_streamable(self, spark):
+        """with_doc_id=True injects the range id as doc_id without
+        changing any generated column, and each partition carries a
+        contiguous non-overlapping ascending id range — the exact
+        contract IndexBuilder(segment_shuffle='stream') enforces, so
+        generator-fed builds can skip the staging sort entirely."""
+        from tantivy_search_spark.codecorpus import synth_code_corpus
+
+        a = synth_code_corpus(spark, 400, num_partitions=4,
+                              ident_frac=0.35, with_doc_id=True)
+        b = synth_code_corpus(spark, 400, num_partitions=4,
+                              ident_frac=0.35)
+        pa_, pb = a.toPandas(), b.toPandas()
+        assert list(pa_.columns) == ["doc_id", "repo", "path", "commit",
+                                     "lang", "content"]
+        assert sorted(pa_["doc_id"]) == list(range(400))
+        assert pa_.drop(columns=["doc_id"]).equals(pb)
+        parts = a.rdd.mapPartitions(
+            lambda it: [[r["doc_id"] for r in it]]).collect()
+        rngs = []
+        for p in parts:
+            assert all(x < y for x, y in zip(p, p[1:]))
+            rngs.append((p[0], p[-1]))
+        rngs.sort()
+        assert all(r1[1] < r2[0] for r1, r2 in zip(rngs, rngs[1:]))
