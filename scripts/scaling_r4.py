@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import scaling  # noqa: E402
 from scaling import gen_corpus, make_pkg_zip, warm_cache, cpu_calibration  # noqa: E402
 
+RUN_KEY = os.environ.get("SCALING_RUN_KEY", "r4_f32_prefilter")
+
 N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
 scaling.N_FILES = N_FILES  # gen_corpus sizes the corpus from this global
 N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
@@ -102,7 +104,7 @@ def main() -> None:
 
     path = os.path.join(REPO, "BENCH", "scaling.json")
     doc = json.load(open(path))
-    doc["runs"]["r4_f32_prefilter"] = {
+    doc["runs"][RUN_KEY] = {
         "note": "round-4 batch kernel: score>0 match inference (337eebb) "
                 "+ float32 score prefilter with exact float64 candidate "
                 "rescore (7df6e6b) over the unchanged packed-blob shuffle. "
