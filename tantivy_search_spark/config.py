@@ -151,6 +151,13 @@ class IndexConfig:
     def analyzer(self, column: str):
         return analyzer_from_config(self.tokenizer_config(column))
 
+    def analyzer_pos(self, column: str):
+        """Position-annotated analyzer (tantivy Token.position model —
+        removing filters leave gaps); used by the positions index path
+        and quoted-phrase query parsing."""
+        from tantivy_search_spark.tokenizers import analyzer_pos_from_config
+        return analyzer_pos_from_config(self.tokenizer_config(column))
+
     def lowercases(self, column: str) -> bool:
         """Whether the column's chain ends in LowerCaser (used by LIKE->regex,
         reference api_regex_term_bitmap.rs:28-40)."""

@@ -194,11 +194,14 @@ def _segment_builder(cfg_json: str):
             pos_flat = None
             if cfg.with_positions:
                 # positions need the token stream, not just tf counts —
-                # one lexsort pass in term_doc_tf_pos
-                from tantivy_search_spark.udfs import term_doc_tf_pos
-                toks = tokenize_series(pdf[col], col_cfg)
+                # one lexsort pass in term_doc_tf_pos.  The pos-aware
+                # chain numbers tokens like tantivy: removing filters
+                # (stop words, RemoveLong) leave gaps.
+                from tantivy_search_spark.udfs import (
+                    term_doc_tf_pos, tokenize_series_pos)
+                toks, poss = tokenize_series_pos(pdf[col], col_cfg)
                 terms, t_docs, t_tfs, doclens, pos_flat = term_doc_tf_pos(
-                    toks, doc_ids)
+                    toks, doc_ids, poss)
             elif arrow_fast_eligible(col_cfg):
                 # Arrow C++ chain: no per-token PyObjects (hot path)
                 terms, t_docs, t_tfs, doclens = term_doc_tf_arrow(

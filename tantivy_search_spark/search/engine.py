@@ -143,21 +143,30 @@ def _eval_phrase(
     k1: float,
     b: float,
     slop: int = 0,
+    offsets: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared phrase evaluator (distributed shard scorer + local path).
 
     ``per_term[t] = (doc_ids, tfs, norm_ids, pos_flat, pos_offsets)``
     with doc_ids sorted and positions aligned per posting.  Returns
-    (docs, scores) for docs where the terms appear in order with a
-    cumulative inter-term gap budget of ``slop`` extra tokens
-    (slop=0 == strict adjacency, tantivy PhraseQuery; '"a b"~1'
-    matches 'a x b' but never 'b a'); score = sum of member BM25
-    term scores.
+    (docs, scores) for docs where the terms appear in order at the
+    query offsets (``offsets``: per-term token positions from the
+    query analyzer, tantivy PhraseQuery::new_with_offset — a stop word
+    inside the quotes widens the required gap; None == consecutive)
+    with a displacement budget of ``slop``: each inter-term distance
+    may deviate from the query's own gap by a total of ``slop`` tokens
+    in either direction, but terms must stay IN ORDER ('"a b"~1'
+    matches 'a x b' but never 'b a'; transpositions are not matched —
+    documented divergence from Lucene-style sloppy phrases, which
+    tantivy also does not implement); score = sum of member BM25 term
+    scores.
     """
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     for t in terms_l:
         if t not in per_term or per_term[t][0].size == 0:
             return empty
+    deltas = [offsets[i + 1] - offsets[i] for i in range(len(offsets) - 1)] \
+        if offsets else [1] * (len(terms_l) - 1)
     cand = per_term[terms_l[0]][0]
     for t in terms_l[1:]:
         cand = cand[np.isin(cand, per_term[t][0])]
@@ -186,30 +195,33 @@ def _eval_phrase(
         return docs_rep * SHIFT + pos
 
     if slop <= 0:
-        cur = cand_keys(terms_l[0]) + 1  # (doc, expected next position)
-        for t in terms_l[1:]:
+        cur = cand_keys(terms_l[0])  # (doc, matched position) keys
+        for t, d in zip(terms_l[1:], deltas):
             kt = cand_keys(t)
-            cur = cur[np.isin(cur, kt)] + 1
+            cur = cur + np.int64(d)  # expected next position
+            cur = cur[np.isin(cur, kt)]
             if cur.size == 0:
                 return empty
         docs = np.unique(cur >> np.int64(32))
     else:
-        # sloppy chain: states are ((doc, last matched pos), used gaps);
-        # a small loop over the gap g (<= slop, typically tiny) keeps
-        # every step a vectorized membership test.  Duplicate states
-        # keep their minimum used-budget (it dominates).
+        # sloppy chain: states are ((doc, last matched pos), used budget);
+        # a small loop over the displacement g (|g| <= slop, typically
+        # tiny) keeps every step a vectorized membership test.  g may go
+        # negative down to -(d-1) — terms may sit CLOSER than the query's
+        # own gap (e.g. a stop-word hole) but never reorder.  Duplicate
+        # states keep their minimum used-budget (it dominates).
         keys = cand_keys(terms_l[0])
         used = np.zeros(keys.size, dtype=np.int64)
-        for t in terms_l[1:]:
+        for t, d in zip(terms_l[1:], deltas):
             kt = np.sort(cand_keys(t))
             nk, nu = [], []
-            for g in range(slop + 1):
-                ok = used + g <= slop
-                ck = keys[ok] + 1 + g
+            for g in range(-min(slop, max(d - 1, 0)), slop + 1):
+                ok = used + abs(g) <= slop
+                ck = keys[ok] + np.int64(d + g)
                 m = np.isin(ck, kt)
                 if m.any():
                     nk.append(ck[m])
-                    nu.append(used[ok][m] + g)
+                    nu.append(used[ok][m] + abs(g))
             if not nk:
                 return empty
             keys = np.concatenate(nk)
@@ -688,6 +700,15 @@ class SearchIndex:
     def _analyzers(self) -> dict:
         return {c: self.config.analyzer(c) for c in self.config.columns}
 
+    def _pos_analyzers(self) -> dict | None:
+        """Per-column position-annotated analyzers for quoted-phrase
+        parsing — only when the index stores positions (phrase nodes
+        exist); None otherwise so the parser keeps the cheap path."""
+        if not self.config.with_positions:
+            return None
+        return {c: self.config.analyzer_pos(c)
+                for c in self.config.columns}
+
     def _candidate_postings(self, atoms: list[tuple[str | None, str]]) -> DataFrame:
         terms = sorted({t for _, t in atoms})
         buckets = sorted({term_bucket(t, self.config.n_buckets) for t in terms})
@@ -1087,6 +1108,7 @@ class SearchIndex:
         slop: int = 0,
         packed: bool = False,
         n_subs: int = 1,
+        offsets: tuple | None = None,
     ) -> DataFrame:
         """Position-verified phrase scoring -> (doc_id, atom, score),
         or packed (shard, sub, atom, doc_ids, scores) blob rows when
@@ -1124,10 +1146,12 @@ class SearchIndex:
                              "broadcast tombstone tier")  # caller gates
         b_env = self._bcast((list(terms), idf_map, avgdl,
                              np.empty(0, np.int64) if anti_join_tombs
-                             else tomb, alive_bitmap, int(slop)))
+                             else tomb, alive_bitmap, int(slop),
+                             tuple(offsets) if offsets else None))
 
         def phrase_docs_scores(pdf: pd.DataFrame):
-            terms_l, idf_m, avgdl_l, tombs, alive, slop_l = b_env.value
+            (terms_l, idf_m, avgdl_l, tombs, alive, slop_l,
+             offs_l) = b_env.value
             per_term = {}
             for t in terms_l:
                 sub = pdf[pdf["term"] == t]
@@ -1143,7 +1167,7 @@ class SearchIndex:
                 per_term[t] = _assemble_phrase_runs(runs)
 
             docs, scores = _eval_phrase(terms_l, per_term, idf_m,
-                                        avgdl_l, k1, b, slop_l)
+                                        avgdl_l, k1, b, slop_l, offs_l)
             if docs.size and tombs.size:
                 keep = ~np.isin(docs, tombs)
                 docs, scores = docs[keep], scores[keep]
@@ -1261,6 +1285,7 @@ class SearchIndex:
                 sentence, cols, analyzers,
                 conjunction_by_default=not operator_or,
                 phrase_nodes=self.config.with_positions,
+                pos_analyzers=self._pos_analyzers(),
             )
         else:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
@@ -1302,7 +1327,7 @@ class SearchIndex:
         for a in phrase_keys:
             parts.append(self._scored_phrase_df(
                 a[1], list(a[2]), atom_index[a], statistics, alive_bitmap,
-                slop=a[3]))
+                slop=a[3], offsets=a[4]))
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
@@ -1365,7 +1390,8 @@ class SearchIndex:
             if enable_nlq:
                 tree = qt.parse_nlq(sentence, cols, analyzers,
                                     conjunction_by_default=not op_or,
-                                    phrase_nodes=self.config.with_positions)
+                                    phrase_nodes=self.config.with_positions,
+                                    pos_analyzers=self._pos_analyzers())
             else:
                 tokens_by_col = {c: analyzers[c](sentence) for c in cols}
                 tree = qt.standard_query_tree(tokens_by_col, op_or)
@@ -1434,7 +1460,8 @@ class SearchIndex:
             for a in phrase_keys:
                 parts.append(self._scored_phrase_df(
                     a[1], list(a[2]), atom_index[a], statistics,
-                    alive_bitmap, slop=a[3], packed=True, n_subs=n_subs))
+                    alive_bitmap, slop=a[3], packed=True, n_subs=n_subs,
+                    offsets=a[4]))
             packed = parts[0]
             for p in parts[1:]:
                 packed = packed.unionByName(p)
@@ -1450,7 +1477,7 @@ class SearchIndex:
             for a in phrase_keys:
                 parts.append(self._scored_phrase_df(
                     a[1], list(a[2]), atom_index[a], statistics,
-                    alive_bitmap, slop=a[3]))
+                    alive_bitmap, slop=a[3], offsets=a[4]))
             scored = parts[0]
             for p in parts[1:]:
                 scored = scored.unionByName(p)
@@ -2028,6 +2055,7 @@ class SearchIndex:
         avgdl: dict,
         n_docs: int,
         slop: int = 0,
+        offsets: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """In-process phrase evaluation: posting rows (with positions)
         fetched via the direct pyarrow path, decoded once into an LRU,
@@ -2073,7 +2101,7 @@ class SearchIndex:
                    for t in terms}
         return _eval_phrase(list(terms), per_term, idf_map,
                             avgdl.get(col, 1.0), self.config.k1,
-                            self.config.b, slop)
+                            self.config.b, slop, offsets)
 
     def _bm25_local_taat(
         self, tokens: list[str], col: str, top_k: int, operator_or: bool,
@@ -2342,7 +2370,8 @@ class SearchIndex:
             # fallback below re-runs the identical tree
             tree = qt.parse_nlq(sentence, cols, analyzers,
                                 conjunction_by_default=not operator_or,
-                                phrase_nodes=self.config.with_positions)
+                                phrase_nodes=self.config.with_positions,
+                                pos_analyzers=self._pos_analyzers())
         else:
             tokens_by_col = {c: analyzers[c](sentence) for c in cols}
             tree = qt.standard_query_tree(tokens_by_col, operator_or)
@@ -2417,7 +2446,8 @@ class SearchIndex:
         for a in atoms:
             if qt.is_phrase_key(a):
                 d, s = self._local_phrase_scores(
-                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3])
+                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3],
+                    offsets=a[4])
                 if tomb.size and d.size:
                     mask = ~np.isin(d, tomb)
                     d, s = d[mask], s[mask]
@@ -2564,7 +2594,8 @@ class SearchIndex:
         for a in atoms:
             if qt.is_phrase_key(a):
                 d, s = self._local_phrase_scores(
-                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3])
+                    a[1], list(a[2]), df_map, avgdl, n_docs, slop=a[3],
+                    offsets=a[4])
             elif a[0] is not None:
                 d, s = concrete_scores(a[0], a[1])
             else:

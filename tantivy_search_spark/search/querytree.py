@@ -53,6 +53,17 @@ class Phrase:
     col: str
     terms: list  # analyzed tokens, in phrase order
     slop: int = 0
+    #: query-side token positions (tantivy Token.position, normalized so
+    #: offsets[0] == 0).  A stop word inside the quoted text leaves a
+    #: gap — '"quick the fox"' becomes terms (quick, fox) at offsets
+    #: (0, 2) and only matches documents with one (removed) token
+    #: between them, like tantivy PhraseQuery::new_with_offset.
+    #: Empty () means consecutive (0, 1, 2, ...).
+    offsets: tuple = ()
+
+    def __post_init__(self):
+        if not self.offsets:
+            self.offsets = tuple(range(len(self.terms)))
 
 
 @dataclass
@@ -145,8 +156,15 @@ def parse_nlq(
     analyzers: dict[str, callable],
     conjunction_by_default: bool,
     phrase_nodes: bool = False,
+    pos_analyzers: dict[str, callable] | None = None,
 ):
-    """Parse the NLQ grammar subset into a Term/And/Or tree (or None)."""
+    """Parse the NLQ grammar subset into a Term/And/Or tree (or None).
+
+    ``pos_analyzers`` (col -> analyze_pos) supplies tantivy-style token
+    positions for quoted phrases, so a stop word inside the quotes
+    leaves a gap in the Phrase offsets; without it phrases assume
+    consecutive offsets (exact for filter chains that remove nothing).
+    """
     toks = _lex(query)
     pos = 0
 
@@ -339,12 +357,19 @@ def parse_nlq(
         to an AND group (positions-free layout cannot check adjacency)."""
         by_col = []
         for c in default_columns:
-            pieces = analyzers[c](text)
+            if pos_analyzers is not None:
+                pieces, offs = pos_analyzers[c](text)
+            else:
+                pieces = analyzers[c](text)
+                offs = list(range(len(pieces)))
             if pieces:
                 if len(pieces) == 1:
                     by_col.append(Term(c, pieces[0]))
                 elif phrase_nodes:
-                    by_col.append(Phrase(c, list(pieces)))
+                    base = offs[0]
+                    by_col.append(Phrase(
+                        c, list(pieces),
+                        offsets=tuple(o - base for o in offs)))
                 else:
                     by_col.append(And([Term(c, p) for p in pieces]))
         if not by_col:
@@ -504,12 +529,13 @@ def atom_key(node):
     if isinstance(node, Term):
         return (node.col, node.text)
     if isinstance(node, Phrase):
-        return (_PHRASE_MARK, node.col, tuple(node.terms), node.slop)
+        return (_PHRASE_MARK, node.col, tuple(node.terms), node.slop,
+                tuple(node.offsets))
     raise TypeError(type(node))
 
 
 def is_phrase_key(key) -> bool:
-    return len(key) == 4 and key[0] == _PHRASE_MARK
+    return len(key) == 5 and key[0] == _PHRASE_MARK
 
 
 def collect_atoms(tree) -> list:

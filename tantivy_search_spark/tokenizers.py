@@ -606,3 +606,146 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
                        "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
     )
+
+
+@lru_cache(maxsize=256)
+def build_analyzer_pos(
+    type: str = "default",
+    *,
+    stop_word_filters: tuple[str, ...] = (),
+    stem_languages: tuple[str, ...] = (),
+    length_limit: int = 40,
+    case_sensitive: bool = False,
+    min_gram: int = 2,
+    max_gram: int = 3,
+    prefix_only: bool = False,
+    jieba: str = "default",
+    mode: str = "search",
+    hmm: bool = False,
+) -> Callable[[str], tuple[list[str], list[int]]]:
+    """Position-annotated twin of :func:`build_analyzer`:
+    ``analyze_pos(text) -> (tokens, positions)``.
+
+    Positions follow tantivy's model: the BASE tokenizer assigns them at
+    emission, and token-REMOVING filters (RemoveLongFilter,
+    StopWordFilter) drop tokens without renumbering — removed slots
+    leave gaps, so a phrase query cannot match across a removed
+    stopword.  Chains whose reference tokenizer strips tokens BEFORE
+    position assignment stay consecutively numbered: cangjie and icu
+    run remove_nonsense_token inside token_stream() and number the
+    surviving tokens 0..n-1 (reference cangjie/stream.rs:33
+    ``position: self.index``, icu/tokenizer.rs:56), so only icu's
+    stop-word stage (a tantivy-level filter) leaves gaps.  tantivy's
+    NgramTokenizer emits every ngram at position 0 (published tantivy
+    docs — overlapping grams share the slot), so ``ngram`` returns all
+    zeros.  The token list is always exactly ``build_analyzer``'s
+    output for the same config (property-pinned in
+    test_arrow_tokenize).
+    """
+    plain = build_analyzer(
+        type,
+        stop_word_filters=stop_word_filters,
+        stem_languages=stem_languages,
+        length_limit=length_limit,
+        case_sensitive=case_sensitive,
+        min_gram=min_gram,
+        max_gram=max_gram,
+        prefix_only=prefix_only,
+        jieba=jieba,
+        mode=mode,
+        hmm=hmm,
+    )
+
+    if type == "chinese":
+        # nonsense strip precedes position assignment in the reference
+        def analyze_chinese_pos(text: str):
+            toks = plain(text)
+            return toks, list(range(len(toks)))
+        return analyze_chinese_pos
+
+    if type == "raw":
+        def analyze_raw_pos(text: str):
+            return ([text], [0]) if text else ([], [])
+        return analyze_raw_pos
+
+    if type == "ngram":
+        def analyze_ngram_pos(text: str):
+            toks = plain(text)
+            return toks, [0] * len(toks)
+        return analyze_ngram_pos
+
+    if type == "icu":
+        segment = _ICU_SEGMENTERS[mode]
+        stop = _resolve_stop_set(stop_word_filters)
+        from tantivy_search_spark.stemmers import get_stemmer
+        stemmers = [get_stemmer(lang.lower()) for lang in stem_languages]
+
+        def analyze_icu_pos(text: str):
+            import unicodedata
+            toks = [t for t in segment(text)
+                    if any(unicodedata.category(c)[0] in ("L", "N")
+                           for c in t)]  # inside token_stream -> no gaps
+            poss = list(range(len(toks)))
+            if stop:  # tantivy-level filter -> gaps, BEFORE lowercasing
+                kept = [(t, p) for t, p in zip(toks, poss)
+                        if t not in stop]
+                toks = [t for t, _ in kept]
+                poss = [p for _, p in kept]
+            for stem in stemmers:
+                toks = [stem(t) for t in toks]
+            if not case_sensitive:
+                toks = [t.lower() for t in toks]
+            return toks, poss
+        return analyze_icu_pos
+
+    if type == "default":
+        def analyze_default_pos(text: str):
+            raw = _SIMPLE_SPLIT.findall(text)
+            kept = [(t.lower(), i) for i, t in enumerate(raw)
+                    if _utf8_len(t) < 40]
+            return [t for t, _ in kept], [i for _, i in kept]
+        return analyze_default_pos
+
+    # simple / stem / whitespace
+    stop = _resolve_stop_set(stop_word_filters)
+    stemmers = []
+    for lang in stem_languages:
+        from tantivy_search_spark.stemmers import get_stemmer
+        stemmers.append(get_stemmer(lang.lower()))
+    splitter = _WHITESPACE_SPLIT if type == "whitespace" else _SIMPLE_SPLIT
+
+    def analyze_pos(text: str):
+        raw = splitter.findall(text)
+        kept = [(t, i) for i, t in enumerate(raw)
+                if _utf8_len(t) < length_limit]
+        if stop:
+            kept = [(t, i) for t, i in kept if t not in stop]
+        toks = [t for t, _ in kept]
+        poss = [i for _, i in kept]
+        for stem in stemmers:
+            toks = [stem(t) for t in toks]
+        if not case_sensitive:
+            toks = [t.lower() for t in toks]
+        return toks, poss
+
+    return analyze_pos
+
+
+def analyzer_pos_from_config(cfg: dict) -> Callable[
+        [str], tuple[list[str], list[int]]]:
+    """Position-annotated analyzer from one column's config dict."""
+    t = dict(cfg.get("tokenizer", {"type": "default"}))
+    return build_analyzer_pos(
+        t.get("type", "default"),
+        stop_word_filters=tuple(t.get("stop_word_filters", ())),
+        stem_languages=tuple(t.get("stem_languages", ())),
+        length_limit=int(t.get("length_limit", 40)),
+        case_sensitive=bool(t.get("case_sensitive", False)),
+        min_gram=int(t.get("min_gram", 2)),
+        max_gram=int(t.get("max_gram", 3)),
+        prefix_only=bool(t.get("prefix_only", False)),
+        jieba=str(t.get("jieba", "default")),
+        mode=str(t.get("mode",
+                       "word" if t.get("type") == "icu" else "search")),
+        hmm=bool(t.get("hmm", False)),
+    )

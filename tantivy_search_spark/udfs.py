@@ -30,6 +30,21 @@ def tokenize_series(s: pd.Series, tokenizer_cfg: dict) -> pd.Series:
     return filled.map(analyzer)
 
 
+def tokenize_series_pos(
+    s: pd.Series, tokenizer_cfg: dict
+) -> tuple[pd.Series, pd.Series]:
+    """Series[str] -> (Series[list[str]], Series[list[int]]) with tantivy
+    position semantics: token-removing filters leave gaps in the
+    numbering (see ``build_analyzer_pos``).  The token Series is
+    identical to :func:`tokenize_series`'s output for the same config.
+    """
+    from tantivy_search_spark.tokenizers import analyzer_pos_from_config
+    analyzer = analyzer_pos_from_config(tokenizer_cfg)
+    filled = s.fillna("")
+    pairs = filled.map(analyzer)
+    return pairs.map(lambda tp: tp[0]), pairs.map(lambda tp: tp[1])
+
+
 #: chains expressible entirely in Arrow C++ kernels (the build hot path);
 #: `stem` additionally runs the Python stemmer — but over the token
 #: DICTIONARY (distinct terms), not the token stream, so its cost is
@@ -159,20 +174,22 @@ def term_doc_tf_arrow(
 
 
 def term_doc_tf_pos(
-    tokens: pd.Series, doc_ids: np.ndarray
+    tokens: pd.Series, doc_ids: np.ndarray,
+    positions: pd.Series | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Like :func:`term_doc_tf` but additionally returns the flat token
     positions (uint32) aligned with the sorted (term, doc) triples:
     triple i's positions are the next tf[i] entries, ascending.
 
-    Position = index of the token in the analyzed token stream of its
-    document (the post-filter stream).  DOCUMENTED DIVERGENCE from
-    tantivy for stop-word+positions chains: tantivy assigns positions
-    at tokenization and stop-word removal leaves gaps, so there
-    "quick the fox" does NOT phrase-match "quick fox" while this
-    compacted numbering does.  Chains without stop-word filters (the
-    default positions configuration) are identical.  Pure numpy: one
-    lexsort over (key, pos), no per-token Python.
+    ``positions`` (from :func:`tokenize_series_pos`) carries tantivy's
+    position model — assigned by the base tokenizer, with gaps where a
+    removing filter (stop words, RemoveLong) dropped a token — so
+    "quick the fox" does NOT phrase-match "quick fox" under a stop-word
+    chain, exactly like the reference.  When ``positions`` is None the
+    compacted post-filter stream index is used (identical for chains
+    whose filters remove nothing).  Doclen stays the post-filter token
+    count either way (tantivy fieldnorm counts indexed tokens).  Pure
+    numpy: one lexsort over (key, pos), no per-token Python.
     """
     lens = tokens.map(len).to_numpy(dtype=np.int64)
     n_docs = doc_ids.shape[0]
@@ -183,9 +200,18 @@ def term_doc_tf_pos(
     flat = np.concatenate([t if t else [] for t in tokens]).astype(object)
     codes, uniques = pd.factorize(flat, sort=False)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    pos = (np.arange(flat.shape[0], dtype=np.int64)
-           - np.repeat(offsets, lens))
+    if positions is not None:
+        pos = np.concatenate(
+            [p if len(p) else [] for p in positions]).astype(np.int64) \
+            if int(positions.map(len).sum()) else np.empty(0, np.int64)
+        if pos.shape[0] != flat.shape[0]:
+            raise ValueError(
+                f"positions/tokens misaligned: {pos.shape[0]} positions "
+                f"for {flat.shape[0]} tokens")
+    else:
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = (np.arange(flat.shape[0], dtype=np.int64)
+               - np.repeat(offsets, lens))
     key = codes.astype(np.int64) * n_docs + doc_idx
     order = np.lexsort((pos, key))
     skey = key[order]

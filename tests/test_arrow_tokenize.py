@@ -67,3 +67,64 @@ def test_arrow_eligibility_boundaries():
     assert not arrow_fast_eligible(
         {"tokenizer": {"type": "stem", "stem_languages": ["klingon"]}})
     assert not arrow_fast_eligible({"tokenizer": {"type": "ngram"}})
+
+
+# position-annotated chain: tokens must be IDENTICAL to the plain chain,
+# positions follow tantivy (gaps at removed tokens; see build_analyzer_pos)
+_POS_TEXTS = [
+    "The quick the fox JUMPS over a lazy dog",
+    "masters Mastering the ART of arts",
+    "",
+    "x" * 45 + " alpha " + "y" * 45 + " beta",
+    "汉字 mixed 文本 with English words",
+]
+
+_POS_CFGS = [
+    {"tokenizer": {"type": "default"}},
+    {"tokenizer": {"type": "raw"}},
+    {"tokenizer": {"type": "simple", "stop_word_filters": ["english"]}},
+    {"tokenizer": {"type": "whitespace", "length_limit": 10}},
+    {"tokenizer": {"type": "stem", "stem_languages": ["english"],
+                   "stop_word_filters": ["english"]}},
+    {"tokenizer": {"type": "ngram", "min_gram": 2, "max_gram": 3}},
+    {"tokenizer": {"type": "icu", "mode": "word",
+                   "stop_word_filters": ["english"]}},
+    {"tokenizer": {"type": "chinese", "jieba": "empty", "mode": "default",
+                   "hmm": False}},
+]
+
+
+def test_pos_chain_tokens_match_plain_chain():
+    from tantivy_search_spark.tokenizers import (analyzer_from_config,
+                                                 analyzer_pos_from_config)
+    for cfg in _POS_CFGS:
+        a = analyzer_from_config(cfg)
+        ap = analyzer_pos_from_config(cfg)
+        for text in _POS_TEXTS:
+            toks, poss = ap(text)
+            assert toks == a(text), (cfg, text)
+            assert len(poss) == len(toks), (cfg, text)
+            # positions strictly ascend except ngram (all zeros,
+            # tantivy NgramTokenizer emits every gram at position 0)
+            if cfg["tokenizer"]["type"] == "ngram":
+                assert all(p == 0 for p in poss)
+            else:
+                assert all(b > a_ for a_, b in zip(poss, poss[1:])), \
+                    (cfg, text, poss)
+
+
+def test_pos_chain_gap_semantics():
+    from tantivy_search_spark.tokenizers import analyzer_pos_from_config
+    # stop word removed AFTER position assignment -> gap at its slot
+    ap = analyzer_pos_from_config(
+        {"tokenizer": {"type": "simple", "stop_word_filters": ["english"]}})
+    assert ap("quick the fox") == (["quick", "fox"], [0, 2])
+    # default chain: >=40-byte token removed -> gap
+    ap = analyzer_pos_from_config({"tokenizer": {"type": "default"}})
+    assert ap("alpha " + "z" * 41 + " beta") == (["alpha", "beta"], [0, 2])
+    # cangjie strips nonsense INSIDE token_stream -> consecutive
+    ap = analyzer_pos_from_config(
+        {"tokenizer": {"type": "chinese", "jieba": "empty",
+                       "mode": "default", "hmm": False}})
+    toks, poss = ap("汉, 字!")
+    assert poss == list(range(len(toks)))

@@ -246,3 +246,101 @@ class TestLocalPhrase:
                 pos_index.bm25_search('"moral horizons" OR relevant',
                                       enable_nlq=True, top_k=10).collect()]
         assert loc == dist
+
+
+STOP_ROWS = [
+    {"doc_id": 0, "text": "quick fox runs"},          # adjacent
+    {"doc_id": 1, "text": "quick the fox runs"},      # stopword hole (gap 2)
+    {"doc_id": 2, "text": "quick brown fox runs"},    # real token between
+    {"doc_id": 3, "text": "fox quick runs"},          # reversed
+    {"doc_id": 4, "text": "quick red brown fox"},     # gap 3
+]
+
+
+@pytest.fixture(scope="module")
+def stop_pos_index(spark, tmp_path_factory):
+    """Positions index over a stop-word chain: tantivy assigns positions
+    at tokenization, so removed stop words leave GAPS (reference
+    StopWordFilter is a tantivy-level filter; build_analyzer_pos)."""
+    from tantivy_search_spark.config import IndexConfig
+    from tantivy_search_spark.index.builder import IndexBuilder
+    from tantivy_search_spark.search.engine import SearchIndex
+
+    path = str(tmp_path_factory.mktemp("pidx") / "stop_pos")
+    cfg = IndexConfig.from_json(
+        ["text"],
+        '{"text": {"tokenizer": {"type": "simple", '
+        '"stop_word_filters": ["english"]}}}')
+    cfg.with_positions = True
+    cfg.parts_per_shard = 2
+    cfg.n_buckets = 8
+    IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+        spark.createDataFrame(STOP_ROWS), id_col="doc_id")
+    return SearchIndex(spark, path)
+
+
+class TestStopwordPositionGaps:
+    """tantivy parity: positions are assigned BEFORE the stop-word
+    filter, so '"quick fox"' does NOT match 'quick the fox', and a
+    stop word INSIDE the quotes widens the required gap
+    (PhraseQuery::new_with_offset semantics)."""
+
+    def test_phrase_does_not_match_across_removed_stopword(
+            self, stop_pos_index):
+        got = stop_pos_index.bm25_search('"quick fox"', enable_nlq=True,
+                                         top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0]
+
+    def test_stopword_in_query_widens_gap(self, stop_pos_index):
+        # query tokens (quick, fox) at offsets (0, 2): matches both the
+        # stopword hole (doc 1) and a real token between (doc 2)
+        got = stop_pos_index.bm25_search('"quick the fox"',
+                                         enable_nlq=True,
+                                         top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [1, 2]
+
+    def test_slop_displacement_both_directions(self, stop_pos_index):
+        # slop 1 over query gap 1: doc 0 exact, docs 1/2 displaced +1
+        got = stop_pos_index.bm25_search('"quick fox"~1',
+                                         enable_nlq=True,
+                                         top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 1, 2]
+        # slop 1 over query gap 2 ("quick the fox"~1): doc 0 (closer by
+        # one, displacement 1), docs 1/2 exact, doc 4 (wider by one)
+        got = stop_pos_index.bm25_search('"quick the fox"~1',
+                                         enable_nlq=True,
+                                         top_k=10).collect()
+        assert sorted(r["row_id"] for r in got) == [0, 1, 2, 4]
+
+    def test_reversed_never_matches(self, stop_pos_index):
+        got = stop_pos_index.bm25_search('"quick fox"~4',
+                                         enable_nlq=True,
+                                         top_k=10).collect()
+        assert 3 not in {r["row_id"] for r in got}
+
+    def test_local_equals_distributed_with_offsets(self, stop_pos_index):
+        stop_pos_index.enable_stats_cache()
+        for q in ('"quick the fox"', '"quick fox"~1', '"quick the fox"~1'):
+            loc = [(r, round(s, 4)) for r, s in
+                   stop_pos_index.bm25_search_local(q, enable_nlq=True,
+                                                    top_k=10)]
+            dist = [(r["row_id"], round(r["score"], 4)) for r in
+                    stop_pos_index.bm25_search(q, enable_nlq=True,
+                                               top_k=10).collect()]
+            assert loc == dist, q
+
+    def test_batch_with_offset_phrase_equals_sequential(
+            self, stop_pos_index):
+        qs = [('"quick the fox"', False), ('"quick fox"~1', False)]
+        batch = stop_pos_index.bm25_search_batch(
+            qs, top_k=10, enable_nlq=True).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["row_id"], round(r["score"], 4)))
+        for i, (q, op_or) in enumerate(qs):
+            seq = [(r["row_id"], round(r["score"], 4)) for r in
+                   stop_pos_index.bm25_search(q, operator_or=op_or,
+                                              enable_nlq=True,
+                                              top_k=10).collect()]
+            assert sorted(by_q.get(i, [])) == sorted(seq), q
