@@ -143,8 +143,22 @@ class TestOtherLanguages:
                    ("πρόβλημα", "προβλημ"),
                    ("προβλήματα", "προβλημ"),
                    ("ελληνικός", "ελληνικ"),
-                   ("ελληνική", "ελληνικ")]),
+                   ("ελληνική", "ελληνικ"),
+                   # exception-list words (VERDICT r3 item 8): step-1
+                   # irregular nouns, step-2a keep-ΑΔ, step-4 keep-ΙΚ,
+                   # step-5d ΑΡΧ, step-5h/5i keep-back rules
+                   ("γεγονότα", "γεγον"),
+                   ("γεγονός", "γεγον"),
+                   ("πατεράδες", "πατεραδ"),
+                   ("γιαγιάδες", "γιαγιαδ"),
+                   ("μπαμπάδες", "μπαμπαδ"),
+                   ("καλπικά", "καλπικ"),
+                   ("φυσικά", "φυσικ"),
+                   ("άρχοντας", "αρχοντ"),
+                   ("γράφοντας", "γραφ"),
+                   ("τραγουδούσα", "τραγουδ")]),
         ("tamil", [("புத்தகங்கள்", "புத்தகம்"),
+                   ("வீடுகள்", "வீடு"),
                    # stops at the past stem: stripping the tense ending
                    # would leave the sub-syllable வ் (term-collision
                    # guard, ADVICE r4)
