@@ -155,6 +155,32 @@ def _worker_term_bitmap_chunk(chunk):
         return None, None, results
 
 
+def _worker_term_bitmap_drain(chunk):
+    """[(col, term, bypass)] -> (n_ok, total_bytes, xor_crc32, errors).
+
+    Executes the queries and CONSUMES the results inside the worker —
+    the deployment shape where each pool worker serves its own client
+    connections and a bitmap never transits the parent process (the
+    reference's shared rayon pool likewise consumes results on the
+    searching thread).  Only counters ride the result pipe, so this is
+    also the honest way to benchmark the pool's aggregate decode
+    throughput without charging it for parent-side result collection."""
+    import zlib
+    n_ok = 0
+    total = 0
+    crc = 0
+    errors: list = []
+    for item in chunk:
+        r = _worker_term_bitmap(item)
+        if isinstance(r, (bytes, bytearray)):
+            n_ok += 1
+            total += len(r)
+            crc ^= zlib.crc32(r)
+        else:
+            errors.append(r)
+    return n_ok, total, crc, errors
+
+
 class SearchPool:
     """N-way concurrent BM25 point-query service over one index.
 
@@ -300,6 +326,32 @@ class SearchPool:
                 shm.close()
                 shm.unlink()
         return out
+
+    def term_bitmap_drain(self, col: str, terms: list[str],
+                          bypass_cache: bool = False,
+                          chunksize: int | None = None):
+        """Run single-term bitmap queries across the pool with results
+        consumed IN the worker (see :func:`_worker_term_bitmap_drain`):
+        each worker acts as its own serving endpoint, so no bitmap
+        bytes cross the parent pipe.  Returns ``(n_ok, total_bytes,
+        xor_crc32, errors)`` aggregated over the workload — use when
+        the caller needs throughput / integrity accounting rather than
+        the bitmaps themselves (capacity benchmarks, cache warming,
+        integrity sweeps)."""
+        if not terms:
+            return 0, 0, 0, []
+        items = [(col, t, bypass_cache) for t in terms]
+        cs = chunksize or max(1, len(items) // (self.processes * 4))
+        chunks = [items[i:i + cs] for i in range(0, len(items), cs)]
+        n_ok = total = crc = 0
+        errors: list = []
+        for n, tot, c, errs in self._pool.map(
+                _worker_term_bitmap_drain, chunks, chunksize=1):
+            n_ok += n
+            total += tot
+            crc ^= c
+            errors.extend(errs)
+        return n_ok, total, crc, errors
 
     def reload(self) -> None:
         """Reader reload on commit (reference B5/Q14 semantics for the

@@ -283,6 +283,38 @@ class TestSearchPool:
                 for t in ["ancient", "moral", "zzz_nothing"]]
         assert got == [want, want]
 
+    def test_term_bitmap_drain_matches_batch(self, corpus_a_index,
+                                             local_ix):
+        """In-worker-consumption accounting (n_ok, total bytes, xor
+        crc32) == the same reductions over the shipped batch results."""
+        script = (
+            "import json, sys, zlib\n"
+            "sys.path.insert(0, %r)\n"
+            "from tantivy_search_spark.search.pool import SearchPool\n"
+            "pool = SearchPool(%r, processes=2)\n"
+            "terms = ['ancient', 'moral', 'zzz_nothing'] * 4\n"
+            "shipped = pool.term_bitmap_batch('col2', terms)\n"
+            "n, tot, crc, errs = pool.term_bitmap_drain('col2', terms,\n"
+            "                                           bypass_cache=True)\n"
+            "pool.close()\n"
+            "crc_want = 0\n"
+            "for b in shipped:\n"
+            "    crc_want ^= zlib.crc32(b)\n"
+            "print(json.dumps([n, tot, crc, len(errs),\n"
+            "                  len(shipped), sum(map(len, shipped)),\n"
+            "                  crc_want]))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             corpus_a_index.index_path)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        n, tot, crc, n_err, n_ship, tot_ship, crc_want = json.loads(
+            proc.stdout.strip().splitlines()[-1])
+        assert (n, n_err) == (n_ship, 0)
+        assert tot == tot_ship
+        assert crc == crc_want
+
     def test_query_error_isolated(self, corpus_a_index, local_ix):
         """One failing query returns a falsy PoolQueryError at its slot;
         the rest of the batch still answers (ADVICE r4)."""
