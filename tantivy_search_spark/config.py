@@ -42,7 +42,8 @@ _FIELDS_BY_TYPE: dict[str, set[str]] = {
         "length_limit",
         "case_sensitive",
     },
-    "chinese": _COMMON | {"jieba", "mode", "hmm", "case_sensitive"},
+    "chinese": _COMMON | {"jieba", "mode", "hmm", "hmm_model",
+                          "case_sensitive"},
     "icu": _COMMON | {"mode", "stop_word_filters", "stem_languages", "case_sensitive"},
 }
 
@@ -84,6 +85,11 @@ def _validate_tokenizer(tok: dict) -> None:
                 "jieba-format dictionary file")
         if tok.get("mode", "search") not in _CHINESE_MODES:
             raise TokenizerError("chinese: bad mode")
+        hmm_model = tok.get("hmm_model", "")
+        if hmm_model and not os.path.isfile(str(hmm_model)):
+            raise TokenizerError(
+                "chinese: hmm_model must be a path to a JSON HMM "
+                "emission-table file")
     if ttype == "icu" and tok.get("mode", "word") not in _ICU_MODES:
         raise TokenizerError("icu: bad mode")
 

@@ -93,6 +93,103 @@ _ASCII_RUN_OR_CHAR = re.compile(r"[0-9A-Za-z]+|.", re.DOTALL)
 _JIEBA_HAN_BLOCK = re.compile(r"[一-鿕a-zA-Z0-9+#&._%\-]+")
 _JIEBA_ENG = re.compile(r"[a-zA-Z0-9]")
 
+#: finalseg (HMM) block split: pure-han runs go through Viterbi,
+#: everything else through the skip regex — jieba's finalseg.cut
+_JIEBA_FINALSEG_HAN = re.compile(r"([一-鿕]+)")
+_JIEBA_FINALSEG_SKIP = re.compile(r"(\d+\.\d+|[a-zA-Z0-9]+)")
+
+_HMM_MIN_FLOAT = -3.14e100
+_HMM_STATES = "BMES"
+#: Viterbi predecessor sets for the BEMS word-position states
+_HMM_PREV = {"B": ("E", "S"), "M": ("M", "B"),
+             "S": ("S", "E"), "E": ("B", "M")}
+#: jieba's published start/transition log-probs (MIT-licensed constants
+#: from the jieba project's finalseg; the algorithm's 14 scalars, not
+#: its trained per-character emission tables)
+_HMM_START = {"B": -0.26268660809250016, "E": _HMM_MIN_FLOAT,
+              "M": _HMM_MIN_FLOAT, "S": -1.4652633398537678}
+_HMM_TRANS = {
+    "B": {"E": -0.510825623765990, "M": -0.916290731874155},
+    "E": {"B": -0.5897149736854513, "S": -0.8085250474669937},
+    "M": {"E": -0.33344856811948514, "M": -1.2603623820268226},
+    "S": {"B": -0.7211965654669841, "S": -0.6658631448798212},
+}
+
+
+class _JiebaHmm:
+    """finalseg's character-position HMM (states B/M/E/S, Viterbi
+    decode) — the public jieba unknown-word model with the trained
+    per-character emission tables injected from a JSON file:
+    ``{"emit": {"B": {char: logp, ...}, ...}, "start": {...}?,
+    "trans": {...}?}``.  start/trans default to jieba's published
+    constants; the emission tables are model DATA this environment
+    does not ship, which is why ``hmm=true`` requires an
+    ``hmm_model`` path (cangjie/tokenizer.rs:29-48 hmm semantics)."""
+
+    def __init__(self, path: str):
+        import json as _json
+
+        with open(path, encoding="utf-8") as f:
+            d = _json.load(f)
+        self.emit: dict[str, dict[str, float]] = {
+            s: dict(d.get("emit", {}).get(s, {})) for s in _HMM_STATES}
+        self.start = {**_HMM_START, **d.get("start", {})}
+        self.trans = {s: {**_HMM_TRANS.get(s, {}), **d.get("trans", {}).get(s, {})}
+                      for s in _HMM_STATES}
+
+    def _viterbi(self, obs: str) -> list[str]:
+        V: list[dict[str, float]] = [{}]
+        path: dict[str, list[str]] = {}
+        for y in _HMM_STATES:
+            V[0][y] = self.start[y] + self.emit[y].get(obs[0],
+                                                       _HMM_MIN_FLOAT)
+            path[y] = [y]
+        for t in range(1, len(obs)):
+            V.append({})
+            newpath: dict[str, list[str]] = {}
+            for y in _HMM_STATES:
+                em = self.emit[y].get(obs[t], _HMM_MIN_FLOAT)
+                prob, state = max(
+                    (V[t - 1][y0] + self.trans[y0].get(y, _HMM_MIN_FLOAT)
+                     + em, y0) for y0 in _HMM_PREV[y])
+                V[t][y] = prob
+                newpath[y] = path[state] + [y]
+            path = newpath
+        _, state = max((V[-1][y], y) for y in "ES")
+        return path[state]
+
+    def _cut_han(self, s: str) -> list[str]:
+        pos = self._viterbi(s)
+        out: list[str] = []
+        begin = nexti = 0
+        for i, ch in enumerate(s):
+            if pos[i] == "B":
+                begin = i
+            elif pos[i] == "E":
+                out.append(s[begin:i + 1])
+                nexti = i + 1
+            elif pos[i] == "S":
+                out.append(ch)
+                nexti = i + 1
+        if nexti < len(s):
+            out.append(s[nexti:])
+        return out
+
+    def cut(self, s: str) -> list[str]:
+        """finalseg.cut: han runs -> Viterbi, other runs -> skip split."""
+        out: list[str] = []
+        for blk in _JIEBA_FINALSEG_HAN.split(s):
+            if not blk:
+                continue
+            if _JIEBA_FINALSEG_HAN.fullmatch(blk):
+                out.extend(self._cut_han(blk))
+            else:
+                out.extend(x for x in _JIEBA_FINALSEG_SKIP.split(blk) if x)
+        return out
+
+
+_JIEBA_HMM_CACHE: dict[str, _JiebaHmm] = {}
+
 
 class _JiebaDict:
     """Dictionary-mode segmentation — the public jieba algorithm
@@ -123,6 +220,17 @@ class _JiebaDict:
                     self.freq.setdefault(w[:i], 0)
         self.total = max(total, 1)
         self._logtotal = math.log(self.total)
+
+    @classmethod
+    def empty(cls) -> "_JiebaDict":
+        """Jieba::empty(): no words — every han char routes single, so
+        with hmm the whole block buffers into the HMM (jieba-rs
+        Jieba::empty() + hmm=true semantics)."""
+        self = cls.__new__(cls)
+        self.freq = {}
+        self.total = 1
+        self._logtotal = 0.0
+        return self
 
     def _dag(self, s: str) -> dict[int, list[int]]:
         dag: dict[int, list[int]] = {}
@@ -175,6 +283,38 @@ class _JiebaDict:
             out.append(buf)
         return out
 
+    def _cut_block_hmm(self, s: str, hm: "_JiebaHmm") -> list[str]:
+        """__cut_DAG (hmm=true): best route; runs of single-char route
+        words buffer and, when not a dictionary word themselves, go
+        through the finalseg HMM for unknown-word discovery."""
+        route = self._route(s, self._dag(s))
+        out: list[str] = []
+        i = 0
+        buf = ""
+
+        def flush(buf: str) -> None:
+            if len(buf) == 1:
+                out.append(buf)
+            elif not self.freq.get(buf):
+                out.extend(hm.cut(buf))
+            else:
+                out.extend(buf)
+
+        while i < len(s):
+            j = route[i] + 1
+            word = s[i:j]
+            if j - i == 1:
+                buf += word
+            else:
+                if buf:
+                    flush(buf)
+                    buf = ""
+                out.append(word)
+            i = j
+        if buf:
+            flush(buf)
+        return out
+
     def _cut_all_block(self, s: str) -> list[str]:
         dag = self._dag(s)
         out: list[str] = []
@@ -191,9 +331,12 @@ class _JiebaDict:
                         old_j = j
         return out
 
-    def _cut_for_search_block(self, s: str) -> list[str]:
+    def _cut_for_search_block(self, s: str,
+                              hm: "_JiebaHmm | None" = None) -> list[str]:
         out: list[str] = []
-        for w in self._cut_block(s):
+        base = (self._cut_block_hmm(s, hm) if hm is not None
+                else self._cut_block(s))
+        for w in base:
             for gram in (2, 3):
                 if len(w) > gram:
                     for i in range(len(w) - gram + 1):
@@ -203,10 +346,16 @@ class _JiebaDict:
             out.append(w)
         return out
 
-    def tokenize(self, text: str, mode: str) -> list[str]:
-        cut = {"all": self._cut_all_block,
-               "search": self._cut_for_search_block}.get(
-                   mode, self._cut_block)
+    def tokenize(self, text: str, mode: str,
+                 hm: "_JiebaHmm | None" = None) -> list[str]:
+        if mode == "all":  # cut_all has no HMM stage (jieba semantics)
+            cut = self._cut_all_block
+        elif mode == "search":
+            cut = (lambda s: self._cut_for_search_block(s, hm))
+        elif hm is not None:
+            cut = (lambda s: self._cut_block_hmm(s, hm))
+        else:
+            cut = self._cut_block
         out: list[str] = []
         pos = 0
         for m in _JIEBA_HAN_BLOCK.finditer(text):
@@ -221,7 +370,8 @@ _JIEBA_DICT_CACHE: dict[str, _JiebaDict] = {}
 
 
 def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
-                      case_sensitive: bool) -> Callable[[str], list[str]]:
+                      case_sensitive: bool,
+                      hmm_model: str = "") -> Callable[[str], list[str]]:
     """Reference `chinese` chain (CangjieTokenizer + nonsense strip +
     LowerCaser; parser.rs:197-227, cangjie/tokenizer.rs:29-48).
 
@@ -234,10 +384,14 @@ def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
     * jieba=<path to a jieba-format dictionary file> — real dictionary
       DAG segmentation for default/all/search (hmm=False), via
       :class:`_JiebaDict`.
+    * hmm=True + hmm_model=<path to a JSON emission-table file> —
+      unknown-word discovery via the finalseg BEMS Viterbi
+      (:class:`_JiebaHmm`) inside __cut_DAG, for default/search modes.
     jieba=default (jieba's own bundled dict.txt, absent here) and
-    hmm=True (the trained HMM emission model, likewise data) raise
-    NotImplementedError at config creation — capability gap recorded
-    in COVERAGE.md.
+    hmm=True without hmm_model (the trained emission tables, likewise
+    data) raise NotImplementedError at config creation — capability
+    gap recorded in COVERAGE.md; the algorithms themselves are
+    implemented and take any user-supplied dictionary/model files.
     """
     if jieba == "default":
         raise NotImplementedError(
@@ -246,21 +400,33 @@ def _cangjie_analyzer(jieba: str, mode: str, hmm: bool,
             "environment; pass jieba='<path to a jieba-format "
             "dictionary file>' for dictionary mode, or use "
             "jieba='empty' / mode='unicode' (COVERAGE.md)")
+    hm: _JiebaHmm | None = None
     if hmm and mode in ("default", "search"):
-        raise NotImplementedError(
-            "chinese tokenizer with hmm=true needs the jieba HMM model; "
-            "set hmm=false (COVERAGE.md)")
+        if not hmm_model:
+            raise NotImplementedError(
+                "chinese tokenizer with hmm=true needs jieba's trained "
+                "HMM emission tables; pass hmm_model='<path to a JSON "
+                "model file>' (the Viterbi machinery is implemented; "
+                "only the model data is absent — COVERAGE.md), or set "
+                "hmm=false")
+        if hmm_model not in _JIEBA_HMM_CACHE:
+            _JIEBA_HMM_CACHE[hmm_model] = _JiebaHmm(hmm_model)
+        hm = _JIEBA_HMM_CACHE[hmm_model]
     jdict: _JiebaDict | None = None
     if jieba != "empty":
         if jieba not in _JIEBA_DICT_CACHE:
             _JIEBA_DICT_CACHE[jieba] = _JiebaDict(jieba)
         jdict = _JIEBA_DICT_CACHE[jieba]
+    elif hm is not None and mode != "unicode":
+        # Jieba::empty() + hmm: the DAG machinery must run so single
+        # chars buffer into the HMM
+        jdict = _JiebaDict.empty()
 
     def analyze(text: str) -> list[str]:
         if mode == "unicode":
             raw = list(text)
         elif jdict is not None:
-            raw = jdict.tokenize(text, mode)
+            raw = jdict.tokenize(text, mode, hm)
         else:  # default / all / search over the empty dictionary
             raw = _ASCII_RUN_OR_CHAR.findall(text)
         out: list[str] = []
@@ -525,10 +691,12 @@ def build_analyzer(
     jieba: str = "default",
     mode: str = "search",
     hmm: bool = False,
+    hmm_model: str = "",
 ) -> Callable[[str], list[str]]:
     """Return ``analyze(text) -> [token, ...]`` for one column config."""
     if type == "chinese":
-        return _cangjie_analyzer(jieba, mode, hmm, case_sensitive)
+        return _cangjie_analyzer(jieba, mode, hmm, case_sensitive,
+                                 hmm_model)
     if type == "icu":
         return _icu_analyzer(mode, stop_word_filters, stem_languages,
                              case_sensitive)
@@ -605,6 +773,7 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
         mode=str(t.get("mode",
                        "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
+        hmm_model=str(t.get("hmm_model", "")),
     )
 
 
@@ -622,6 +791,7 @@ def build_analyzer_pos(
     jieba: str = "default",
     mode: str = "search",
     hmm: bool = False,
+    hmm_model: str = "",
 ) -> Callable[[str], tuple[list[str], list[int]]]:
     """Position-annotated twin of :func:`build_analyzer`:
     ``analyze_pos(text) -> (tokens, positions)``.
@@ -654,6 +824,7 @@ def build_analyzer_pos(
         jieba=jieba,
         mode=mode,
         hmm=hmm,
+        hmm_model=hmm_model,
     )
 
     if type == "chinese":
@@ -748,4 +919,5 @@ def analyzer_pos_from_config(cfg: dict) -> Callable[
         mode=str(t.get("mode",
                        "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
+        hmm_model=str(t.get("hmm_model", "")),
     )

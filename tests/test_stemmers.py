@@ -434,3 +434,97 @@ class TestJiebaDictionaryMode:
                 "type": "chinese", "jieba": dict_path,
                 "mode": "search"}}}))
         assert "潮汐" in cfg.analyzer("text")("潮汐锁定")
+
+
+class TestJiebaHmmMode:
+    """finalseg BEMS Viterbi over injected emission tables — jieba's
+    hmm=true unknown-word discovery (cangjie/tokenizer.rs:29-48 hmm
+    arm).  The Viterbi machinery and __cut_DAG buffering are code;
+    only jieba's trained emission tables are env-blocked data, so the
+    tests author a tiny model whose optimal paths are hand-checkable
+    (VERDICT r3 item 7)."""
+
+    DICT = [("我们", 100), ("学习", 80)]
+    # 王/磊 emit as B/E (pairs into one word); 甲/乙 emit as S (stay
+    # single); 内/窥/镜 emit as B/M/E (a 3-char word)
+    MODEL = {"emit": {
+        "B": {"王": -1.0, "内": -1.0},
+        "M": {"窥": -1.0},
+        "E": {"磊": -1.0, "镜": -1.0},
+        "S": {"甲": -1.0, "乙": -1.0},
+    }}
+
+    @pytest.fixture()
+    def paths(self, tmp_path):
+        import json
+        d = tmp_path / "dict.txt"
+        d.write_text("\n".join(f"{w} {f} n" for w, f in self.DICT),
+                     encoding="utf-8")
+        m = tmp_path / "hmm.json"
+        m.write_text(json.dumps(self.MODEL), encoding="utf-8")
+        return str(d), str(m)
+
+    def test_unknown_pair_joins(self, paths):
+        d, m = paths
+        an = build_analyzer("chinese", jieba=d, mode="default",
+                            hmm=True, hmm_model=m)
+        # 王磊 is OOV: without HMM it splits per char; the B->E path
+        # (-0.26 - 1 - 0.51 - 1) beats S,S (emit S missing -> MIN)
+        assert an("我们学习王磊") == ["我们", "学习", "王磊"]
+
+    def test_single_prone_chars_stay_split(self, paths):
+        d, m = paths
+        an = build_analyzer("chinese", jieba=d, mode="default",
+                            hmm=True, hmm_model=m)
+        assert an("我们甲乙") == ["我们", "甲", "乙"]
+
+    def test_three_char_word(self, paths):
+        d, m = paths
+        an = build_analyzer("chinese", jieba=d, mode="default",
+                            hmm=True, hmm_model=m)
+        assert an("内窥镜") == ["内窥镜"]
+
+    def test_no_hmm_baseline_differs(self, paths):
+        d, _ = paths
+        an = build_analyzer("chinese", jieba=d, mode="default")
+        assert an("我们学习王磊") == ["我们", "学习", "王", "磊"]
+
+    def test_empty_dict_with_model(self, paths):
+        _, m = paths
+        an = build_analyzer("chinese", jieba="empty", mode="default",
+                            hmm=True, hmm_model=m)
+        # Jieba::empty() + hmm: the whole han block buffers into the
+        # HMM; mixed path check: B,E then S,S
+        assert an("王磊甲乙") == ["王磊", "甲", "乙"]
+
+    def test_search_mode_with_hmm(self, paths):
+        d, m = paths
+        an = build_analyzer("chinese", jieba=d, mode="search",
+                            hmm=True, hmm_model=m)
+        got = an("我们学习王磊")
+        assert "王磊" in got and "我们" in got
+
+    def test_config_level(self, paths):
+        import json
+
+        from tantivy_search_spark.config import (IndexConfig,
+                                                 verify_index_parameter)
+        d, m = paths
+        blob = json.dumps({"text": {"tokenizer": {
+            "type": "chinese", "jieba": d, "mode": "default",
+            "hmm": True, "hmm_model": m}}})
+        assert verify_index_parameter(blob)
+        cfg = IndexConfig.from_json(["text"], blob)
+        assert cfg.analyzer("text")("我们王磊") == ["我们", "王磊"]
+        bad = json.dumps({"text": {"tokenizer": {
+            "type": "chinese", "hmm_model": "/nonexistent/hmm.json"}}})
+        assert not verify_index_parameter(bad)
+
+    def test_positions_consecutive(self, paths):
+        from tantivy_search_spark.tokenizers import build_analyzer_pos
+        d, m = paths
+        an = build_analyzer_pos("chinese", jieba=d, mode="default",
+                                hmm=True, hmm_model=m)
+        toks, poss = an("我们学习王磊")
+        assert toks == ["我们", "学习", "王磊"]
+        assert poss == [0, 1, 2]
