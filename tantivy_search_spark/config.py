@@ -44,7 +44,8 @@ _FIELDS_BY_TYPE: dict[str, set[str]] = {
     },
     "chinese": _COMMON | {"jieba", "mode", "hmm", "hmm_model",
                           "case_sensitive"},
-    "icu": _COMMON | {"mode", "stop_word_filters", "stem_languages", "case_sensitive"},
+    "icu": _COMMON | {"mode", "stop_word_filters", "stem_languages",
+                      "case_sensitive", "cjk_dict"},
 }
 
 _CHINESE_JIEBA = {"default", "empty"}
@@ -90,8 +91,14 @@ def _validate_tokenizer(tok: dict) -> None:
             raise TokenizerError(
                 "chinese: hmm_model must be a path to a JSON HMM "
                 "emission-table file")
-    if ttype == "icu" and tok.get("mode", "word") not in _ICU_MODES:
-        raise TokenizerError("icu: bad mode")
+    if ttype == "icu":
+        if tok.get("mode", "word") not in _ICU_MODES:
+            raise TokenizerError("icu: bad mode")
+        cjk = tok.get("cjk_dict", "")
+        if cjk and not os.path.isfile(str(cjk)):
+            raise TokenizerError(
+                "icu: cjk_dict must be a path to a frequency-dictionary "
+                "file (word freq per line)")
 
 
 def verify_index_parameter(index_json_parameter: str) -> bool:

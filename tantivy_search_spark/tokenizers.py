@@ -460,7 +460,7 @@ def _is_word_char(c: str) -> bool:
     return k[0] in ("L", "N") or k[0] == "M"
 
 
-def _icu_words(text: str) -> list[str]:
+def _icu_words(text: str, jdict: "_JiebaDict | None" = None) -> list[str]:
     """UAX#29-approximate word segmentation (the `word` mode of the
     reference's IcuTokenizer, icu/tokenizer.rs:31-58).
 
@@ -470,14 +470,25 @@ def _icu_words(text: str) -> list[str]:
     character.  DOCUMENTED APPROXIMATION: real ICU segments Chinese
     and Japanese with a bundled dictionary/LSTM model ("在地" stays one
     word there); without that data every ideograph is its own token —
-    exactly UAX#29's default behavior."""
+    exactly UAX#29's default behavior.  Pass ``jdict`` (a frequency
+    dictionary) to run Han/hiragana runs through the same
+    best-path-by-log-frequency route ICU's CjkBreakEngine uses —
+    enabled via the ``cjk_dict`` config key."""
     out: list[str] = []
     i, n = 0, len(text)
     while i < n:
         c = text[i]
         if _is_han(c) or _is_hiragana(c):
-            out.append(c)
-            i += 1
+            if jdict is not None:
+                j = i + 1
+                while j < n and (_is_han(text[j])
+                                 or _is_hiragana(text[j])):
+                    j += 1
+                out.extend(jdict._cut_block(text[i:j]))
+                i = j
+            else:
+                out.append(c)
+                i += 1
             continue
         if _is_katakana(c):
             j = i + 1
@@ -646,13 +657,27 @@ _ICU_SEGMENTERS = {
 }
 
 
+def _resolve_icu_segment(mode: str, cjk_dict: str) -> Callable[[str], list[str]]:
+    """Word-mode segmenter, optionally dictionary-backed: ``cjk_dict``
+    (a jieba-format frequency dictionary file) routes Han/hiragana
+    runs through the CjkBreakEngine-style best path instead of
+    per-char UAX#29 default."""
+    if cjk_dict and mode == "word":
+        if cjk_dict not in _JIEBA_DICT_CACHE:
+            _JIEBA_DICT_CACHE[cjk_dict] = _JiebaDict(cjk_dict)
+        jd = _JIEBA_DICT_CACHE[cjk_dict]
+        return lambda t: _icu_words(t, jd)
+    return _ICU_SEGMENTERS[mode]
+
+
 def _icu_analyzer(mode: str, stop_word_filters, stem_languages,
-                  case_sensitive: bool) -> Callable[[str], list[str]]:
+                  case_sensitive: bool,
+                  cjk_dict: str = "") -> Callable[[str], list[str]]:
     """Reference `icu` chain (parser.rs icu arm: IcuTokenizer +
     stop-word filters + stemmers + LowerCaser), with every segmenter
     mode approximated in pure Python (no PyICU in this environment; the
     approximation is documented per mode and in COVERAGE.md)."""
-    segment = _ICU_SEGMENTERS[mode]
+    segment = _resolve_icu_segment(mode, cjk_dict)
     stop = _resolve_stop_set(stop_word_filters)
     stemmers = []
     for lang in stem_languages:
@@ -692,6 +717,7 @@ def build_analyzer(
     mode: str = "search",
     hmm: bool = False,
     hmm_model: str = "",
+    cjk_dict: str = "",
 ) -> Callable[[str], list[str]]:
     """Return ``analyze(text) -> [token, ...]`` for one column config."""
     if type == "chinese":
@@ -699,7 +725,7 @@ def build_analyzer(
                                  hmm_model)
     if type == "icu":
         return _icu_analyzer(mode, stop_word_filters, stem_languages,
-                             case_sensitive)
+                             case_sensitive, cjk_dict)
     if type not in ("default", "raw", "simple", "stem", "whitespace", "ngram"):
         raise TokenizerError(f"Unknown tokenizer type: {type}")
     if type == "ngram":
@@ -774,6 +800,7 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
                        "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
         hmm_model=str(t.get("hmm_model", "")),
+        cjk_dict=str(t.get("cjk_dict", "")),
     )
 
 
@@ -792,6 +819,7 @@ def build_analyzer_pos(
     mode: str = "search",
     hmm: bool = False,
     hmm_model: str = "",
+    cjk_dict: str = "",
 ) -> Callable[[str], tuple[list[str], list[int]]]:
     """Position-annotated twin of :func:`build_analyzer`:
     ``analyze_pos(text) -> (tokens, positions)``.
@@ -825,6 +853,7 @@ def build_analyzer_pos(
         mode=mode,
         hmm=hmm,
         hmm_model=hmm_model,
+        cjk_dict=cjk_dict,
     )
 
     if type == "chinese":
@@ -846,7 +875,7 @@ def build_analyzer_pos(
         return analyze_ngram_pos
 
     if type == "icu":
-        segment = _ICU_SEGMENTERS[mode]
+        segment = _resolve_icu_segment(mode, cjk_dict)
         stop = _resolve_stop_set(stop_word_filters)
         from tantivy_search_spark.stemmers import get_stemmer
         stemmers = [get_stemmer(lang.lower()) for lang in stem_languages]
@@ -920,4 +949,5 @@ def analyzer_pos_from_config(cfg: dict) -> Callable[
                        "word" if t.get("type") == "icu" else "search")),
         hmm=bool(t.get("hmm", False)),
         hmm_model=str(t.get("hmm_model", "")),
+        cjk_dict=str(t.get("cjk_dict", "")),
     )

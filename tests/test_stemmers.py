@@ -528,3 +528,52 @@ class TestJiebaHmmMode:
         toks, poss = an("我们学习王磊")
         assert toks == ["我们", "学习", "王磊"]
         assert poss == [0, 1, 2]
+
+
+class TestIcuCjkDictionary:
+    """icu word mode with an injected frequency dictionary — the
+    CjkBreakEngine-style best path over Han/hiragana runs (real ICU
+    segments CJK with a bundled dictionary; here the dictionary is
+    user-supplied, same algorithm-vs-data split as the jieba modes)."""
+
+    DICT = [("潮汐", 100), ("锁定", 80), ("系统", 50)]
+
+    @pytest.fixture()
+    def dict_path(self, tmp_path):
+        p = tmp_path / "cj.txt"
+        p.write_text("\n".join(f"{w} {f}" for w, f in self.DICT),
+                     encoding="utf-8")
+        return str(p)
+
+    def test_word_mode_dict_segments(self, dict_path):
+        an = build_analyzer("icu", mode="word", cjk_dict=dict_path)
+        assert an("潮汐锁定系统 Tidal") == ["潮汐", "锁定", "系统", "tidal"]
+
+    def test_oov_chars_stand_alone(self, dict_path):
+        an = build_analyzer("icu", mode="word", cjk_dict=dict_path)
+        assert an("潮汐涨落") == ["潮汐", "涨", "落"]
+
+    def test_without_dict_per_char(self):
+        an = build_analyzer("icu", mode="word")
+        assert an("潮汐锁定") == ["潮", "汐", "锁", "定"]
+
+    def test_config_level(self, dict_path):
+        import json
+
+        from tantivy_search_spark.config import (IndexConfig,
+                                                 verify_index_parameter)
+        blob = json.dumps({"text": {"tokenizer": {
+            "type": "icu", "mode": "word", "cjk_dict": dict_path}}})
+        assert verify_index_parameter(blob)
+        cfg = IndexConfig.from_json(["text"], blob)
+        assert cfg.analyzer("text")("潮汐锁定") == ["潮汐", "锁定"]
+        assert not verify_index_parameter(json.dumps({"text": {"tokenizer": {
+            "type": "icu", "cjk_dict": "/nonexistent/cj.txt"}}}))
+
+    def test_positions_with_stopwords_gap(self, dict_path):
+        from tantivy_search_spark.tokenizers import build_analyzer_pos
+        an = build_analyzer_pos("icu", mode="word", cjk_dict=dict_path,
+                                stop_word_filters=("english",))
+        toks, poss = an("潮汐 the 锁定")
+        assert toks == ["潮汐", "锁定"]
+        assert poss == [0, 2]  # stop-word removal leaves a gap
