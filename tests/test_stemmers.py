@@ -577,3 +577,60 @@ class TestIcuCjkDictionary:
         toks, poss = an("潮汐 the 锁定")
         assert toks == ["潮汐", "锁定"]
         assert poss == [0, 2]  # stop-word removal leaves a gap
+
+
+class TestViterbiProperty:
+    """Viterbi ≡ brute-force best path over all legal BEMS sequences
+    (hypothesis): pins the DP against the specification."""
+
+    @staticmethod
+    def _brute_best(hm, obs):
+        import itertools
+
+        from tantivy_search_spark.tokenizers import (_HMM_MIN_FLOAT,
+                                                     _HMM_PREV,
+                                                     _HMM_STATES)
+        best, best_path = None, None
+        for seq in itertools.product(_HMM_STATES, repeat=len(obs)):
+            if seq[-1] not in "ES":
+                continue
+            if any(seq[i] not in _HMM_PREV[seq[i + 1]]
+                   for i in range(len(seq) - 1)):
+                continue
+            p = hm.start[seq[0]] + hm.emit[seq[0]].get(obs[0],
+                                                       _HMM_MIN_FLOAT)
+            for i in range(1, len(obs)):
+                p += hm.trans[seq[i - 1]].get(seq[i], _HMM_MIN_FLOAT)
+                p += hm.emit[seq[i]].get(obs[i], _HMM_MIN_FLOAT)
+            if best is None or p > best:
+                best, best_path = p, list(seq)
+        return best_path
+
+    def test_viterbi_matches_brute_force(self, tmp_path):
+        import json
+        import random
+
+        from tantivy_search_spark.tokenizers import _JiebaHmm
+        rng = random.Random(7)
+        chars = [chr(0x4E00 + i) for i in range(8)]
+        model = {"emit": {s: {c: round(rng.uniform(-6, -0.5), 3)
+                              for c in chars if rng.random() < 0.7}
+                          for s in "BMES"}}
+        p = tmp_path / "m.json"
+        p.write_text(json.dumps(model), encoding="utf-8")
+        hm = _JiebaHmm(str(p))
+        for trial in range(40):
+            n = rng.randint(1, 5)
+            obs = "".join(rng.choice(chars) for _ in range(n))
+            got = hm._viterbi(obs)
+            want = self._brute_best(hm, obs)
+            # ties may pick different argmax paths; compare path scores
+            def score(seq):
+                from tantivy_search_spark.tokenizers import _HMM_MIN_FLOAT
+                s = hm.start[seq[0]] + hm.emit[seq[0]].get(obs[0],
+                                                           _HMM_MIN_FLOAT)
+                for i in range(1, len(obs)):
+                    s += hm.trans[seq[i - 1]].get(seq[i], _HMM_MIN_FLOAT)
+                    s += hm.emit[seq[i]].get(obs[i], _HMM_MIN_FLOAT)
+                return s
+            assert score(got) == pytest.approx(score(want)), (obs, got, want)
