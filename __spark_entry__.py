@@ -712,9 +712,19 @@ def _q_events_sessions(spark, sf_dir):
 # (scripts/check_oracles.py runs both sets).
 # ---------------------------------------------------------------------------
 
+#: skip-index granule width for the with_range probes (rows per granule)
+_GRANULE = 16
+
+
 def _q_bitmap_suite(spark, sf_dir):
     """Q1-Q4 in one key: term / terms / sentence / regex bitmap row-id
-    sets, tagged by variant."""
+    sets, tagged by variant — plus the four ``*_with_range``
+    granule-exists variants (reference ffi_query_*_with_range,
+    FunctionalFFI.cpp:80-109): every _GRANULE-wide granule is probed
+    through the scalar bool API exactly the way ClickHouse's skip
+    index does, and the granule ids that report a hit are emitted as
+    ``range_*`` rows (row_id = granule id), so the value hash pins
+    every probe's boolean."""
     parts = [
         _q_bitmap_term(spark, sf_dir).select(
             F.lit("term").alias("variant"), "row_id"),
@@ -725,6 +735,25 @@ def _q_bitmap_suite(spark, sf_dir):
         _q_bitmap_regex(spark, sf_dir).select(
             F.lit("regex").alias("variant"), "row_id"),
     ]
+    ix = _index(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    n_gran = (n_docs + _GRANULE - 1) // _GRANULE
+    checks = {
+        "range_term": lambda l, r: ix.query_term_with_range(
+            "text", "spark", l, r),
+        "range_terms": lambda l, r: ix.query_terms_with_range(
+            "text", ["window", "hash"], l, r),
+        "range_sentence": lambda l, r: ix.query_sentence_with_range(
+            "text", "merge join order", l, r),
+        "range_regex": lambda l, r: ix.regex_term_with_range(
+            "text", "s%a%", l, r),
+    }
+    hits = [(variant, g)
+            for variant, check in checks.items()
+            for g in range(n_gran)
+            if check(g * _GRANULE, g * _GRANULE + _GRANULE - 1)]
+    parts.append(spark.createDataFrame(
+        hits, "variant string, row_id long"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1585,8 +1614,13 @@ FROM s GROUP BY user_id, sid""",
     # consolidated driver keys: union/join the granular oracles with the
     # same discriminator columns the Spark side adds
     d["bitmap_suite"] = " UNION ALL ".join(
-        f"SELECT '{v}' AS variant, row_id FROM ({d['bitmap_' + v]})"
-        for v in ("term", "terms", "sentence", "regex"))
+        [f"SELECT '{v}' AS variant, row_id FROM ({d['bitmap_' + v]})"
+         for v in ("term", "terms", "sentence", "regex")]
+        # with_range granule probes: a granule id is a hit iff any
+        # matching row_id falls inside its 16-row window
+        + [f"SELECT DISTINCT 'range_{v}' AS variant, "
+           f"row_id // 16 AS row_id FROM ({d['bitmap_' + v]})"
+           for v in ("term", "terms", "sentence", "regex")])
     d["chain_stats"] = " UNION ALL ".join(
         f"SELECT '{k}' AS chain, term, df FROM ({d['chain_' + k + '_stats']})"
         for k in ("simple", "whitespace", "ngram", "raw", "chinese"))

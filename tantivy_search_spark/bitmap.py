@@ -76,6 +76,33 @@ def is_row_id_exist(row_id: int, bitmap: bytes) -> bool:
     return bool(bitmap[idx] & (1 << (row_id % 8)))
 
 
+def bitmap_range_any(bitmap: bytes | bytearray | np.ndarray,
+                     lrange: int, rrange: int) -> bool:
+    """Any set bit with ``lrange <= row_id <= rrange`` (both inclusive)?
+
+    The granule-intersect primitive behind the ``*_with_range`` APIs
+    (reference ``ffi_query_term_with_range`` et al., exercised in
+    tests/unit_test/FunctionalFFI.cpp:80-109): ClickHouse calls the
+    exists check once per skip-index granule against one cached query
+    bitmap, so this touches only the ``(rrange-lrange)/8 + 2`` bytes
+    the granule spans.  Inverted/empty ranges are False, negative
+    ``lrange`` clamps to 0, past-the-end ranges are False
+    (BoundaryIndexSearch.cpp:92-108 semantics)."""
+    if rrange < lrange or rrange < 0:
+        return False
+    lo = max(int(lrange), 0)
+    hi = int(rrange)
+    n_bits = len(bitmap) * 8
+    if n_bits == 0 or lo >= n_bits:
+        return False
+    hi = min(hi, n_bits - 1)
+    b0, b1 = lo // 8, hi // 8
+    chunk = np.frombuffer(bytes(bitmap[b0:b1 + 1]), dtype=np.uint8).copy()
+    chunk[0] &= (0xFF << (lo % 8)) & 0xFF
+    chunk[-1] &= 0xFF >> (7 - hi % 8)
+    return bool(chunk.any())
+
+
 def mask_for_row_ids(row_ids: np.ndarray, bitmap: bytes) -> np.ndarray:
     """Vectorized alive-bitmap membership test for an int64 row-id array."""
     if len(bitmap) == 0:

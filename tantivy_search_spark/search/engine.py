@@ -9,6 +9,10 @@ Operator parity map (SURVEY.md §2.3/§2.4):
 * ``query_terms_bitmap``     — Q2
 * ``query_sentence_bitmap``  — Q3
 * ``regex_term_bitmap``      — Q4 (ClickHouse LIKE over the term dict)
+* ``query_*_with_range`` / ``regex_term_with_range``
+                             — granule-exists checks (skip-index
+                               pruning): cached query bitmap + byte
+                               -window probe per [lrange, rrange]
 * ``get_doc_freq`` / ``get_total_num_docs`` / ``get_total_num_tokens`` /
   ``get_indexed_doc_counts`` — Q10-Q13
 * ``delete_row_ids``         — B6 (tombstones; all queries exclude them)
@@ -40,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tantivy_search_spark import bm25
 from tantivy_search_spark.bitmap import (
+    bitmap_range_any,
     like_to_regex,
     mask_for_row_ids,
     row_ids_to_u8_bitmap,
@@ -3017,6 +3022,51 @@ class SearchIndex:
             if self.spark is None else
             (lambda: self._collect_bitmap(
                 self.regex_term_bitmap_df(col, like_pattern))))
+
+    # -- granule-exists checks (skip-index pruning hot path) ------------
+    #
+    # Reference: ffi_query_term_with_range / ffi_query_terms_with_range /
+    # ffi_query_sentence_with_range / ffi_regex_term_with_range
+    # (tests/unit_test/FunctionalFFI.cpp:80-109) — "does any row_id in
+    # the inclusive [lrange, rrange] granule match the query?".
+    # ClickHouse evaluates one query string against thousands of
+    # granules, so like the reference (CACHE_FOR_SKIP_INDEX,
+    # constants.rs:25-30) the query's full row-id bitmap is computed
+    # once through the cached bitmap path (Spark tier: one pruned
+    # postings scan; embedded tier: sidecar/LRU-served) and every
+    # subsequent granule probe is a pure byte-window test over it.
+    # Boundary semantics follow BoundaryIndexSearch.cpp:86-128:
+    # inverted ranges and past-the-end granules are False, negative
+    # lrange clamps to 0, bounds are inclusive, and tombstoned rows
+    # never report a hit (the cached bitmap already excludes them).
+
+    def query_term_with_range(self, col: str, term: str,
+                              lrange: int, rrange: int) -> bool:
+        if rrange < lrange:
+            return False
+        return bitmap_range_any(
+            self.query_term_bitmap(col, term), lrange, rrange)
+
+    def query_terms_with_range(self, col: str, terms: list[str],
+                               lrange: int, rrange: int) -> bool:
+        if rrange < lrange:
+            return False
+        return bitmap_range_any(
+            self.query_terms_bitmap(col, terms), lrange, rrange)
+
+    def query_sentence_with_range(self, col: str, sentence: str,
+                                  lrange: int, rrange: int) -> bool:
+        if rrange < lrange:
+            return False
+        return bitmap_range_any(
+            self.query_sentence_bitmap(col, sentence), lrange, rrange)
+
+    def regex_term_with_range(self, col: str, like_pattern: str,
+                              lrange: int, rrange: int) -> bool:
+        if rrange < lrange:
+            return False
+        return bitmap_range_any(
+            self.regex_term_bitmap(col, like_pattern), lrange, rrange)
 
     def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
         """Posting rows -> distinct alive doc ids; reads ONLY the
