@@ -155,3 +155,40 @@ def part1_rows(base_id: int = 10):
          "col3": PART1_COL3[i]}
         for i in range(20)
     ]
+
+
+# FunctionalFFI English corpus — fixture DATA transcribed from
+# /root/reference/tests/unit_test/FunctionalFFI.cpp:50-59
+# (indexSomeEnglishDocs): 10 rows x 2 columns, with the 🦠 bytes kept
+# verbatim (the suite uses them to pin UTF-8 robustness).
+FFI_ENGLISH_COL1 = [
+    "Ancient empires rise and fall, shaping history's course.",
+    "Social movements transform societies, forging new paths.",
+    "Strategic military campaigns alter the balance of power.",
+    "Chemical reactions unlock mysteries of nature.",
+    "Marriages blend traditions, celebrating love's union.",
+    "Innovations 🦠 in technology drive societal progress.",
+    "Diplomatic negotiations seek to resolve international conflicts.",
+    "Economic theories debate the merits of market systems.",
+    "Physics theories delve into the universe's mysteries.",
+    "Philosophers debate ethics in the age of artificial intelligence.",
+]
+FFI_ENGLISH_COL2 = [
+    "Artistic expressions reflect diverse cultural heritages.",
+    "Economies fluctuate🦠, reflecting the complex interplay of global forces.",
+    "Quantum leaps redefine understanding of physical laws.",
+    "Philosophical debates ponder the essence of existence.🦠",
+    "Explorers discover uncharted territories, expanding world maps.",
+    "Environmental conservation efforts protect Earth's biodiversity.",
+    "Ancient philosophies provide wisdom for modern dilemmas.",
+    "Military strategies evolve with technological advancements.",
+    "Chemical compounds play crucial roles in medical breakthroughs.",
+    "Wedding ceremonies across cultures symbo🦠lize lifelong commitment.",
+]
+
+
+def ffi_english_rows():
+    return [
+        {"doc_id": i, "col1": FFI_ENGLISH_COL1[i], "col2": FFI_ENGLISH_COL2[i]}
+        for i in range(10)
+    ]

@@ -213,6 +213,54 @@ class TestConfig:
         assert not cfg2.lowercases("a")
         assert cfg2.lowercases("unconfigured")
 
+    # Reference boundary vectors, transcribed 1:1 from
+    # tests/unit_test/BoundaryIndexManager.cpp:38-80
+    # (BoundaryTantivyCreateIndexWithTokenizerTest): every config the
+    # reference accepts must validate here, every config it rejects
+    # must fail here.
+    REF_VALID = [
+        '{"col1":{"tokenizer":{"type":"default"}}}',
+        '{"col2":{"tokenizer":{"type":"default","store_doc":true}}}',
+        '{"col3":{"tokenizer":{"type":"default","store_doc":false}}}',
+        '{"col1":{"tokenizer":{"type":"raw","store_doc":false}}}',
+        '{"col2":{"tokenizer":{"type":"raw","store_doc":true}}}',
+        '{"col3":{"tokenizer":{"type":"raw","store_doc":true}},'
+        ' "col2":{"tokenizer":{"type":"raw","store_doc":false}}}',
+        '{"col1":{"tokenizer":{"type":"simple","stop_word_filters":'
+        '["english"],"store_doc":true,"length_limit":50,'
+        '"case_sensitive":false}}}',
+        '{"col2":{"tokenizer":{"type":"stem","stop_word_filters":'
+        '["english","french"],"stem_languages":["english","french"],'
+        '"store_doc":true,"length_limit":60,"case_sensitive":true}}}',
+        '{"col3":{"tokenizer":{"type":"whitespace","stop_word_filters":'
+        '[],"store_doc":false,"length_limit":30,"case_sensitive":false}}}',
+        '{"col1":{"tokenizer":{"type":"ngram","min_gram":1,"max_gram":4,'
+        '"prefix_only":false,"stop_word_filters":["english"],'
+        '"store_doc":true,"length_limit":40,"case_sensitive":true}}}',
+        '{"col2":{"tokenizer":{"type":"chinese","jieba":"default",'
+        '"mode":"search","hmm":false,"store_doc":true}}}',
+    ]
+    REF_INVALID = [
+        '{"col1":{"tokenizer":{"type":"invalid_type"}}}',
+        '{"col2":{"tokenizer":{"store_doc":true}}}',
+        '{"col3":{"tokenizer":{"type":"simple","stop_word_filters":'
+        '["invalid_language"]}}}',
+        '{"col1":{"tokenizer":{"type":"stem","stem_languages":'
+        '["unsupported_language"]}}}',
+        '{"col2":{"tokenizer":{"type":"chinese","jieba":"invalid_value"}}}',
+        '{"col3":{"tokenizer":{"type":"chinese","mode":"invalid_mode"}}}',
+        '{"col1":{"tokenizer":{"type":"ngram","min_gram":4,"max_gram":2}}}',
+        'hadjopew099-1ej1',
+    ]
+
+    def test_reference_valid_vectors(self):
+        for s in self.REF_VALID:
+            assert verify_index_parameter(s), s
+
+    def test_reference_invalid_vectors(self):
+        for s in self.REF_INVALID:
+            assert not verify_index_parameter(s), s
+
 
 class TestAssignDocIds:
     def test_deterministic_and_duplicate_free(self, spark):
