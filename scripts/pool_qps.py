@@ -55,6 +55,10 @@ BUILD_CPUS = int(os.environ.get("POOL_BUILD_CPUS", "8"))
 # used for the corpus-normalized sidecar re-measure, where the class
 # numbers are already recorded and only the bitmap path changed
 BITMAP_ONLY = os.environ.get("POOL_BITMAP_ONLY", "0") == "1"
+# 1 = measure only the with_range granule-sweep workload (skips the
+# class sweep AND the bitmap family) — used to add the skip-index
+# sweep figure next to already-recorded runs
+SWEEP_ONLY = os.environ.get("POOL_SWEEP_ONLY", "0") == "1"
 # 1 = never materialize the corpus parquet: build straight from the
 # deterministic generator with pre-assigned doc ids (zero-shuffle)
 INMEM_CORPUS = os.environ.get("POOL_INMEM_CORPUS", "0") == "1"
@@ -172,7 +176,8 @@ def measure() -> dict:
     # that's the difference between ~4 min and ~1 h of setup
     parent = SearchIndex.open_local(INDEX)
     _tick("parent reader open")
-    for name, (distinct, op_or) in ({} if BITMAP_ONLY else classes).items():
+    for name, (distinct, op_or) in (
+            {} if (BITMAP_ONLY or SWEEP_ONLY) else classes).items():
         t0 = time.time()
         n_toks = parent.warm_terms("content", distinct)
         for q in distinct:
@@ -210,7 +215,11 @@ def measure() -> dict:
             "qps_16proc": qps16,
             "reference_16thread_qps": 7874,
         }
-    out["bitmap"] = measure_bitmap(classes, parent)
+    if SWEEP_ONLY:
+        out["bitmap"] = measure_granule_sweep(classes, parent)
+    else:
+        out["bitmap"] = measure_bitmap(classes, parent)
+        out["bitmap"].update(measure_granule_sweep(classes, parent))
     parent.close()
     return out
 
@@ -276,6 +285,84 @@ def measure_bitmap(classes, ix) -> dict:
     print(f"bitmap embedded: cold {cold:.0f} q/s (x16 shipped "
           f"{cold16:.0f}, x16 in-worker {cold16_drain:.0f}), "
           f"warm {warm:.0f} q/s", file=sys.stderr)
+    return out
+
+
+def measure_granule_sweep(classes, ix) -> dict:
+    """with_range granule-sweep QPS — the reference skip-index
+    benchmark's actual workload (SkipIndexBenchmark.h:40-63 /
+    tests/throughput/benchmark.cpp:194-196): one query = fetch the
+    term's bitmap, then test every ``[g, g+8192]`` granule of the
+    corpus for a hit; the published 2,083 q/s (16 threads, 5.6M docs)
+    counts whole sweeps.  Reported here: scalar ``query_term_with_range``
+    sweeps at 1 proc (cold = result cache cleared per sweep) and 16
+    procs, plus the vectorized ``query_term_granules`` path (one
+    reshape+any over the cached bitmap per sweep)."""
+    col = "content"
+    terms = []
+    for sentences, _ in classes.values():
+        for s in sentences[:128]:
+            terms.extend(s.split())
+    terms = sorted(set(terms))[:256]
+    step = 8192
+    total = int(ix.meta.total_docs)
+    ix.warm_terms(col, terms, bitmaps=True)
+    for t in terms:
+        ix.query_term_bitmap(col, t)
+    n_gran = (total + step - 1) // step
+
+    def scalar_sweep(term: str) -> None:
+        for g in range(0, total, step):
+            ix.query_term_with_range(col, term, g, g + step)
+
+    n = 256
+    t0 = time.time()
+    for i in range(n):
+        ix._bitmap_cache.clear()
+        scalar_sweep(terms[i % len(terms)])
+    cold = n / (time.time() - t0)
+    t0 = time.time()
+    for i in range(n):
+        scalar_sweep(terms[i % len(terms)])
+    warm = n / (time.time() - t0)
+    nv = 2048
+    t0 = time.time()
+    for i in range(nv):
+        ix.query_term_granules(col, terms[i % len(terms)], step, total)
+    vec = nv / (time.time() - t0)
+    from tantivy_search_spark.search.pool import SearchPool
+
+    pool = SearchPool(INDEX, processes=16, parent_index=ix)
+    workload = [terms[i % len(terms)] for i in range(n * 8)]
+    pool.granule_sweep_drain(col, workload[:64], step, total,
+                             bypass_cache=True)  # spin up
+    t0 = time.time()
+    n_ok, hits, probes, errs = pool.granule_sweep_drain(
+        col, workload, step, total, bypass_cache=True)
+    cold16 = len(workload) / (time.time() - t0)
+    assert n_ok == len(workload) and not errs, (n_ok, errs[:3])
+    assert probes == n_ok * n_gran
+    wl_vec = [terms[i % len(terms)] for i in range(n * 64)]
+    pool.granule_sweep_drain(col, wl_vec[:64], step, total,
+                             bypass_cache=True, vectorized=True)
+    t0 = time.time()
+    n_ok, hits_v, probes_v, errs = pool.granule_sweep_drain(
+        col, wl_vec, step, total, bypass_cache=True, vectorized=True)
+    vec16 = len(wl_vec) / (time.time() - t0)
+    pool.close()
+    assert n_ok == len(wl_vec) and not errs, (n_ok, errs[:3])
+    out = {"sweep_step": step,
+           "sweep_granules_per_query": n_gran,
+           "sweep_cold_qps_1proc": round(cold, 1),
+           "sweep_warm_qps_1proc": round(warm, 1),
+           "sweep_vectorized_qps_1proc": round(vec, 1),
+           "sweep_cold_qps_16proc": round(cold16, 1),
+           "sweep_vectorized_qps_16proc": round(vec16, 1),
+           "sweep_reference_16thread_qps": 2083}
+    print(f"granule sweep ({n_gran} granules/query): cold {cold:.0f} "
+          f"q/s, warm {warm:.0f} q/s, vectorized {vec:.0f} q/s, "
+          f"x16 cold {cold16:.0f} q/s, x16 vectorized {vec16:.0f} q/s",
+          file=sys.stderr)
     return out
 
 

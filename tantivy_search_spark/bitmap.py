@@ -103,6 +103,42 @@ def bitmap_range_any(bitmap: bytes | bytearray | np.ndarray,
     return bool(chunk.any())
 
 
+def bitmap_granule_hits(bitmap: bytes | bytearray | np.ndarray,
+                        step: int, total_rows: int) -> np.ndarray:
+    """Vectorized skip-index sweep: one bool per granule ``g`` with the
+    closed row window ``[g*step, g*step + step]``.
+
+    Mirrors the reference benchmark's granule loop
+    (benchmark/SkipIndexBenchmark.h:52-59: ``addRangeClosed(row_id,
+    row_id + index_granularity)`` — the upper bound is INCLUSIVE, so
+    adjacent granules overlap by one row).  Granules start at every
+    ``g*step < total_rows``.  For 8-divisible steps this is a single
+    reshape + ``any`` over the packed bytes plus a boundary-bit OR; a
+    non-divisible step falls back to per-granule ``bitmap_range_any``.
+    """
+    if step <= 0:
+        raise ValueError(f"step must be positive, got {step}")
+    n_gran = max((total_rows + step - 1) // step, 0)
+    if n_gran == 0:
+        return np.zeros(0, dtype=bool)
+    if step % 8 != 0:
+        return np.fromiter(
+            (bitmap_range_any(bitmap, g * step, g * step + step)
+             for g in range(n_gran)), dtype=bool, count=n_gran)
+    arr = np.frombuffer(bytes(bitmap), dtype=np.uint8)
+    byte_step = step // 8
+    padded = np.zeros(n_gran * byte_step, dtype=np.uint8)
+    n = min(arr.size, padded.size)
+    padded[:n] = arr[:n]
+    hits = padded.reshape(n_gran, byte_step).any(axis=1)
+    # closed upper bound: row (g+1)*step is bit 0 of the next granule's
+    # first byte
+    nxt = np.arange(1, n_gran + 1) * byte_step
+    in_range = nxt < arr.size
+    hits[in_range] |= (arr[nxt[in_range]] & 1).astype(bool)
+    return hits
+
+
 def mask_for_row_ids(row_ids: np.ndarray, bitmap: bytes) -> np.ndarray:
     """Vectorized alive-bitmap membership test for an int64 row-id array."""
     if len(bitmap) == 0:

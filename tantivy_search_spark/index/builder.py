@@ -587,6 +587,36 @@ class IndexBuilder:
         total_docs = docs_ck["total_docs"]
         metrics["stages"]["docs"] = docs_ck
 
+        if total_docs == 0:
+            # Reference parity: an index created and committed with zero
+            # docs opens and serves every query as empty
+            # (BoundaryIndexSearch.cpp ffiBM25SearchEmptyIndex /
+            # ffiQuerySentenceBitmapEmptyIndex).  Write schema-bearing
+            # zero-row postings/stats files (coalesce(1), no
+            # partitionBy — a partitioned write of 0 rows leaves no
+            # readable data file) so both the Spark and embedded tiers
+            # open without schema inference failures.
+            cfg_json = self.config.to_json()
+            self.spark.createDataFrame([], layout.POSTINGS_SCHEMA) \
+                .coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.index_path, POSTINGS_DIR))
+            self.spark.createDataFrame([], layout.STATS_SCHEMA) \
+                .coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.index_path, STATS_DIR))
+            metrics["total_secs"] = time.time() - t_all
+            metrics["docs_per_sec"] = 0.0
+            meta = IndexMeta(
+                config_json=cfg_json,
+                num_parts=0,
+                total_docs=0,
+                total_tokens={c: 0 for c in self.config.columns},
+                part_ranges=[],
+                build_metrics=metrics,
+                committed_fence=self._data_fence(),
+            )
+            meta.save(self.index_path)
+            return meta
+
         # doc_ids need not start at 0 (e.g. a later part of a global id
         # space): derive the part range from the actual id bounds
         if "min_doc" in docs_ck:

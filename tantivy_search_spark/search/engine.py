@@ -780,7 +780,10 @@ class SearchIndex:
     # ---------------------------------------------------------------- deletes
     def delete_row_ids(self, row_ids: list[int]) -> bool:
         """B6: tombstone docs; they disappear from every query after this
-        'commit' (non-existent ids tolerated, like the reference)."""
+        'commit' (non-existent ids tolerated, like the reference; an
+        empty set is a no-op commit that still returns True)."""
+        if not row_ids:
+            return True
         pdf = pd.DataFrame({"doc_id": np.asarray(sorted(set(row_ids)), dtype=np.int64)})
         tomb_dir = os.path.join(self.index_path, TOMBSTONES_DIR)
         if self.spark is None:
@@ -3067,6 +3070,21 @@ class SearchIndex:
             return False
         return bitmap_range_any(
             self.regex_term_bitmap(col, like_pattern), lrange, rrange)
+
+    def query_term_granules(self, col: str, term: str, step: int,
+                            total_rows: int | None = None) -> np.ndarray:
+        """Whole-corpus skip-index sweep in one call: bool per granule
+        ``[g*step, g*step + step]`` (closed bounds, the reference
+        benchmark's granule shape — SkipIndexBenchmark.h:52-59).
+        Equivalent to ``query_term_with_range`` over every granule but
+        vectorized over the cached bitmap, so a ClickHouse-style caller
+        marks all ~total/step granules of a part in one probe instead
+        of total/step scalar calls."""
+        from tantivy_search_spark.bitmap import bitmap_granule_hits
+        if total_rows is None:
+            total_rows = int(self.meta.total_docs)
+        return bitmap_granule_hits(
+            self.query_term_bitmap(col, term), step, total_rows)
 
     def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
         """Posting rows -> distinct alive doc ids; reads ONLY the

@@ -181,6 +181,39 @@ def _worker_term_bitmap_drain(chunk):
     return n_ok, total, crc, errors
 
 
+def _worker_granule_sweep(chunk):
+    """[(col, term, step, total_rows, bypass)] ->
+    (n_ok, n_hits, n_probes, errors).
+
+    The reference skip-index benchmark's unit of work
+    (tests/throughput/benchmark.cpp:194-196): one query = probing every
+    ``[g, g+step]`` granule of the corpus through the with_range
+    exists check.  The query bitmap is computed once through the result
+    cache; each probe is a byte-window test, and only counters ride the
+    result pipe."""
+    n_ok = hits = probes = 0
+    errors: list = []
+    for col, term, step, total_rows, bypass, vectorized in chunk:
+        try:
+            if bypass:
+                getattr(_WORKER_INDEX, "_bitmap_cache", {}).clear()
+            if vectorized:
+                h = _WORKER_INDEX.query_term_granules(
+                    col, term, step, total_rows)
+                hits += int(h.sum())
+                probes += int(h.size)
+            else:
+                for g in range(0, total_rows, step):
+                    hits += _WORKER_INDEX.query_term_with_range(
+                        col, term, g, g + step)
+                    probes += 1
+            n_ok += 1
+        except Exception as e:  # noqa: BLE001 — worker boundary
+            errors.append(PoolQueryError(f"{col}:{term}",
+                                         f"{type(e).__name__}: {e}"))
+    return n_ok, hits, probes, errors
+
+
 class SearchPool:
     """N-way concurrent BM25 point-query service over one index.
 
@@ -352,6 +385,31 @@ class SearchPool:
             crc ^= c
             errors.extend(errs)
         return n_ok, total, crc, errors
+
+    def granule_sweep_drain(self, col: str, terms: list[str], step: int,
+                            total_rows: int, bypass_cache: bool = False,
+                            vectorized: bool = False,
+                            chunksize: int | None = None):
+        """Run full-corpus granule sweeps (one per term) across the
+        pool — the reference skip-index benchmark workload: each term
+        probes every ``step``-wide granule via ``query_term_with_range``
+        (or one vectorized ``query_term_granules`` call) and only
+        ``(n_ok, n_hits, n_probes, errors)`` counters return."""
+        if not terms:
+            return 0, 0, 0, []
+        items = [(col, t, step, total_rows, bypass_cache, vectorized)
+                 for t in terms]
+        cs = chunksize or max(1, len(items) // (self.processes * 4))
+        chunks = [items[i:i + cs] for i in range(0, len(items), cs)]
+        n_ok = hits = probes = 0
+        errors: list = []
+        for n, h, p, errs in self._pool.map(
+                _worker_granule_sweep, chunks, chunksize=1):
+            n_ok += n
+            hits += h
+            probes += p
+            errors.extend(errs)
+        return n_ok, hits, probes, errors
 
     def reload(self) -> None:
         """Reader reload on commit (reference B5/Q14 semantics for the

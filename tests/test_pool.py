@@ -315,6 +315,34 @@ class TestSearchPool:
         assert tot == tot_ship
         assert crc == crc_want
 
+    def test_granule_sweep_drain(self, corpus_a_index, local_ix):
+        """Pool sweep counters == the sequential with_range truth."""
+        step, total = 8, 16  # 2 granules over corpus A's 5 docs
+        want_hits = sum(
+            local_ix.query_term_with_range("col1", "Ancient",
+                                           g, g + step)
+            for g in range(0, total, step))
+        script = (
+            "import json, sys\n"
+            "sys.path.insert(0, %r)\n"
+            "from tantivy_search_spark.search.pool import SearchPool\n"
+            "pool = SearchPool(%r, processes=2)\n"
+            "n, hits, probes, errs = pool.granule_sweep_drain(\n"
+            "    'col1', ['Ancient'] * 6, %d, %d, bypass_cache=True)\n"
+            "pool.close()\n"
+            "print(json.dumps([n, hits, probes, len(errs)]))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             corpus_a_index.index_path, step, total)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=300)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        n, hits, probes, n_err = json.loads(
+            proc.stdout.strip().splitlines()[-1])
+        assert (n, n_err) == (6, 0)
+        assert probes == 6 * 2
+        assert hits == 6 * want_hits
+
     def test_query_error_isolated(self, corpus_a_index, local_ix):
         """One failing query returns a falsy PoolQueryError at its slot;
         the rest of the batch still answers (ADVICE r4)."""

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 from tantivy_search_spark.bitmap import (
+    bitmap_granule_hits,
     bitmap_range_any,
     row_ids_to_u8_bitmap,
 )
@@ -48,6 +49,47 @@ class TestBitmapRangeAny:
         assert not bitmap_range_any(b"", 0, 100)
         # huge out-of-corpus window (BoundaryIndexSearch.cpp:107)
         assert not bitmap_range_any(bm, 4294960000, 4294961000)
+
+
+class TestGranuleHits:
+    """Vectorized sweep == scalar bitmap_range_any over every closed
+    granule [g*step, g*step + step] (SkipIndexBenchmark.h:52-59:
+    addRangeClosed — inclusive upper bound, adjacent granules overlap
+    by one row)."""
+
+    def test_matches_scalar_loop(self):
+        rng = np.random.default_rng(11)
+        for step in (8, 16, 64, 5, 13):  # incl. non-8-divisible paths
+            for _ in range(20):
+                total = int(rng.integers(1, 300))
+                ids = np.unique(rng.integers(
+                    0, max(total + 10, 2), size=rng.integers(0, 30)))
+                bm = row_ids_to_u8_bitmap(ids)
+                got = bitmap_granule_hits(bm, step, total)
+                n_gran = (total + step - 1) // step
+                want = np.array(
+                    [bitmap_range_any(bm, g * step, g * step + step)
+                     for g in range(n_gran)], dtype=bool)
+                assert got.shape == want.shape
+                assert (got == want).all(), (ids, step, total)
+
+    def test_closed_upper_bound(self):
+        # a hit exactly at row step lights granule 0 AND granule 1
+        bm = row_ids_to_u8_bitmap([8])
+        hits = bitmap_granule_hits(bm, 8, 24)
+        assert hits.tolist() == [True, True, False]
+
+    def test_empty(self):
+        assert bitmap_granule_hits(b"", 8, 0).size == 0
+        assert not bitmap_granule_hits(b"", 8, 100).any()
+
+    def test_engine_sweep(self, corpus_a_index):
+        hits = corpus_a_index.query_term_granules("col1", "Ancient", 8)
+        # corpus A has 5 docs -> 1 granule; rows 0 and 4 match
+        assert hits.tolist() == [True]
+        hits2 = corpus_a_index.query_term_granules(
+            "col1", "Ancient", 8, total_rows=40)
+        assert hits2.tolist() == [True, False, False, False, False]
 
 
 class TestWithRangeQueries:
