@@ -54,3 +54,27 @@ class TestEmptyIndex:
             assert not local.query_term_with_range("body", "x", 0, 100)
         finally:
             local.close()
+
+
+class TestNullText:
+    """NULL / empty column values index as empty documents (ClickHouse
+    feeds empty strings for NULLs; the reference's add_text accepts
+    them) — the row exists, matches nothing, scores nothing."""
+
+    def test_nulls_index_as_empty(self, spark, tmp_path):
+        path = str(tmp_path / "nulls")
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("body", T.StringType())])
+        rows = [(0, "alpha beta"), (1, None), (2, ""), (3, "alpha gamma")]
+        cfg = IndexConfig.from_json(["body"], "{}")
+        IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+            spark.createDataFrame(rows, schema), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        assert ix.get_total_num_docs() == 4
+        got = sorted(r["row_id"] for r in
+                     ix.bm25_search("alpha", top_k=5,
+                                    operator_or=True).collect())
+        assert got == [0, 3]
+        from tantivy_search_spark.bitmap import u8_bitmap_to_row_ids
+        assert u8_bitmap_to_row_ids(
+            ix.query_term_bitmap("body", "alpha")).tolist() == [0, 3]
