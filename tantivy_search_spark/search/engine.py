@@ -3071,6 +3071,13 @@ class SearchIndex:
         return bitmap_range_any(
             self.regex_term_bitmap(col, like_pattern), lrange, rrange)
 
+    def _granule_sweep(self, bitmap: bytes, step: int,
+                       total_rows: int | None) -> np.ndarray:
+        from tantivy_search_spark.bitmap import bitmap_granule_hits
+        if total_rows is None:
+            total_rows = int(self.meta.total_docs)
+        return bitmap_granule_hits(bitmap, step, total_rows)
+
     def query_term_granules(self, col: str, term: str, step: int,
                             total_rows: int | None = None) -> np.ndarray:
         """Whole-corpus skip-index sweep in one call: bool per granule
@@ -3079,12 +3086,26 @@ class SearchIndex:
         Equivalent to ``query_term_with_range`` over every granule but
         vectorized over the cached bitmap, so a ClickHouse-style caller
         marks all ~total/step granules of a part in one probe instead
-        of total/step scalar calls."""
-        from tantivy_search_spark.bitmap import bitmap_granule_hits
-        if total_rows is None:
-            total_rows = int(self.meta.total_docs)
-        return bitmap_granule_hits(
+        of total/step scalar calls.  The terms / sentence / regex
+        variants below mirror the reference benchmark's 5-term, 10-term
+        and sentence sweep shapes (SkipIndexBenchmark.h:65-210)."""
+        return self._granule_sweep(
             self.query_term_bitmap(col, term), step, total_rows)
+
+    def query_terms_granules(self, col: str, terms: list[str], step: int,
+                             total_rows: int | None = None) -> np.ndarray:
+        return self._granule_sweep(
+            self.query_terms_bitmap(col, terms), step, total_rows)
+
+    def query_sentence_granules(self, col: str, sentence: str, step: int,
+                                total_rows: int | None = None) -> np.ndarray:
+        return self._granule_sweep(
+            self.query_sentence_bitmap(col, sentence), step, total_rows)
+
+    def regex_term_granules(self, col: str, like_pattern: str, step: int,
+                            total_rows: int | None = None) -> np.ndarray:
+        return self._granule_sweep(
+            self.regex_term_bitmap(col, like_pattern), step, total_rows)
 
     def _decode_distinct_ids(self, cand: DataFrame) -> DataFrame:
         """Posting rows -> distinct alive doc ids; reads ONLY the

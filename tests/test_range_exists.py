@@ -91,6 +91,26 @@ class TestGranuleHits:
             "col1", "Ancient", 8, total_rows=40)
         assert hits2.tolist() == [True, False, False, False, False]
 
+    def test_engine_sweep_variants(self, corpus_a_index):
+        """terms / sentence / regex sweeps agree with their scalar
+        with_range twins granule-by-granule."""
+        ix = corpus_a_index
+        probe = ["Ancient", "Social", "Chemical"]
+        s = "Military strategies evolve."
+        pairs = [
+            (ix.query_terms_granules("col1", probe, 8, 40),
+             lambda g: ix.query_terms_with_range(
+                 "col1", probe, g * 8, g * 8 + 8)),
+            (ix.query_sentence_granules("col1", s, 8, 40),
+             lambda g: ix.query_sentence_with_range(
+                 "col1", s, g * 8, g * 8 + 8)),
+            (ix.regex_term_granules("col1", "%ncient%", 8, 40),
+             lambda g: ix.regex_term_with_range(
+                 "col1", "%ncient%", g * 8, g * 8 + 8)),
+        ]
+        for hits, scalar in pairs:
+            assert hits.tolist() == [scalar(g) for g in range(5)]
+
 
 class TestWithRangeQueries:
     """Corpus A: col1 'Ancient' in rows {0, 4}; 'Social' in {2};
