@@ -195,6 +195,18 @@ def main() -> None:
     timings["bitmap_term_p50"] = round(statistics.median(latb), 3)
     timings["bitmap_term_warm_p50"] = round(statistics.median(latw_b), 4)
 
+    # ---- skip-index granule sweeps (with_range family) ---------------------
+    # one sweep = mark every closed [g*128, g*128+128] granule for one
+    # query via the vectorized query_term_granules (the reference
+    # benchmark's unit of work, SkipIndexBenchmark.h:40-63); 100 sweeps
+    # timed over the warm bitmap cache
+    ix.query_term_granules("text", "spark", 128)  # warm
+    sweep_terms = ("spark", "window", "hash", "merge", "scan") * 20
+    t0 = time.time()
+    for term in sweep_terms:
+        ix.query_term_granules("text", term, 128)
+    timings["granule_sweep_100q"] = round(time.time() - t0, 3)
+
     # ---- phrase queries (positions-enabled index) -------------------------
     pidx_path = f"{BENCH_TMP}/tss_bench_pidx_{CPUS}"
     shutil.rmtree(pidx_path, ignore_errors=True)
