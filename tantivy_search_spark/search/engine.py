@@ -286,7 +286,7 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     candidates are cut with an O(m) kth-score partition (ties kept)
     before the exact (score desc, row_id asc) sort."""
     (Wscore, Wcount32, gsize32, and_cols, g_starts, qid_arr, k, budget,
-     n_pos, e_starts, e_qpos, dedup_atoms) = env
+     n_pos, e_starts, e_qpos, dedup_atoms, csc) = env
     na = Wscore.shape[0]
     n_g = Wcount32.shape[1]  # positives + exclusion columns
     nq = qid_arr.shape[0]
@@ -301,12 +301,19 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # exclusion columns — usually a small slice of n_g.  A non-positive
     # score weight (explicit `^0` boost) would break score>0 matching,
     # so such plans keep the legacy full-width match path.
-    member = Wcount32[:, :n_pos] > 0
-    slim = bool(np.all(Wscore[member] > 0.0)) if member.any() else True
-    needed = np.union1d(
-        and_cols, np.arange(n_pos, n_g)).astype(np.int64)
+    #
+    # Second diet stage: W is column-sparse (a group holds a handful of
+    # atoms out of the whole batch vocabulary), so the dense float32
+    # prefilter matmuls S @ W / M @ Wc waste na/|group| of their FLOPs
+    # and stream multi-MB dense temps through DRAM.  The slim path now
+    # walks the plan-time CSC of W instead: scatter scores TRANSPOSED
+    # (atom-major rows, contiguous per-atom vectors) and sum each
+    # group's few member rows with an einsum — O(n * nnz(W)) instead of
+    # O(n * na * n_g).  Exactness is untouched: the float32 sums still
+    # only pick the epsilon-guarded candidate superset, and every rank
+    # decision is made by the unchanged float64 candidate rescore.
+    (slim, wsb, wsa, wsw, wcb, wca, wcw, needed) = csc
     if slim:
-        Wc_needed = np.ascontiguousarray(Wcount32[:, needed])
         and_in_needed = np.searchsorted(needed, and_cols)
         pos_and = and_cols[and_cols < n_pos]
         pos_and_in_needed = np.searchsorted(needed, pos_and)
@@ -316,8 +323,8 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # intermediate fits in `budget` bytes.  The per-chunk top-k union
     # contains the batch top-k, so the final per-query cut is exact.
     if slim:
-        # S and M are both float32 now (4*na each; was 8*na + 4*na)
-        per_row = (8 * na + 5 * needed.size + 8 * n_pos + 17 * nq) or 1
+        # ST and MT are both float32 (4*na each), SW_T/CnT group-major
+        per_row = (8 * na + 5 * needed.size + 4 * n_pos + 17 * nq) or 1
     else:
         per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
     rows_chunk = max(32, int(budget // per_row))
@@ -331,8 +338,6 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # per-query candidate accumulators across doc chunks
     cand_r: list = [[] for _ in range(nq)]
     cand_s: list = [[] for _ in range(nq)]
-    Wscore32 = np.ascontiguousarray(Wscore, dtype=np.float32) if slim \
-        else None
     for d0 in range(0, uniq.size, rows_chunk):
         d1 = min(d0 + rows_chunk, uniq.size)
         lo, hi = np.searchsorted(inv_s, (d0, d1))
@@ -340,39 +345,73 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
         n = d1 - d0
         r_idx = inv_s[lo:hi] - d0
         a_idx = atom_s[lo:hi]
-        # slim path: the dense per-(doc, atom) score matrix — the
-        # kernel's dominant DRAM traffic (scaling_attribution.json) —
-        # scatters and multiplies in float32; exact float64 scores are
-        # re-gathered below for the per-query top-k CANDIDATES only.
-        # Provably rank-safe: slim guarantees all score weights (and
-        # BM25 per-posting scores) strictly positive, so the float32
-        # sums have no cancellation and the candidate threshold keeps
-        # an epsilon-guarded superset of the true top-k before the
-        # exact rescore decides.
-        S = np.zeros((n, na), dtype=np.float32 if slim else np.float64)
-        if dedup_atoms:
-            # bare multi-column atoms repeat (doc, atom) once per
-            # column: scores SUM across columns (compile semantics),
-            # match stays idempotent
-            np.add.at(S, (r_idx, a_idx), score_s[lo:hi])
-        else:
-            S[r_idx, a_idx] = score_s[lo:hi]
-        SW = S @ (Wscore32 if slim else Wscore)
         if slim:
-            matched_n = None
+            # slim path: scatter scores TRANSPOSED (one contiguous
+            # float32 row per atom) and sum each group's few member
+            # rows straight off the plan CSC — O(n * nnz(W)) work, no
+            # dense (doc x atom) @ (atom x group) matmul.  Exact
+            # float64 scores are re-gathered below for the per-query
+            # top-k CANDIDATES only.  Provably rank-safe: slim
+            # guarantees all score weights (and BM25 per-posting
+            # scores) strictly positive, so the float32 sums have no
+            # cancellation and the candidate threshold keeps an
+            # epsilon-guarded superset of the true top-k before the
+            # exact rescore decides.
+            ST = np.zeros((na, n), dtype=np.float32)
+            if dedup_atoms:
+                # bare multi-column atoms repeat (doc, atom) once per
+                # column: scores SUM across columns (compile
+                # semantics), match stays idempotent
+                np.add.at(ST, (a_idx, r_idx), score_s[lo:hi])
+            else:
+                ST[a_idx, r_idx] = score_s[lo:hi]
+            SW_T = np.empty((n_pos, n), dtype=np.float32)
+            for g in range(n_pos):
+                glo, ghi = wsb[g], wsb[g + 1]
+                if ghi - glo == 1:
+                    np.multiply(ST[wsa[glo]], wsw[glo], out=SW_T[g])
+                elif ghi > glo:
+                    np.einsum("ij,i->j", ST[wsa[glo:ghi]],
+                              wsw[glo:ghi], out=SW_T[g])
+                else:
+                    SW_T[g] = 0.0
+            matched_nT = None
             if needed.size:
-                M = np.zeros((n, na), dtype=np.float32)
-                M[r_idx, a_idx] = 1.0
-                Cn = M @ Wc_needed
-                matched_n = Cn > 0
+                # presence == score > 0 under slim; per-needed-column
+                # counts ride the same CSC walk (counts are small
+                # exact integers, float32 sums are exact)
+                MT = (ST > 0).astype(np.float32)
+                CnT = np.empty((needed.size, n), dtype=np.float32)
+                for j in range(needed.size):
+                    glo, ghi = wcb[j], wcb[j + 1]
+                    if ghi - glo == 1:
+                        np.multiply(MT[wca[glo]], wcw[glo], out=CnT[j])
+                    elif ghi > glo:
+                        np.einsum("ij,i->j", MT[wca[glo:ghi]],
+                                  wcw[glo:ghi], out=CnT[j])
+                    else:
+                        CnT[j] = 0.0
+                matched_nT = CnT > 0
                 if and_in_needed.size:
-                    matched_n[:, and_in_needed] = (
-                        Cn[:, and_in_needed] == gsize32[and_cols])
+                    matched_nT[and_in_needed] = (
+                        CnT[and_in_needed]
+                        == gsize32[and_cols][:, None])
                 if pos_and.size:
                     # AND groups that miss their arity score zero; OR
                     # groups need no mask (unmatched => score already 0)
-                    SW[:, pos_and] *= matched_n[:, pos_and_in_needed]
+                    SW_T[pos_and] *= matched_nT[pos_and_in_needed]
+            # segmented group->query reduce over the POSITIVE columns
+            # (group-major rows, so reduceat runs along axis 0 and the
+            # result is query-major and contiguous per query already)
+            score_qT = np.add.reduceat(SW_T, g_starts, axis=0)
+            matched_qT = score_qT > 0.0
         else:
+            S = np.zeros((n, na), dtype=np.float64)
+            if dedup_atoms:
+                np.add.at(S, (r_idx, a_idx), score_s[lo:hi])
+            else:
+                S[r_idx, a_idx] = score_s[lo:hi]
+            SW = S @ Wscore
             M = np.zeros((n, na), dtype=np.float32)
             M[r_idx, a_idx] = 1.0
             C = M @ Wcount32
@@ -381,15 +420,11 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
                 matched_g[:, and_cols] = (
                     C[:, and_cols] == gsize32[and_cols])
             SW *= matched_g[:, :n_pos]
-        # segmented group->query reduce over the POSITIVE columns
-        # (query-major; see _flat_plan_bcast's g_order — reduceat on a
-        # slice stops at the slice end, so exclusion columns can't
-        # bleed into the last query's segment)
-        score_qT = np.ascontiguousarray(
-            np.add.reduceat(SW, g_starts, axis=1).T)
-        if slim:
-            matched_qT = score_qT > 0.0
-        else:
+            # (query-major; see _flat_plan_bcast's g_order — reduceat
+            # on a slice stops at the slice end, so exclusion columns
+            # can't bleed into the last query's segment)
+            score_qT = np.ascontiguousarray(
+                np.add.reduceat(SW, g_starts, axis=1).T)
             matched_qT = np.ascontiguousarray(
                 np.logical_or.reduceat(
                     matched_g[:, :n_pos], g_starts, axis=1).T)
@@ -397,11 +432,16 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             # MustNot: a doc leaves its query's match set when ANY of
             # the query's exclusion groups matched (scores untouched —
             # excluded columns have no score weights)
-            excl = np.logical_or.reduceat(
-                matched_n[:, excl_in_needed] if slim
-                else matched_g[:, n_pos:], e_starts, axis=1)
-            for j in range(e_qpos.size):
-                matched_qT[e_qpos[j]] &= ~excl[:, j]
+            if slim:
+                exclT = np.logical_or.reduceat(
+                    matched_nT[excl_in_needed], e_starts, axis=0)
+                for j in range(e_qpos.size):
+                    matched_qT[e_qpos[j]] &= ~exclT[j]
+            else:
+                excl = np.logical_or.reduceat(
+                    matched_g[:, n_pos:], e_starts, axis=1)
+                for j in range(e_qpos.size):
+                    matched_qT[e_qpos[j]] &= ~excl[:, j]
         hit_counts = matched_qT.sum(axis=1)
         if slim:
             # float32 scores pick an epsilon-guarded candidate SUPERSET
@@ -438,8 +478,9 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             else:
                 S64[comp, ca_idx] = cscore
             SW64 = S64 @ Wscore
-            if matched_n is not None and pos_and.size:
-                SW64[:, pos_and] *= matched_n[crows][:, pos_and_in_needed]
+            if matched_nT is not None and pos_and.size:
+                SW64[:, pos_and] *= \
+                    matched_nT[pos_and_in_needed][:, crows].T
             score64_qT = np.add.reduceat(SW64, g_starts, axis=1).T
             pos_in_crows = np.full(n, -1, dtype=np.int64)
             pos_in_crows[crows] = np.arange(crows.size)
@@ -1640,18 +1681,40 @@ class SearchIndex:
         e_qpos = np.unique(e_qpos_all)
         e_starts = np.searchsorted(e_qpos_all, e_qpos)
 
-        return self._bcast((Ws[:, g_order],
-                            np.concatenate(
-                                [Wc[:, g_order], Wc_e],
-                                axis=1).astype(np.float32),
+        Wscore_o = Ws[:, g_order]
+        Wcount32 = np.concatenate(
+            [Wc[:, g_order], Wc_e], axis=1).astype(np.float32)
+        and_cols = np.where(np.concatenate([g_and[g_order], e_and]))[0]
+        n_all = n_g + n_e
+        # plan-time CSC of both incidence matrices for the kernel's
+        # sparse-W walk (see _flat_score_topk): per positive group, its
+        # member atom ids + score weights; per "needed" count column
+        # (AND arity + exclusion), its member atom ids + multiplicities.
+        # slim (= every positive score weight strictly > 0) is decided
+        # here once instead of per task.
+        member = Wcount32[:, :n_g] > 0
+        slim = bool(np.all(Wscore_o[member] > 0.0)) if member.any() \
+            else True
+        needed = np.union1d(
+            and_cols, np.arange(n_g, n_all)).astype(np.int64)
+        nzg, nza = np.nonzero(Wscore_o.T)  # group-major, sorted by group
+        wsb = np.searchsorted(nzg, np.arange(n_g + 1))
+        wsw = Wscore_o[nza, nzg].astype(np.float32)
+        Wc_needed = np.ascontiguousarray(Wcount32[:, needed])
+        nzgc, nzac = np.nonzero(Wc_needed.T)
+        wcb = np.searchsorted(nzgc, np.arange(needed.size + 1))
+        wcw = Wc_needed[nzac, nzgc]
+        csc = (slim, wsb, nza, wsw, wcb, nzac, wcw, needed)
+
+        return self._bcast((Wscore_o,
+                            Wcount32,
                             np.concatenate(
                                 [gsize[g_order], gsize_e]
                             ).astype(np.float32),
-                            np.where(np.concatenate(
-                                [g_and[g_order], e_and]))[0],
+                            and_cols,
                             g_starts, qid_arr, top_k,
                             self.BATCH_MATRIX_BUDGET,
-                            n_g, e_starts, e_qpos, dedup_atoms))
+                            n_g, e_starts, e_qpos, dedup_atoms, csc))
 
     def _n_shards(self) -> int:
         """Shard count of this index (= ceil(num_parts /
