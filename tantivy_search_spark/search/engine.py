@@ -270,6 +270,27 @@ def _assemble_phrase_runs(runs: list) -> tuple:
     return d, tf, nm, flat, offs
 
 
+#: per-worker reusable kernel buffers (name -> flat ndarray).  Spark
+#: reuses Python workers across tasks, but numpy's transient multi-MB
+#: temporaries go back to glibc as mmap'd blocks and every task repays
+#: the page-fault + TLB cost of first-touching them (measured ~2-9x
+#: the warm kernel time on real task dumps).  Buffers here persist in
+#: the worker and are reused by shape; callers re-fill/overwrite every
+#: element they read, so no state leaks between tasks.
+_KERNEL_BUFS: dict = {}
+
+
+def _kbuf(key: str, shape: tuple, dtype) -> np.ndarray:
+    need = 1
+    for s in shape:
+        need *= int(s)
+    buf = _KERNEL_BUFS.get(key)
+    if buf is None or buf.dtype != dtype or buf.size < need:
+        buf = np.empty(max(need, 1), dtype=dtype)
+        _KERNEL_BUFS[key] = buf
+    return buf[:need].reshape(shape)
+
+
 def _flat_score_topk(env, doc_col, atom_col, score_col):
     """Batch flat-tree scoring core over one task's gathered
     (doc_id, atom, score) arrays -> per-query local top-k DataFrame
@@ -312,19 +333,23 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
     # O(n * na * n_g).  Exactness is untouched: the float32 sums still
     # only pick the epsilon-guarded candidate superset, and every rank
     # decision is made by the unchanged float64 candidate rescore.
-    (slim, wsb, wsa, wsw, wcb, wca, wcw, needed) = csc
+    (slim, wsb, wsa, wsw, wsw64, wcb, wca, wcw, needed) = csc
     if slim:
         and_in_needed = np.searchsorted(needed, and_cols)
         pos_and = and_cols[and_cols < n_pos]
         pos_and_in_needed = np.searchsorted(needed, pos_and)
         excl_in_needed = np.searchsorted(needed, np.arange(n_pos, n_g))
+        # flat one-OR-group-per-query batches: group == query, the
+        # group->query reduceat is the identity (a pure copy) — skip it
+        identity_groups = (n_pos == nq
+                           and np.array_equal(g_starts, np.arange(nq)))
     # wide batches (many unique atoms x many queries) would allocate
     # multi-GB dense M/S/C per task: bound the doc axis so every dense
     # intermediate fits in `budget` bytes.  The per-chunk top-k union
     # contains the batch top-k, so the final per-query cut is exact.
     if slim:
-        # ST and MT are both float32 (4*na each), SW_T/CnT group-major
-        per_row = (8 * na + 5 * needed.size + 4 * n_pos + 17 * nq) or 1
+        # ST float32 + S64T float64 worst case, SW_T/CnT group-major
+        per_row = (12 * na + 5 * needed.size + 4 * n_pos + 17 * nq) or 1
     else:
         per_row = 8 * (2 * na + 3 * n_g + 2 * nq) or 1
     rows_chunk = max(32, int(budget // per_row))
@@ -357,7 +382,8 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             # cancellation and the candidate threshold keeps an
             # epsilon-guarded superset of the true top-k before the
             # exact rescore decides.
-            ST = np.zeros((na, n), dtype=np.float32)
+            ST = _kbuf("ST", (na, n), np.float32)
+            ST.fill(0)
             if dedup_atoms:
                 # bare multi-column atoms repeat (doc, atom) once per
                 # column: scores SUM across columns (compile
@@ -365,7 +391,7 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
                 np.add.at(ST, (a_idx, r_idx), score_s[lo:hi])
             else:
                 ST[a_idx, r_idx] = score_s[lo:hi]
-            SW_T = np.empty((n_pos, n), dtype=np.float32)
+            SW_T = _kbuf("SW_T", (n_pos, n), np.float32)
             for g in range(n_pos):
                 glo, ghi = wsb[g], wsb[g + 1]
                 if ghi - glo == 1:
@@ -379,16 +405,20 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             if needed.size:
                 # presence == score > 0 under slim; per-needed-column
                 # counts ride the same CSC walk (counts are small
-                # exact integers, float32 sums are exact)
-                MT = (ST > 0).astype(np.float32)
-                CnT = np.empty((needed.size, n), dtype=np.float32)
+                # exact integers, float32 sums are exact).  Member
+                # rows compare > 0 per group (small m x n temps)
+                # instead of materializing a full dense (na x n) mask.
+                CnT = _kbuf("CnT", (needed.size, n), np.float32)
                 for j in range(needed.size):
                     glo, ghi = wcb[j], wcb[j + 1]
                     if ghi - glo == 1:
-                        np.multiply(MT[wca[glo]], wcw[glo], out=CnT[j])
+                        np.multiply(ST[wca[glo]] > 0, wcw[glo],
+                                    out=CnT[j])
                     elif ghi > glo:
-                        np.einsum("ij,i->j", MT[wca[glo:ghi]],
-                                  wcw[glo:ghi], out=CnT[j])
+                        np.einsum(
+                            "ij,i->j",
+                            (ST[wca[glo:ghi]] > 0).astype(np.float32),
+                            wcw[glo:ghi], out=CnT[j])
                     else:
                         CnT[j] = 0.0
                 matched_nT = CnT > 0
@@ -402,8 +432,13 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
                     SW_T[pos_and] *= matched_nT[pos_and_in_needed]
             # segmented group->query reduce over the POSITIVE columns
             # (group-major rows, so reduceat runs along axis 0 and the
-            # result is query-major and contiguous per query already)
-            score_qT = np.add.reduceat(SW_T, g_starts, axis=0)
+            # result is query-major and contiguous per query already);
+            # for one-group-per-query batches it would be a pure copy
+            if identity_groups:
+                score_qT = SW_T
+            else:
+                score_qT = _kbuf("score_qT", (nq, n), np.float32)
+                np.add.reduceat(SW_T, g_starts, axis=0, out=score_qT)
             matched_qT = score_qT > 0.0
         else:
             S = np.zeros((n, na), dtype=np.float64)
@@ -472,16 +507,35 @@ def _flat_score_topk(env, doc_col, atom_col, score_col):
             comp = np.searchsorted(crows, r_idx[pmask])
             ca_idx = a_idx[pmask]
             cscore = score_s[lo:hi][pmask]
-            S64 = np.zeros((crows.size, na), dtype=np.float64)
+            # exact float64 rescore over candidates, same CSC walk
+            # (float64 weights from the plan — identical group sums to
+            # the former dense S64 @ Wscore, ~n_atoms/|group| fewer ops)
+            nc = crows.size
+            S64T = _kbuf("S64T", (na, nc), np.float64)
+            S64T.fill(0)
             if dedup_atoms:
-                np.add.at(S64, (comp, ca_idx), cscore)
+                np.add.at(S64T, (ca_idx, comp), cscore)
             else:
-                S64[comp, ca_idx] = cscore
-            SW64 = S64 @ Wscore
+                S64T[ca_idx, comp] = cscore
+            SW64_T = _kbuf("SW64_T", (n_pos, nc), np.float64)
+            for g in range(n_pos):
+                glo, ghi = wsb[g], wsb[g + 1]
+                if ghi - glo == 1:
+                    np.multiply(S64T[wsa[glo]], wsw64[glo],
+                                out=SW64_T[g])
+                elif ghi > glo:
+                    np.einsum("ij,i->j", S64T[wsa[glo:ghi]],
+                              wsw64[glo:ghi], out=SW64_T[g])
+                else:
+                    SW64_T[g] = 0.0
             if matched_nT is not None and pos_and.size:
-                SW64[:, pos_and] *= \
-                    matched_nT[pos_and_in_needed][:, crows].T
-            score64_qT = np.add.reduceat(SW64, g_starts, axis=1).T
+                SW64_T[pos_and] *= matched_nT[pos_and_in_needed][:, crows]
+            if identity_groups:
+                score64_qT = SW64_T
+            else:
+                score64_qT = _kbuf("s64_qT", (nq, nc), np.float64)
+                np.add.reduceat(SW64_T, g_starts, axis=0,
+                                out=score64_qT)
             pos_in_crows = np.full(n, -1, dtype=np.int64)
             pos_in_crows[crows] = np.arange(crows.size)
             for ci in range(nq):
@@ -1699,12 +1753,13 @@ class SearchIndex:
             and_cols, np.arange(n_g, n_all)).astype(np.int64)
         nzg, nza = np.nonzero(Wscore_o.T)  # group-major, sorted by group
         wsb = np.searchsorted(nzg, np.arange(n_g + 1))
-        wsw = Wscore_o[nza, nzg].astype(np.float32)
+        wsw64 = Wscore_o[nza, nzg]  # float64, exact-rescore weights
         Wc_needed = np.ascontiguousarray(Wcount32[:, needed])
         nzgc, nzac = np.nonzero(Wc_needed.T)
         wcb = np.searchsorted(nzgc, np.arange(needed.size + 1))
         wcw = Wc_needed[nzac, nzgc]
-        csc = (slim, wsb, nza, wsw, wcb, nzac, wcw, needed)
+        csc = (slim, wsb, nza, wsw64.astype(np.float32), wsw64,
+               wcb, nzac, wcw, needed)
 
         return self._bcast((Wscore_o,
                             Wcount32,
@@ -1757,6 +1812,23 @@ class SearchIndex:
                 gather_s += _time.time() - t0
             if not docs:
                 return
+            dump = os.environ.get("TSS_KERNEL_DUMP_DIR")
+            if dump:
+                # offline-profiling hook: save this task's gathered
+                # kernel inputs + plan env once per worker pid, so
+                # _flat_score_topk can be profiled outside Spark on
+                # real task data (see scripts/kernel_profile.py)
+                import pickle as _pickle
+                os.makedirs(dump, exist_ok=True)
+                path = os.path.join(dump, f"task-{os.getpid()}.pkl")
+                if not os.path.exists(path):
+                    with open(path, "wb") as f:
+                        _pickle.dump({
+                            "env": b.value,
+                            "doc_col": np.concatenate(docs),
+                            "atom_col": np.concatenate(atoms_l),
+                            "score_col": np.concatenate(scores),
+                        }, f)
             t0 = _time.time()
             out = _flat_score_topk(b.value, np.concatenate(docs),
                                    np.concatenate(atoms_l),
