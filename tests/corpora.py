@@ -192,3 +192,44 @@ def ffi_english_rows():
         {"doc_id": i, "col1": FFI_ENGLISH_COL1[i], "col2": FFI_ENGLISH_COL2[i]}
         for i in range(10)
     ]
+
+
+# the 10 mixed Chinese-English documents from the reference's tokenizer
+# integration test (src/tokenizer/tests/tokenizer_test.rs:44-85) —
+# row_id i holds mocked_docs[i] in col1
+TOKENIZER_TEST_ZH_EN = [
+    "在繁忙的城市生活中，finding tranquility can be challenging. 每天的压力源源不断，"
+    "工作和家庭之间的平衡让人疲惫。However, taking time to meditate and relax——即使只是几分钟——"
+    "可以帮助我们恢复内心的平静。John Doe 曾经在《The Art of Peace》中提到，冥想是保持内心宁静的关键。",
+    "学习一门新的语言不仅仅是掌握语法和词汇。It's also about understanding the culture and "
+    "traditions behind it. 例如，学习中文（尤其是汉字）可以帮助你更好地了解中国的历史和风俗——"
+    "这是一种深入的文化体验。Linguist Noam Chomsky 在《Syntactic Structures》中强调了语言结构的重要性。",
+    "科技的进步改变了我们的生活方式。From smartphones to smart homes, technology is integrated "
+    "into every aspect of our daily lives. 这种变化带来了便利，也带来了新的挑战——比如隐私问题和信息安全。"
+    "Elon Musk 的公司 SpaceX 正在探索如何通过技术改变人类的未来。",
+    "旅行是扩展视野的最佳方式之一。Exploring new destinations allows you to experience different "
+    "cultures and meet new people. 每一次旅行都是一次成长的机会，让你对世界有更深的理解——这种经历是无价的。"
+    "Jules Verne 的《Around the World in Eighty Days》描述了旅行的奇妙冒险。",
+    "健康的生活方式包括均衡的饮食和规律的锻炼。Eating a variety of nutritious foods and staying "
+    "active can significantly improve your overall well-being. 健康不仅仅是身体的健康，还有心理的健康——"
+    "两者同样重要。Dr. Robert Atkins 的《Atkins Diet》提供了一种特殊的饮食方法。",
+    "艺术是表达情感的一种方式。Whether it's painting, music, or dance, art allows individuals to "
+    "convey their deepest thoughts and feelings. 通过艺术，人们可以找到一种独特的表达方式——这是一种心灵的释放。"
+    "Vincent van Gogh 的作品《Starry Night》是艺术表达的经典之作。",
+    "教育是社会进步的基石。Quality education provides individuals with the knowledge and skills "
+    "they need to succeed in life. 一个良好的教育体系可以提高国家的竞争力和创新能力——这对未来至关重要。"
+    "Malala Yousafzai 在《I Am Malala》中呼吁全球教育平等。",
+    "环境保护是我们共同的责任。Protecting our planet is crucial for the survival of future "
+    "generations. 我们应该采取积极的行动来减少污染和保护自然资源——这不仅仅是为了我们自己。"
+    "Rachel Carson 的《Silent Spring》揭示了环境保护的重要性。",
+    "经济的发展离不开创新和创业。Entrepreneurship drives economic growth by creating new jobs and "
+    "industries. 一个鼓励创新的环境可以激发更多人的创造力和潜力——从而促进社会的繁荣。"
+    "Steve Jobs 创立的 Apple 公司就是创新驱动经济的典范。",
+    "家庭是每个人最温暖的港湾。No matter how far you go, home is always where the heart is. "
+    "家庭成员之间的支持和关爱是我们克服困难的最大动力——这种力量是无与伦比的。"
+    "J.K. Rowling 的《Harry Potter》系列中强调了家庭和友谊的力量。",
+]
+
+
+def tokenizer_test_zh_en_rows():
+    return [{"doc_id": i, "col1": TOKENIZER_TEST_ZH_EN[i]} for i in range(10)]

@@ -178,3 +178,58 @@ class TestBM25Goldens:
         after = _rows(ix.bm25_search(
             "Ancient", top_k=10, operator_or=True, enable_nlq=True))
         assert after == []
+
+
+class TestTokenizerTestRs:
+    """Parity with the reference's tokenizer integration test
+    (src/tokenizer/tests/tokenizer_test.rs:174-199 `test_different_tokenizers`,
+    corpus at :44-85): a `simple` case-insensitive chain over 10 mixed
+    Chinese-English documents, queried with the mixed sentence
+    "Elon Musk 是否能够使得世界经济繁荣" through both the standard and the
+    natural-language strategies (operation_or=true, top_k=10)."""
+
+    QUERY = "Elon Musk 是否能够使得世界经济繁荣"
+
+    @pytest.fixture(scope="class")
+    def zh_en_simple(self, spark, tmp_path_factory):
+        from corpora import tokenizer_test_zh_en_rows
+        path = str(tmp_path_factory.mktemp("tokrs") / "zh_en_simple")
+        cfg = IndexConfig.from_json(
+            ["col1"],
+            '{"col1":{"tokenizer":{"type":"simple",'
+            ' "case_sensitive":false}}}')
+        cfg.parts_per_shard = 2
+        cfg.n_buckets = 8
+        df = spark.createDataFrame(tokenizer_test_zh_en_rows())
+        IndexBuilder(spark, path, cfg, rows_per_part=4).build(
+            df, id_col="doc_id")
+        return SearchIndex(spark, path)
+
+    def test_simple_chain_cjk_run_tokens(self, zh_en_simple):
+        # tantivy's SimpleTokenizer splits on non-alphanumeric and CJK
+        # chars ARE alphanumeric ('哈'.is_alphanumeric() — the property
+        # the reference test prints at tokenizer_test.rs:176-178), so a
+        # contiguous CJK run is ONE token
+        an = zh_en_simple.config.analyzer("col1")
+        assert an("在繁忙的城市生活中，finding tranquility") == \
+            ["在繁忙的城市生活中", "finding", "tranquility"]
+        assert an(self.QUERY) == ["elon", "musk", "是否能够使得世界经济繁荣"]
+
+    def test_mixed_query_both_strategies(self, zh_en_simple):
+        # only doc 2 contains "Elon Musk"; the query's CJK run is not a
+        # token of any document, so both strategies return exactly row 2
+        ix = zh_en_simple
+        std = ix.bm25_search(self.QUERY, top_k=10, operator_or=True)
+        assert _rows(std) == [2]
+        nlq = ix.bm25_search(self.QUERY, top_k=10, operator_or=True,
+                             enable_nlq=True)
+        assert _rows(nlq) == [2]
+
+    def test_mixed_query_local_tier(self, zh_en_simple):
+        ix_local = SearchIndex.open_local(zh_en_simple.index_path)
+        try:
+            got = ix_local.bm25_search_local(
+                self.QUERY, top_k=10, operator_or=True)
+            assert [r[0] for r in got] == [2]
+        finally:
+            ix_local.close()
