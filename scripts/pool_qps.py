@@ -440,15 +440,23 @@ def main() -> None:
                                             else [])
     doc["runs"].append(result)
     best: dict = {"n_files": N_FILES, "classes": {}, "bitmap": {}}
+    top100_best: dict = {}
     for run in doc["runs"]:
         for name, cls in run.get("classes", {}).items():
             cls = dict(cls)
             cls["qps_by_procs"] = {str(k): v for k, v
                                    in cls["qps_by_procs"].items()}
+            if "qps_16proc_top100" in cls:
+                top100_best[name] = max(top100_best.get(name, 0.0),
+                                        cls["qps_16proc_top100"])
             cur = best["classes"].get(name)
             if cur is None or (cls["qps_by_procs"]["16"]
                                > cur["qps_by_procs"]["16"]):
                 best["classes"][name] = cls
+    # top-100 best-of is independent of which run won the top-10 slot
+    # (not every run measured top-100)
+    for name, v in top100_best.items():
+        best["classes"][name]["qps_16proc_top100"] = v
         for k, v in run.get("bitmap", {}).items():
             if isinstance(v, (int, float)):
                 best["bitmap"][k] = max(best["bitmap"].get(k, 0.0), v)
