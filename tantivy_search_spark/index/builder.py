@@ -51,6 +51,7 @@ from tantivy_search_spark.index.layout import (
     POSTINGS_DIR,
     SEGMENTS_DIR,
     STATS_DIR,
+    TOMBSTONES_DIR,
     IndexMeta,
     encode_blocks,
 )
@@ -358,11 +359,16 @@ def _merger(cfg_json: str, max_postings_per_sub: int = 262_144):
 
 
 def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
-                         max_postings_per_sub: int) -> pd.DataFrame:
+                         max_postings_per_sub: int,
+                         purge_ids: np.ndarray | None = None) -> pd.DataFrame:
     """Shared merge/compact kernel: rows of ONE (col, term, shard) group,
     already ordered by ascending doc range, -> minimal ``sub`` rows.
     Positions buffers concatenate in the same posting order, so the flat
-    layout survives merge and is re-split at sub boundaries by tf."""
+    layout survives merge and is re-split at sub boundaries by tf.
+
+    ``purge_ids`` (sorted int64): postings for these doc ids are dropped
+    from the re-encoded rows — the physical-delete half of
+    ``IndexBuilder.compact(purge_deletes=True)``."""
     col = pdf["col"].iloc[0]
     term = pdf["term"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
@@ -392,6 +398,16 @@ def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
             f"term={term!r}, shard={shard}): {len(pos_flat)} bytes != "
             f"4 * total tf {int(cum_tf[-1])}; mixed positions/"
             "positions-free fragments cannot merge")
+    if purge_ids is not None and purge_ids.size and doc_ids.size:
+        hit = np.searchsorted(purge_ids, doc_ids)
+        drop = purge_ids[np.minimum(hit, purge_ids.size - 1)] == doc_ids
+        if drop.any():
+            keep = ~drop
+            if pos_flat:
+                pos = np.frombuffer(pos_flat, dtype="<u4")
+                pos_flat = pos[np.repeat(keep, tf)].tobytes()
+            doc_ids, tf, nm = doc_ids[keep], tf[keep], nm[keep]
+            cum_tf = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
     out: dict[str, list] = {k: [] for k in (
         "bucket", "col", "term", "shard", "sub", "df", "block_first",
         "block_last", "block_max_tf", "block_min_norm", "deltas", "tfs",
@@ -462,11 +478,15 @@ def _bitmap_packer(block_size: int, chunk_bytes: int):
     return pack
 
 
-def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
+def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144,
+               purge_bc=None):
     """Grouped-map fn: multi-row (col, term, shard) posting group ->
     minimal merged rows.  Rows cover disjoint doc ranges (append parts
     are strictly increasing), so sorting rows by their first doc id and
-    concatenating yields one globally sorted run."""
+    concatenating yields one globally sorted run.
+
+    ``purge_bc``: optional Spark broadcast of a sorted int64 doc-id
+    array whose postings are physically dropped during the rewrite."""
     cfg = IndexConfig.from_meta_json(cfg_json)
     bs = cfg.block_size
 
@@ -474,7 +494,9 @@ def _compactor(cfg_json: str, max_postings_per_sub: int = 262_144):
         pdf = pdf.assign(
             _first=pdf["block_first"].map(lambda a: int(a[0]) if len(a) else -1)
         ).sort_values("_first")
-        return _concat_rows_to_subs(pdf, bs, max_postings_per_sub)
+        return _concat_rows_to_subs(
+            pdf, bs, max_postings_per_sub,
+            purge_ids=None if purge_bc is None else purge_bc.value)
 
     return compact_group
 
@@ -806,7 +828,8 @@ class IndexBuilder:
         return merged.unionByName(passthrough)
 
     # -- compaction (reference B8, LogMergePolicy analog) ---------------------
-    def compact(self, min_rows_per_group: int = 2) -> dict:
+    def compact(self, min_rows_per_group: int = 2,
+                purge_deletes: bool = False) -> dict:
         """Fold multi-row (col, term, shard) posting groups into minimal
         rows.  Appends are strictly additive (each lands in new doc-range
         parts), so a hot (term, shard) key accumulates one extra row per
@@ -820,6 +843,26 @@ class IndexBuilder:
         proportional to the fragmented fraction, not the index size.
         Queries are unaffected either way — both scoring paths treat
         rows independently.
+
+        ``purge_deletes=True`` additionally folds the tombstone set into
+        the rewrite — Tantivy's merge drops deleted docs the same way
+        (alive-bitset applied at segment merge), so delete sets stop
+        growing without bound and queries stop paying the serve-time
+        mask.  Physically: every posting group whose doc range overlaps
+        a tombstone is rewritten with those postings removed, the docs
+        table drops the rows, stats (df) are recomputed from the
+        rewritten postings, and meta (total_docs, per-col total_tokens,
+        part_ranges) is recomputed exactly — so the purged index is
+        indistinguishable from one where the docs were never indexed
+        (property-pinned in tests/test_purge.py), including BM25 scores
+        (idf/avgdl shift to the post-delete corpus, exactly like a
+        Tantivy merge).  The tombstone set rides one Spark broadcast of
+        8 bytes/id during the rewrite; the job is offline/heavyweight by
+        design.  Construct the builder with the build's
+        ``rows_per_part`` (same requirement as ``append``).  Crash-safe:
+        table swaps use the recover_swaps rename protocol, deleted docs
+        can never resurrect (tombstones are cleared only after postings
+        are purged), and a re-run after any crash point converges.
         """
         spark = self.spark
         cfg_json = self.config.to_json()
@@ -831,19 +874,48 @@ class IndexBuilder:
             # the current schema with empty buffers
             postings = postings.withColumn("positions", F.lit(b""))
 
-        counts = postings.groupBy("col", "term", "shard").agg(
-            F.count("*").alias("_rows"))
-        frag = postings.join(
-            counts.where(F.col("_rows") >= min_rows_per_group),
-            ["col", "term", "shard"], "left_semi")
-        intact = postings.join(
-            counts.where(F.col("_rows") >= min_rows_per_group),
-            ["col", "term", "shard"], "left_anti")
+        tomb_dir = os.path.join(self.index_path, TOMBSTONES_DIR)
+        purge_bc = None
+        tombs_df = None
+        if purge_deletes and os.path.isdir(tomb_dir) and any(
+                n.endswith(".parquet") for n in os.listdir(tomb_dir)):
+            tombs_df = spark.read.parquet(tomb_dir).select("doc_id").distinct()
+            purge_arr = np.sort(
+                tombs_df.toPandas()["doc_id"].to_numpy(np.int64))
+            if purge_arr.size:
+                purge_bc = spark.sparkContext.broadcast(purge_arr)
+
+        grouped = postings.groupBy("col", "term", "shard")
+        if purge_bc is not None:
+            # a group is rewritten if fragmented OR any of its rows' doc
+            # ranges [first block_first, last block_last] overlaps a
+            # tombstone (exact overlap test via two searchsorteds)
+            @F.pandas_udf("boolean")
+            def _touched(lo: pd.Series, hi: pd.Series) -> pd.Series:
+                t = purge_bc.value
+                lo_i = np.searchsorted(t, lo.to_numpy(np.int64), "left")
+                hi_i = np.searchsorted(t, hi.to_numpy(np.int64), "right")
+                return pd.Series(hi_i > lo_i)
+
+            flags = postings.withColumn(
+                "_t", _touched(F.element_at("block_first", 1),
+                               F.element_at("block_last", -1))) \
+                .groupBy("col", "term", "shard").agg(
+                    F.count("*").alias("_rows"), F.max("_t").alias("_hit"))
+            rewrite_keys = flags.where(
+                (F.col("_rows") >= min_rows_per_group) | F.col("_hit"))
+        else:
+            counts = grouped.agg(F.count("*").alias("_rows"))
+            rewrite_keys = counts.where(F.col("_rows") >= min_rows_per_group)
+        frag = postings.join(rewrite_keys, ["col", "term", "shard"],
+                             "left_semi")
+        intact = postings.join(rewrite_keys, ["col", "term", "shard"],
+                               "left_anti")
 
         n_frag_rows = frag.count()
         t0 = time.time()
         compacted = frag.groupBy("col", "term", "shard").applyInPandas(
-            _compactor(cfg_json), layout.POSTINGS_SCHEMA)
+            _compactor(cfg_json, purge_bc=purge_bc), layout.POSTINGS_SCHEMA)
         out = intact.select(*[f.name for f in layout.POSTINGS_SCHEMA.fields]) \
             .unionByName(compacted)
         new_dir = postings_dir + "_compacting"
@@ -861,9 +933,87 @@ class IndexBuilder:
             "rows_after": n_after,
             "secs": round(time.time() - t0, 3),
         }
+        if purge_bc is not None:
+            metrics.update(self._purge_commit(tombs_df, tomb_dir))
         self._ckpt_write(
             f"compact{int(time.time())}", metrics)
         return metrics
+
+    def _purge_commit(self, tombs_df: DataFrame, tomb_dir: str) -> dict:
+        """Post-postings-purge commit sequence: docs-table rewrite,
+        stats/meta recompute from the purged tables, tombstone clear,
+        meta save.  Ordered so a crash at ANY point leaves a queryable
+        index that never returns a deleted doc (postings are already
+        purged when this runs; until the meta commit, stale totals only
+        shift scores within the pre-purge masked semantics)."""
+        spark = self.spark
+        meta = IndexMeta.load(self.index_path)
+
+        # docs table: drop tombstoned rows (anti-join — no broadcast cap)
+        docs_dir = os.path.join(self.index_path, DOCS_DIR)
+        spark.read.parquet(docs_dir).join(tombs_df, "doc_id", "left_anti") \
+            .write.mode("overwrite").parquet(docs_dir + "_new")
+        os.rename(docs_dir, docs_dir + "_old")
+        os.rename(docs_dir + "_new", docs_dir)
+        shutil.rmtree(docs_dir + "_old")
+
+        # stats: df recomputed from the purged postings
+        postings = spark.read.parquet(
+            os.path.join(self.index_path, POSTINGS_DIR))
+        stats_dir = os.path.join(self.index_path, STATS_DIR)
+        postings.groupBy("col", "term").agg(
+            F.sum("df").alias("df"), F.first("bucket").alias("bucket"),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            stats_dir + "_new")
+        os.rename(stats_dir, stats_dir + "_old")
+        os.rename(stats_dir + "_new", stats_dir)
+        shutil.rmtree(stats_dir + "_old")
+
+        # exact totals from the purged tables (segments chunks retain the
+        # pre-purge token mass, so they cannot be the source here; append
+        # maintains totals additively off this meta from now on)
+        @F.pandas_udf("long")
+        def _tf_mass(tfs: pd.Series) -> pd.Series:
+            return tfs.map(lambda b: int(np.frombuffer(b, "<u4").sum())
+                           if b else 0)
+
+        total_tokens = {c: 0 for c in self.config.columns}
+        for r in postings.select("col", _tf_mass("tfs").alias("n")) \
+                .groupBy("col").agg(F.sum("n").alias("n")).collect():
+            total_tokens[r["col"]] = int(r["n"])
+        docs_df = spark.read.parquet(docs_dir)
+        total_docs = docs_df.count()
+        part_ranges = [
+            [int(r["part_id"]), int(r["first"]), int(r["last"]),
+             int(r["rows"])]
+            for r in docs_df.withColumn(
+                "part_id",
+                (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
+            .groupBy("part_id").agg(
+                F.min("doc_id").alias("first"),
+                F.max("doc_id").alias("last"),
+                F.count("*").alias("rows")).collect()
+        ]
+
+        # tombstones are folded in — clear them, then commit the meta
+        # (also retires any bitmap sidecar via the fence/total_docs check)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        n_purged = (meta.total_docs or 0) - total_docs
+        IndexMeta(
+            config_json=meta.config_json,
+            num_parts=len(part_ranges),
+            total_docs=total_docs,
+            total_tokens=total_tokens,
+            part_ranges=sorted(part_ranges),
+            build_metrics=meta.build_metrics,
+            committed_fence=self._data_fence(),
+            # pre-purge id high-water mark: append() must never reissue
+            # a purged id to a new doc
+            max_doc_id=max(
+                max((r[2] for r in meta.part_ranges or []), default=-1),
+                meta.max_doc_id if meta.max_doc_id is not None else -1),
+        ).save(self.index_path)
+        return {"purged_docs": int(n_purged), "total_docs": int(total_docs)}
 
     def optimize_layout(self, row_group_mb: int = 4) -> dict:
         """Term-major rewrite of the postings table — serve-optimize.
@@ -1135,7 +1285,8 @@ class IndexBuilder:
         if repaired["docs"] or repaired["postings"]:
             self._ckpt_write(f"repair{int(time.time())}", repaired)
         meta = IndexMeta.load(self.index_path)
-        old_max = max((r[2] for r in meta.part_ranges or []), default=-1)
+        old_max = max(max((r[2] for r in meta.part_ranges or []), default=-1),
+                      meta.max_doc_id if meta.max_doc_id is not None else -1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
 
         if id_col is None:
@@ -1200,11 +1351,25 @@ class IndexBuilder:
         os.rename(stats_dir + "_new", stats_dir)
         shutil.rmtree(stats_dir + "_old")
 
-        segs = self.spark.read.parquet(
-            os.path.join(self.index_path, SEGMENTS_DIR, "chunk=*"))
+        # totals: prior meta + this chunk's token mass.  Additive (not a
+        # full chunk=* segments rescan) because compact(purge_deletes)
+        # rewrites postings without touching old segment chunks — the
+        # prior meta is the exact committed total, segments may not be.
         total_tokens = {c: 0 for c in self.config.columns}
-        for r in segs.groupBy("col").agg(F.sum("sum_tf").alias("n")).collect():
-            total_tokens[r["col"]] = int(r["n"])
+        if meta.total_tokens is None:
+            # legacy meta: one-time exact recompute from all chunks
+            segs = self.spark.read.parquet(
+                os.path.join(self.index_path, SEGMENTS_DIR, "chunk=*"))
+            for r in segs.groupBy("col").agg(
+                    F.sum("sum_tf").alias("n")).collect():
+                total_tokens[r["col"]] = int(r["n"])
+        else:
+            new_segs = self.spark.read.parquet(seg_chunk)
+            for r in new_segs.groupBy("col").agg(
+                    F.sum("sum_tf").alias("n")).collect():
+                total_tokens[r["col"]] = int(r["n"])
+            for c in self.config.columns:
+                total_tokens[c] += int(meta.total_tokens.get(c, 0))
         docs_df = self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
         part_ranges = [
             [int(r["part_id"]), int(r["first"]), int(r["last"]), int(r["rows"])]
@@ -1224,6 +1389,7 @@ class IndexBuilder:
             part_ranges=sorted(part_ranges),
             build_metrics=meta.build_metrics,
             committed_fence=self._data_fence(),
+            max_doc_id=meta.max_doc_id,
         )
         new_meta.save(self.index_path)  # <- the commit point
         # bookkeeping AFTER the commit: a crash before meta.save leaves

@@ -66,7 +66,7 @@ def recover_swaps(index_path: str, drop_stray: bool = False) -> None:
         concurrent writer's in-progress dir)
     """
     import shutil as _shutil
-    for d in (POSTINGS_DIR, STATS_DIR, BITMAPS_DIR):
+    for d in (POSTINGS_DIR, STATS_DIR, BITMAPS_DIR, DOCS_DIR):
         live = os.path.join(index_path, d)
         old = live + "_old"
         if os.path.exists(old):
@@ -323,6 +323,10 @@ class IndexMeta:
     #: misclassify a crashed append's artifacts under writer/storage
     #: clock skew: any post-commit write lands at or after the fence.
     committed_fence: float | None = None
+    #: doc-id high-water mark — survives compact(purge_deletes=True)
+    #: removing the max-id docs, so append() never reissues a purged id
+    #: (None on pre-purge metas: part_ranges max is then exact)
+    max_doc_id: int | None = None
 
     def save(self, index_path: str) -> None:
         with open(os.path.join(index_path, META_FILE), "w") as f:
