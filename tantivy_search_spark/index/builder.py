@@ -1268,7 +1268,8 @@ class IndexBuilder:
 
     # -- incremental ingest ---------------------------------------------------
     def append(self, df: DataFrame, id_col: str | None = None,
-               order_cols: list[str] | None = None) -> IndexMeta:
+               order_cols: list[str] | None = None,
+               auto_compact_min_rows: int | None = None) -> IndexMeta:
         """Reference B4+B5 incremental semantics: index more docs, then
         'commit' makes them visible to readers (SearchIndex.reload()).
 
@@ -1278,6 +1279,11 @@ class IndexBuilder:
         an append lands in a partially-filled shard; rows cover disjoint
         doc ranges, and both scoring paths treat rows independently, so
         this is query-transparent (compaction can fold them later).
+        ``auto_compact_min_rows`` is the LogMergePolicy analog (the
+        reference background-merges once >= 5 segments accumulate,
+        src/index/implements/index_manager.rs:90-92): after the commit,
+        if any (col, term, shard) group holds that many rows, run
+        ``compact(min_rows_per_group=auto_compact_min_rows)`` inline.
         Stats and meta totals are recomputed (cheap aggregates).
         """
         layout.recover_swaps(self.index_path, drop_stray=True)
@@ -1399,4 +1405,10 @@ class IndexBuilder:
             "secs": secs, "base": base, "total_docs": total_docs,
             "docs_per_sec": (total_docs - (meta.total_docs or 0)) / max(secs, 1e-9),
         })
+        if auto_compact_min_rows is not None:
+            frag = postings.groupBy("col", "term", "shard").count() \
+                .where(F.col("count") >= auto_compact_min_rows).limit(1)
+            if frag.count():
+                self.compact(min_rows_per_group=auto_compact_min_rows)
+                return IndexMeta.load(self.index_path)
         return new_meta

@@ -159,3 +159,39 @@ class TestOptimizeLayout:
             "Ancient empires rise and fall", top_k=20, operator_or=True,
             use_wand=True) == local_before
         loc.close()
+
+
+class TestAutoCompact:
+    def test_append_auto_compacts_at_threshold(self, spark, tmp_path):
+        """LogMergePolicy analog: append(auto_compact_min_rows=3) folds
+        once a (col, term, shard) group reaches 3 rows, results invariant
+        (reference merges in the background once >= 5 segments,
+        index_manager.rs:90-92)."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        cfg = IndexConfig.from_json(["col1", "col2", "col3"], "{}")
+        cfg.parts_per_shard = 64
+        path = str(tmp_path / "auto")
+        b = IndexBuilder(spark, path, cfg, rows_per_part=4)
+        b.build(spark.createDataFrame(part0_rows(0)), id_col="doc_id")
+        b.append(spark.createDataFrame(part1_rows(0)), id_col="doc_id",
+                 auto_compact_min_rows=3)
+        ix = SearchIndex(spark, path)
+        # 2 ingests: below threshold, nothing folded yet
+        frag2 = (ix._postings.groupBy("col", "term", "shard")
+                 .agg(F.count("*").alias("n")).where(F.col("n") >= 3).count())
+        before = _results(ix)
+        b.append(spark.createDataFrame(corpus_a_rows()), id_col="doc_id",
+                 auto_compact_min_rows=3)
+        ix.reload()
+        after_rows = (ix._postings.groupBy("col", "term", "shard")
+                      .agg(F.count("*").alias("n")).where(F.col("n") >= 3)
+                      .count())
+        assert frag2 == 0 or after_rows < frag2
+        assert after_rows == 0  # third ingest tripped the fold
+        # old-doc rows survive (scores shift with corpus growth)
+        for k in before:
+            assert {x[0] for x in before[k]} <= \
+                {x[0] for x in _results(ix)[k]}, k
