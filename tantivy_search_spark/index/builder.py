@@ -560,11 +560,14 @@ class IndexBuilder:
             shutil.rmtree(self.index_path)
         os.makedirs(self.index_path, exist_ok=True)
 
+        staged_ck: dict | None = None
         if id_col is None:
             # stage assigned ids to disk: doc_ids must be stable across a
             # killed-and-restarted build for chunk-level resume
             staged_path = os.path.join(self.index_path, "_staged")
-            if self._ckpt_done("staged") is None:
+            staged_ck = self._ckpt_done("staged")
+            if staged_ck is None:
+                t0 = time.time()
                 cols = order_cols or self.config.columns
                 if self.durable_ids:
                     presort = staged_path + "_presort"
@@ -574,7 +577,8 @@ class IndexBuilder:
                 else:
                     assign_doc_ids(df, cols).write.mode(
                         "overwrite").parquet(staged_path)
-                self._ckpt_write("staged", {"done": True})
+                staged_ck = {"done": True, "secs": time.time() - t0}
+                self._ckpt_write("staged", staged_ck)
             df = self.spark.read.parquet(staged_path)
         elif id_col != "doc_id":
             df = df.withColumnRenamed(id_col, "doc_id")
@@ -583,6 +587,8 @@ class IndexBuilder:
         )
 
         metrics: dict = {"stages": {}}
+        if staged_ck is not None:
+            metrics["stages"]["staged"] = staged_ck
 
         # ---- docs table (sha256 audit column, JVM-only expressions) -------
         docs_ck = self._ckpt_done("docs")
