@@ -70,6 +70,18 @@ def bucket_col(term_col: str, n_buckets: int):
     return (F.crc32(F.encode(F.col(term_col), "utf-8")) % n_buckets).cast("int")
 
 
+def _sort_key_expr(order_cols: list[str]):
+    """One sortable string key per row: columns joined on NUL.
+
+    For string columns without embedded NUL bytes, lexicographic order
+    of the key equals lexicographic tuple order of the columns (NUL is
+    the minimal code point, so a shorter first column always sorts
+    before any extension of it).
+    """
+    return F.concat_ws(
+        "\x00", *[F.coalesce(F.col(c), F.lit("")) for c in order_cols])
+
+
 def assign_doc_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -79,12 +91,106 @@ def assign_doc_ids(
     """Deterministic, scalable global doc_id assignment.
 
     Equivalent semantics to ``row_number() over (order by <order_cols>)``
-    but without a single-partition window: range-repartition on the sort
-    key, count rows per partition (cheap column-pruned job), then add the
-    exclusive-prefix-sum offset inside a mapInPandas pass.
+    but without a single-partition window.
+
+    All-string sort keys (the index-build case: repo/path/commit) take
+    the deterministic-boundary path: sample the concatenated sort key
+    once on the driver, derive range boundaries, and compute each row's
+    partition id as a PURE FUNCTION of the row (vectorized binary
+    search in a Pandas UDF).  Because the id is row-determined — unlike
+    Spark's RangePartitioner, which re-samples boundaries per job — the
+    per-partition count job and the assignment job agree without
+    materializing anything: no localCheckpoint, no second full pass,
+    and executor retries recompute byte-identical output.  The count
+    job reads only the sort-key columns (column-pruned scan); the one
+    full-row pass is the hash shuffle on the computed partition id.
+
+    Non-string sort keys fall back to the pinned-RangePartitioner path
+    (range shuffle + eager localCheckpoint) — correct, but it
+    materializes the whole input to executor storage, so it is not the
+    shape you want at 100 TB.
     """
     spark = df.sparkSession
     p = num_parts or max(spark.sparkContext.defaultParallelism, 8)
+    if not all(df.schema[c].dataType.simpleString() == "string"
+               for c in order_cols):
+        return _assign_doc_ids_checkpoint(df, order_cols, p, base_id)
+
+    key = _sort_key_expr(order_cols)
+    n = df.count()  # column-pruned (metadata-only on parquet sources)
+    if n == 0:
+        out_schema = "doc_id long, " + ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        return spark.createDataFrame([], out_schema)
+    # boundaries: one seeded sample over the pruned key column, sorted,
+    # thinned to p-1 cut points.  Collected once on the driver before
+    # any downstream job, so every task sees the same literals.
+    want = min(n, p * 32)
+    frac = min(1.0, 1.2 * want / n)
+    sampled = sorted(
+        r["_k"] for r in
+        df.select(key.alias("_k")).sample(fraction=frac, seed=42).collect())
+    if p <= 1:
+        bounds = []
+    elif len(sampled) > p - 1:
+        step = len(sampled) / p
+        bounds = sorted({sampled[int(step * i)] for i in range(1, p)})
+    else:
+        bounds = sorted(set(sampled[1:-1]))
+    b_bounds = spark.sparkContext.broadcast(np.array(bounds, dtype=object))
+
+    @F.pandas_udf("int")
+    def _pid_of(k: pd.Series) -> pd.Series:
+        bb = b_bounds.value
+        if bb.size == 0:
+            return pd.Series(np.zeros(len(k), dtype=np.int32))
+        idx = np.searchsorted(bb, k.to_numpy(dtype=object), side="right")
+        return pd.Series(idx.astype(np.int32))
+
+    with_pid = df.withColumn("_pid", _pid_of(key))
+    counts = {r["_pid"]: r["cnt"] for r in
+              with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = base_id
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = "doc_id long, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a hash-shuffled task may hold several _pid groups; rows are
+        # sorted (_pid, key) so each group is contiguous
+        off = b_offsets.value
+        seen: dict[int, int] = {}
+        for pdf in it:
+            pids = pdf["_pid"].to_numpy()
+            pdf = pdf.drop(columns=["_pid"])
+            ids = np.empty(len(pdf), dtype=np.int64)
+            start = 0
+            for pid, cnt in zip(*np.unique(pids, return_counts=True)):
+                base = off[int(pid)] + seen.get(int(pid), 0)
+                ids[start:start + cnt] = np.arange(base, base + cnt)
+                seen[int(pid)] = seen.get(int(pid), 0) + int(cnt)
+                start += cnt
+            pdf.insert(0, "doc_id", ids)
+            yield pdf
+
+    parted = (with_pid.repartition(p, "_pid")
+              .sortWithinPartitions("_pid", *order_cols))
+    return parted.mapInPandas(add_ids, out_schema)
+
+
+def _assign_doc_ids_checkpoint(
+    df: DataFrame,
+    order_cols: list[str],
+    p: int,
+    base_id: int,
+) -> DataFrame:
+    """RangePartitioner path for non-string sort keys (see assign_doc_ids)."""
+    spark = df.sparkSession
     parted = df.repartitionByRange(p, *order_cols).sortWithinPartitions(*order_cols)
     parted = parted.withColumn("_pid", F.spark_partition_id())
     # Pin the range partitioning: RangePartitioner re-samples boundaries
@@ -94,9 +200,6 @@ def assign_doc_ids(
     # rows).  An eager local checkpoint makes every downstream job read
     # the same blocks; and since the sort keys are unique, the final
     # ids are then independent of whatever boundaries were sampled.
-    # (Executor-storage checkpoint: on a real cluster with lineage-
-    # loss concerns, write to a staging dir instead — build() persists
-    # the result to _staged immediately anyway.)
     parted = parted.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["cnt"] for r in
               parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
@@ -288,21 +391,27 @@ def _segment_builder_stream(cfg_json: str):
         buf: list[pd.DataFrame] = []
         cur_part = None
         last_doc = None
-        flushed_max: dict[int, int] = {}
+        flushed_max: dict[int, list[tuple[int, int]]] = {}
 
         def flush():
             pdf_all = pd.concat(buf, ignore_index=True)
             part = int(cur_part)
             lo = int(pdf_all["doc_id"].min())
             hi = int(pdf_all["doc_id"].max())
-            if part in flushed_max and lo <= flushed_max[part]:
-                raise ValueError(
-                    "shuffle-free segments stage saw interleaved doc "
-                    f"ranges for part {part} (doc {lo} after flushing "
-                    f"up to {flushed_max[part]}) — the input is not "
-                    "ordered; build with segment_shuffle='group' for "
-                    "arbitrary layouts")
-            flushed_max[part] = max(flushed_max.get(part, -1), hi)
+            # Disjointness, not order, is the requirement: a part split
+            # across input files can arrive high-half first (Spark
+            # packs files into tasks by size, not range).  Raise only
+            # when ranges truly OVERLAP — overlapping fragments would
+            # merge into duplicate postings.
+            for plo, phi in flushed_max.get(part, ()):
+                if lo <= phi and hi >= plo:
+                    raise ValueError(
+                        "shuffle-free segments stage saw overlapping doc "
+                        f"ranges for part {part} ([{lo}, {hi}] vs flushed "
+                        f"[{plo}, {phi}]) — the input is not ordered; "
+                        "build with segment_shuffle='group' for "
+                        "arbitrary layouts")
+            flushed_max.setdefault(part, []).append((lo, hi))
             return build_part(pdf_all)
 
         for pdf in it:

@@ -288,6 +288,48 @@ class TestAssignDocIds:
         assert hashes[0] == hashes[1]
 
 
+    def test_string_keys_deterministic_path(self, spark):
+        """All-string sort keys take the deterministic-boundary path (no
+        localCheckpoint): ids must be dense, unique, GLOBALLY ordered by
+        the sort key, and byte-stable across runs — including when
+        num_parts exceeds the data's natural spread and when several
+        pid groups share a hash-shuffled task."""
+        from pyspark.sql import functions as F
+        from tantivy_search_spark.index.builder import assign_doc_ids
+
+        df = spark.range(0, 3000, 1, 16).select(
+            F.concat(F.lit("r"), F.format_string(
+                "%05d", (F.col("id") * 2654435761) % 100000)).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"))
+        for p in (1, 7, 64):
+            out = assign_doc_ids(df, ["repo", "path"], num_parts=p)
+            rows = out.collect()
+            n = len(rows)
+            ids = sorted(r["doc_id"] for r in rows)
+            assert ids == list(range(n))
+            by_id = sorted(rows, key=lambda r: r["doc_id"])
+            keys = [(r["repo"], r["path"]) for r in by_id]
+            assert keys == sorted(keys)  # id order == global sort order
+        # repeat-run stability at one p
+        a = {(r["repo"], r["path"]): r["doc_id"]
+             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7).collect()}
+        b = {(r["repo"], r["path"]): r["doc_id"]
+             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7).collect()}
+        assert a == b
+
+    def test_string_keys_with_nulls(self, spark):
+        from pyspark.sql import functions as F
+        from tantivy_search_spark.index.builder import assign_doc_ids
+
+        df = spark.range(0, 200).select(
+            F.when(F.col("id") % 17 == 0, F.lit(None))
+             .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+             .alias("key"))
+        out = assign_doc_ids(df, ["key"], num_parts=5)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == list(range(200))
+
+
 class TestBitmapResultCache:
     """Reference CACHE_FOR_SKIP_INDEX analog: repeated bitmap queries hit
     a bounded result cache; commit/delete (reload) invalidates."""

@@ -74,15 +74,44 @@ class TestStreamSegments:
                      segment_shuffle="stream").build(sdf, id_col="doc_id")
         assert _results(spark, ref_path) == _results(spark, split_path)
 
-    def test_unordered_input_raises(self, spark, tmp_path):
+    def test_descending_disjoint_input_builds_correctly(self, spark,
+                                                        tmp_path):
+        """Strictly descending ids form single-row monotonic runs with
+        DISJOINT per-part ranges — legal for the stream stage (a part
+        split across files can arrive high-half first under Spark's
+        size-ordered file packing), and the index must answer
+        identically to the shuffled build."""
         from corpora import corpus_a_rows
 
-        rows = list(reversed(corpus_a_rows()))
+        rows = corpus_a_rows()
+        ref_path = str(tmp_path / "idx_ref")
+        IndexBuilder(spark, ref_path, _cfg(), rows_per_part=2,
+                     segment_shuffle="group").build(
+            spark.createDataFrame(rows), id_col="doc_id")
+        rev_path = str(tmp_path / "idx_rev")
         df = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1))
-        with pytest.raises(Exception, match="interleaved doc ranges"):
+            spark.sparkContext.parallelize(list(reversed(rows)), 1))
+        IndexBuilder(spark, rev_path, _cfg(), rows_per_part=2,
+                     segment_shuffle="stream").build(df, id_col="doc_id")
+        assert _results(spark, ref_path) == _results(spark, rev_path)
+
+    def test_overlapping_input_raises(self, spark, tmp_path):
+        """Genuinely interleaved OVERLAPPING ranges for one part must
+        raise — overlapping fragments would merge into duplicate
+        postings."""
+        from corpora import corpus_a_rows
+
+        rows = corpus_a_rows()
+        # evens-then-odds: run [0,2,4,...] then run [1,3,5,...] — two
+        # monotonic runs with overlapping spans inside one part
+        shuffled = sorted(rows, key=lambda r: (r["doc_id"] % 2,
+                                               r["doc_id"]))
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(shuffled, 1))
+        with pytest.raises(Exception, match="overlapping doc ranges"):
             IndexBuilder(
-                spark, str(tmp_path / "idx_bad"), _cfg(), rows_per_part=2,
+                spark, str(tmp_path / "idx_bad"), _cfg(),
+                rows_per_part=len(rows) * 2,
                 segment_shuffle="stream").build(df, id_col="doc_id")
 
     def test_auto_streams_on_staged_ids(self, spark, tmp_path,
