@@ -137,17 +137,28 @@ def assign_doc_ids(
         bounds = sorted({sampled[int(step * i)] for i in range(1, p)})
     else:
         bounds = sorted(set(sampled[1:-1]))
-    b_bounds = spark.sparkContext.broadcast(np.array(bounds, dtype=object))
+    if not bounds:
+        pid_expr = F.lit(0)
+    elif len(bounds) <= 4096:
+        # JVM-side fold over a literal boundary array: ~|bounds| string
+        # compares per row inside whole-stage codegen — no Python
+        # worker roundtrip on either pass that computes _pid
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid_expr = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0))
+    else:
+        b_bounds = spark.sparkContext.broadcast(
+            np.array(bounds, dtype=object))
 
-    @F.pandas_udf("int")
-    def _pid_of(k: pd.Series) -> pd.Series:
-        bb = b_bounds.value
-        if bb.size == 0:
-            return pd.Series(np.zeros(len(k), dtype=np.int32))
-        idx = np.searchsorted(bb, k.to_numpy(dtype=object), side="right")
-        return pd.Series(idx.astype(np.int32))
+        @F.pandas_udf("int")
+        def _pid_of(k: pd.Series) -> pd.Series:
+            idx = np.searchsorted(
+                b_bounds.value, k.to_numpy(dtype=object), side="right")
+            return pd.Series(idx.astype(np.int32))
 
-    with_pid = df.withColumn("_pid", _pid_of(key))
+        pid_expr = _pid_of(key)
+    with_pid = df.withColumn("_pid", pid_expr.cast("int"))
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
@@ -654,6 +665,48 @@ class IndexBuilder:
             json.dump(payload, f, indent=1)
         os.replace(tmp, self._ckpt_path(name))
 
+    def _position_ids(self, df: DataFrame) -> tuple[DataFrame, dict]:
+        """doc_id = file offset + ``_metadata.row_index`` — a pure
+        function of the source snapshot, so there is nothing to stage:
+        no sort, no shuffle, no staged parquet.  The zero-overhead id
+        mode for ingest-shaped builds where id order need not follow a
+        semantic sort key (ids are dense, unique, and ascending within
+        each source file, which keeps the stream segments stage
+        shuffle-free).  Requires ``df`` to be a direct parquet scan
+        (Spark's ``_metadata`` hidden column must resolve).  The file
+        list + per-file row counts are checkpointed; a resumed build
+        verifies the snapshot is unchanged before reusing ids.
+        """
+        ck = self._ckpt_done("position_ids")
+        if ck is None:
+            t0 = time.time()
+            counts = (df.select(F.col("_metadata.file_path").alias("_fp"))
+                      .groupBy("_fp").agg(F.count("*").alias("cnt"))
+                      .collect())
+            files = sorted((r["_fp"], int(r["cnt"])) for r in counts)
+            ck = {"files": [[fp, n] for fp, n in files],
+                  "secs": time.time() - t0}
+            self._ckpt_write("position_ids", ck)
+        else:
+            cur = (df.select(F.col("_metadata.file_path").alias("_fp"))
+                   .groupBy("_fp").agg(F.count("*").alias("cnt")).collect())
+            if sorted([r["_fp"], int(r["cnt"])] for r in cur) != ck["files"]:
+                raise ValueError(
+                    "position-id resume: source parquet snapshot changed "
+                    "since the checkpoint (file list or row counts differ) "
+                    "— ids would not be stable; rebuild with overwrite=True")
+        offs, acc = [], 0
+        for fp, n in ck["files"]:
+            offs.append((fp, acc))
+            acc += n
+        offs_df = self.spark.createDataFrame(offs, "_fp string, _off long")
+        out = (df.withColumn("_fp", F.col("_metadata.file_path"))
+               .withColumn("_ri", F.col("_metadata.row_index"))
+               .join(F.broadcast(offs_df), "_fp")
+               .withColumn("doc_id", F.col("_off") + F.col("_ri"))
+               .drop("_fp", "_ri", "_off"))
+        return out, ck
+
     # -- build --------------------------------------------------------------
     def build(
         self,
@@ -662,15 +715,29 @@ class IndexBuilder:
         order_cols: list[str] | None = None,
         overwrite: bool = False,
         n_chunks: int = 1,
+        position_ids: bool = False,
     ) -> IndexMeta:
-        """Build the full index; resumable at chunk granularity."""
+        """Build the full index; resumable at chunk granularity.
+
+        ``position_ids=True`` derives doc ids from the source parquet
+        files' row positions (see :meth:`_position_ids`) instead of
+        staging a sorted id assignment — the fastest id mode when no
+        semantic sort order is required.  Mutually exclusive with
+        ``id_col`` / ``order_cols``.
+        """
         t_all = time.time()
         if overwrite and os.path.exists(self.index_path):
             shutil.rmtree(self.index_path)
         os.makedirs(self.index_path, exist_ok=True)
 
         staged_ck: dict | None = None
-        if id_col is None:
+        if position_ids:
+            if id_col is not None or order_cols is not None:
+                raise ValueError(
+                    "position_ids is mutually exclusive with id_col/order_cols")
+            df, staged_ck = self._position_ids(df)
+            id_col = "doc_id"
+        elif id_col is None:
             # stage assigned ids to disk: doc_ids must be stable across a
             # killed-and-restarted build for chunk-level resume
             staged_path = os.path.join(self.index_path, "_staged")
@@ -793,7 +860,7 @@ class IndexBuilder:
             ).select("part_id", "doc_id", *self.config.columns)
             use_stream = (self.segment_shuffle == "stream"
                           or (self.segment_shuffle == "auto"
-                              and id_col is None))
+                              and (id_col is None or position_ids)))
             if use_stream:
                 # zero-shuffle: parts cut inside each (ordered) input
                 # partition; see _segment_builder_stream
