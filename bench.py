@@ -149,6 +149,23 @@ def main() -> None:
         build_secs = min(build_secs, time.time() - t0)
     timings["index_build"] = round(build_secs, 3)
 
+    # ---- position-id build (zero-sort ingest mode) -------------------------
+    # ids from source-file row positions: no staging shuffle at all —
+    # the id mode for ingest pipelines with no semantic sort key
+    raw_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")).drop("doc_id")
+    pos_idx = f"{BENCH_TMP}/tss_bench_idx_posid_{CPUS}"
+    pos_secs = float("inf")
+    for _ in range(2):
+        shutil.rmtree(pos_idx, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, pos_idx, IndexConfig.from_json(["text"], "{}"),
+                     rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+            raw_docs, position_ids=True)
+        pos_secs = min(pos_secs, time.time() - t0)
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    timings["index_build_position_ids"] = round(pos_secs, 3)
+
     ix = SearchIndex(spark, idx_path)
     ix.enable_stats_cache()  # small vocab: one Spark job per query, not two
 

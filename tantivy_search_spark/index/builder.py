@@ -87,33 +87,45 @@ def assign_doc_ids(
     order_cols: list[str],
     num_parts: int | None = None,
     base_id: int = 0,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Deterministic, scalable global doc_id assignment.
 
     Equivalent semantics to ``row_number() over (order by <order_cols>)``
-    but without a single-partition window.
+    but without a single-partition window.  Two implementations:
 
-    All-string sort keys (the index-build case: repo/path/commit) take
-    the deterministic-boundary path: sample the concatenated sort key
-    once on the driver, derive range boundaries, and compute each row's
-    partition id as a PURE FUNCTION of the row (vectorized binary
-    search in a Pandas UDF).  Because the id is row-determined — unlike
-    Spark's RangePartitioner, which re-samples boundaries per job — the
-    per-partition count job and the assignment job agree without
-    materializing anything: no localCheckpoint, no second full pass,
-    and executor retries recompute byte-identical output.  The count
-    job reads only the sort-key columns (column-pruned scan); the one
-    full-row pass is the hash shuffle on the computed partition id.
+    ``deterministic`` (all-string sort keys — the index-build case:
+    repo/path/commit): sample the concatenated sort key once on the
+    driver, derive range boundaries, and compute each row's partition
+    id as a PURE FUNCTION of the row (a JVM codegen fold over the
+    literal boundary array).  Because the id is row-determined —
+    unlike Spark's RangePartitioner, which re-samples boundaries per
+    job — the per-partition count job and the assignment job agree
+    without materializing anything: no localCheckpoint, and executor
+    retries recompute byte-identical output.  Costs two extra
+    column-pruned scans of the sort-key columns.
 
-    Non-string sort keys fall back to the pinned-RangePartitioner path
-    (range shuffle + eager localCheckpoint) — correct, but it
-    materializes the whole input to executor storage, so it is not the
-    shape you want at 100 TB.
+    ``checkpoint``: range shuffle pinned by an eager localCheckpoint.
+    Fewer passes, but it materializes the whole input to executor
+    storage — memory-blocks that die with an executor, and a full
+    extra copy of the corpus: not the shape you want at 100 TB.
+
+    ``auto`` picks ``checkpoint`` under a ``local[*]`` master (the
+    driver IS the only executor, so executor-loss durability buys
+    nothing and the in-memory checkpoint is effectively free) and
+    ``deterministic`` on a real cluster.  Non-string sort keys always
+    use ``checkpoint``.
     """
     spark = df.sparkSession
     p = num_parts or max(spark.sparkContext.defaultParallelism, 8)
-    if not all(df.schema[c].dataType.simpleString() == "string"
-               for c in order_cols):
+    if strategy not in ("auto", "deterministic", "checkpoint"):
+        raise ValueError(f"strategy: {strategy!r}")
+    if strategy == "auto":
+        local = spark.sparkContext.master.startswith("local")
+        strategy = "checkpoint" if local else "deterministic"
+    if strategy == "checkpoint" or not all(
+            df.schema[c].dataType.simpleString() == "string"
+            for c in order_cols):
         return _assign_doc_ids_checkpoint(df, order_cols, p, base_id)
 
     key = _sort_key_expr(order_cols)

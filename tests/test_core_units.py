@@ -302,7 +302,7 @@ class TestAssignDocIds:
                 "%05d", (F.col("id") * 2654435761) % 100000)).alias("repo"),
             F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"))
         for p in (1, 7, 64):
-            out = assign_doc_ids(df, ["repo", "path"], num_parts=p)
+            out = assign_doc_ids(df, ["repo", "path"], num_parts=p, strategy="deterministic")
             rows = out.collect()
             n = len(rows)
             ids = sorted(r["doc_id"] for r in rows)
@@ -312,9 +312,9 @@ class TestAssignDocIds:
             assert keys == sorted(keys)  # id order == global sort order
         # repeat-run stability at one p
         a = {(r["repo"], r["path"]): r["doc_id"]
-             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7).collect()}
+             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7, strategy="deterministic").collect()}
         b = {(r["repo"], r["path"]): r["doc_id"]
-             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7).collect()}
+             for r in assign_doc_ids(df, ["repo", "path"], num_parts=7, strategy="deterministic").collect()}
         assert a == b
 
     def test_string_keys_with_nulls(self, spark):
@@ -325,7 +325,7 @@ class TestAssignDocIds:
             F.when(F.col("id") % 17 == 0, F.lit(None))
              .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
              .alias("key"))
-        out = assign_doc_ids(df, ["key"], num_parts=5)
+        out = assign_doc_ids(df, ["key"], num_parts=5, strategy="deterministic")
         ids = sorted(r["doc_id"] for r in out.collect())
         assert ids == list(range(200))
 
