@@ -149,6 +149,9 @@ def assign_doc_ids(
         bounds = sorted({sampled[int(step * i)] for i in range(1, p)})
     else:
         bounds = sorted(set(sampled[1:-1]))
+    # materialize the key once per row: inside the fold below the
+    # column reference must not re-evaluate the concat per compare
+    keyed = df.withColumn("_k", key)
     if not bounds:
         pid_expr = F.lit(0)
     elif len(bounds) <= 4096:
@@ -158,7 +161,7 @@ def assign_doc_ids(
         barr = F.array(*[F.lit(b) for b in bounds])
         pid_expr = F.aggregate(
             barr, F.lit(0),
-            lambda acc, b: acc + F.when(key >= b, 1).otherwise(0))
+            lambda acc, b: acc + F.when(F.col("_k") >= b, 1).otherwise(0))
     else:
         b_bounds = spark.sparkContext.broadcast(
             np.array(bounds, dtype=object))
@@ -169,8 +172,8 @@ def assign_doc_ids(
                 b_bounds.value, k.to_numpy(dtype=object), side="right")
             return pd.Series(idx.astype(np.int32))
 
-        pid_expr = _pid_of(key)
-    with_pid = df.withColumn("_pid", pid_expr.cast("int"))
+        pid_expr = _pid_of(F.col("_k"))
+    with_pid = keyed.withColumn("_pid", pid_expr.cast("int")).drop("_k")
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
