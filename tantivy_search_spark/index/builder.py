@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
 from collections.abc import Iterator
 
@@ -128,8 +129,19 @@ def assign_doc_ids(
             for c in order_cols):
         return _assign_doc_ids_checkpoint(df, order_cols, p, base_id)
 
+    dbg = os.environ.get("TSS_ASSIGN_DEBUG")
+    t_dbg = time.time()
+
+    def _tick(label: str) -> None:
+        nonlocal t_dbg
+        if dbg:
+            print(f"[assign] {label}: {time.time() - t_dbg:.2f}s",
+                  file=sys.stderr)
+            t_dbg = time.time()
+
     key = _sort_key_expr(order_cols)
     n = df.count()  # column-pruned (metadata-only on parquet sources)
+    _tick("count")
     if n == 0:
         out_schema = "doc_id long, " + ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -142,6 +154,7 @@ def assign_doc_ids(
     sampled = sorted(
         r["_k"] for r in
         df.select(key.alias("_k")).sample(fraction=frac, seed=42).collect())
+    _tick("sample")
     if p <= 1:
         bounds = []
     elif len(sampled) > p - 1:
@@ -176,6 +189,7 @@ def assign_doc_ids(
     with_pid = keyed.withColumn("_pid", pid_expr.cast("int")).drop("_k")
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    _tick("pid_counts")
     offsets = {}
     acc = base_id
     for pid in sorted(counts):
