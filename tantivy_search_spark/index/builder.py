@@ -190,37 +190,22 @@ def assign_doc_ids(
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     _tick("pid_counts")
-    offsets = {}
+    offsets = []
     acc = base_id
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = "doc_id long, " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    )
+    # id = pid offset + rank within pid: one hash shuffle (the window
+    # exchange) and a JVM-side sort/rank — the full-row pass never
+    # crosses into Python, so no Arrow roundtrip of the corpus
+    from pyspark.sql import Window
 
-    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a hash-shuffled task may hold several _pid groups; rows are
-        # sorted (_pid, key) so each group is contiguous
-        off = b_offsets.value
-        seen: dict[int, int] = {}
-        for pdf in it:
-            pids = pdf["_pid"].to_numpy()
-            pdf = pdf.drop(columns=["_pid"])
-            ids = np.empty(len(pdf), dtype=np.int64)
-            start = 0
-            for pid, cnt in zip(*np.unique(pids, return_counts=True)):
-                base = off[int(pid)] + seen.get(int(pid), 0)
-                ids[start:start + cnt] = np.arange(base, base + cnt)
-                seen[int(pid)] = seen.get(int(pid), 0) + int(cnt)
-                start += cnt
-            pdf.insert(0, "doc_id", ids)
-            yield pdf
-
-    parted = (with_pid.repartition(p, "_pid")
-              .sortWithinPartitions("_pid", *order_cols))
-    return parted.mapInPandas(add_ids, out_schema)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (with_pid.join(F.broadcast(off_df), "_pid")
+            .withColumn("doc_id",
+                        F.col("_off") + F.row_number().over(w) - F.lit(1))
+            .select("doc_id", *df.columns))
 
 
 def _assign_doc_ids_checkpoint(
