@@ -25,6 +25,7 @@ ROWS_PER_PART = 4096  # constant across trials: identical task DAG
 def main() -> None:
     corpus_path, index_path, n_queries = (
         sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    position = len(sys.argv) > 4 and sys.argv[4] == "position"
 
     from pyspark.sql import SparkSession
 
@@ -43,9 +44,11 @@ def main() -> None:
     cfg = IndexConfig.from_json(["content"], "{}")
     cfg.parts_per_shard = 8
     t0 = time.time()
-    meta = IndexBuilder(
-        spark, index_path, cfg, rows_per_part=ROWS_PER_PART,
-    ).build(corpus, order_cols=["repo", "path", "commit"])
+    builder = IndexBuilder(spark, index_path, cfg, rows_per_part=ROWS_PER_PART)
+    if position:
+        meta = builder.build(corpus, position_ids=True)
+    else:
+        meta = builder.build(corpus, order_cols=["repo", "path", "commit"])
     build_secs = time.time() - t0
     stage_secs = {
         name: round(st.get("secs", 0.0), 3)
