@@ -162,14 +162,18 @@ def main() -> None:
     raw_docs = spark.read.parquet(raw_path)
     pos_idx = f"{BENCH_TMP}/tss_bench_idx_posid_{CPUS}"
     pos_secs = float("inf")
+    pcfg2 = IndexConfig.from_json(["text"], "{}")
+    pcfg2.parts_per_shard = 8  # identical config to index_build above:
+    # the pair must isolate the id mode, not shard-width effects
     for _ in range(2):
         shutil.rmtree(pos_idx, ignore_errors=True)
         t0 = time.time()
-        IndexBuilder(spark, pos_idx, IndexConfig.from_json(["text"], "{}"),
+        IndexBuilder(spark, pos_idx, pcfg2,
                      rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
             raw_docs, position_ids=True)
         pos_secs = min(pos_secs, time.time() - t0)
     shutil.rmtree(pos_idx, ignore_errors=True)
+    shutil.rmtree(raw_path, ignore_errors=True)  # free the tmpfs copy
     timings["index_build_position_ids"] = round(pos_secs, 3)
 
     ix = SearchIndex(spark, idx_path)

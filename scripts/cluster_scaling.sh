@@ -20,7 +20,7 @@ PKG=${PKG:-/tmp/tss_pkg.zip}
 MASTER_URL=spark://127.0.0.1:7077
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 
-probe() { python -c "
+probe() { python3 -c "
 import numpy as np, time
 a = np.zeros(1<<27, dtype=np.uint8); best=0
 for _ in range(3):

@@ -122,12 +122,21 @@ def assign_doc_ids(
     if strategy not in ("auto", "deterministic", "checkpoint"):
         raise ValueError(f"strategy: {strategy!r}")
     if strategy == "auto":
-        local = spark.sparkContext.master.startswith("local")
+        # single-JVM masters only: 'local[N]' / 'local[*]' / 'local'.
+        # 'local-cluster[...]' runs real separate executor JVMs whose
+        # checkpoint blocks die with an executor — deterministic there.
+        m = spark.sparkContext.master
+        local = m == "local" or m.startswith("local[")
         strategy = "checkpoint" if local else "deterministic"
     if strategy == "checkpoint" or not all(
             df.schema[c].dataType.simpleString() == "string"
             for c in order_cols):
         return _assign_doc_ids_checkpoint(df, order_cols, p, base_id)
+    for c in ("_k", "_pid", "_off"):
+        if c in df.columns:
+            raise ValueError(
+                f"assign_doc_ids reserves column name {c!r}; rename it "
+                "in the input DataFrame")
 
     dbg = os.environ.get("TSS_ASSIGN_DEBUG")
     t_dbg = time.time()
@@ -186,7 +195,7 @@ def assign_doc_ids(
             return pd.Series(idx.astype(np.int32))
 
         pid_expr = _pid_of(F.col("_k"))
-    with_pid = keyed.withColumn("_pid", pid_expr.cast("int")).drop("_k")
+    with_pid = keyed.withColumn("_pid", pid_expr.cast("int"))
     counts = {r["_pid"]: r["cnt"] for r in
               with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     _tick("pid_counts")
@@ -197,11 +206,16 @@ def assign_doc_ids(
         acc += counts[pid]
     # id = pid offset + rank within pid: one hash shuffle (the window
     # exchange) and a JVM-side sort/rank — the full-row pass never
-    # crosses into Python, so no Arrow roundtrip of the corpus
+    # crosses into Python, so no Arrow roundtrip of the corpus.  The
+    # window orders by the SAME key the pid was derived from, so ids
+    # are globally ordered by the key (NULL columns sort as empty
+    # string via the key's coalesce, a documented divergence from
+    # Spark's NULLS-FIRST tuple order; ties never straddle a pid
+    # because equal keys always fold to the same pid).
     from pyspark.sql import Window
 
     off_df = spark.createDataFrame(offsets, "_pid int, _off long")
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    w = Window.partitionBy("_pid").orderBy("_k")
     return (with_pid.join(F.broadcast(off_df), "_pid")
             .withColumn("doc_id",
                         F.col("_off") + F.row_number().over(w) - F.lit(1))
@@ -691,6 +705,11 @@ class IndexBuilder:
         list + per-file row counts are checkpointed; a resumed build
         verifies the snapshot is unchanged before reusing ids.
         """
+        for c in ("_fp", "_ri", "_off"):
+            if c in df.columns:
+                raise ValueError(
+                    f"position_ids reserves column name {c!r}; rename it "
+                    "in the input DataFrame")
         ck = self._ckpt_done("position_ids")
         if ck is None:
             t0 = time.time()
@@ -719,7 +738,11 @@ class IndexBuilder:
                .join(F.broadcast(offs_df), "_fp")
                .withColumn("doc_id", F.col("_off") + F.col("_ri"))
                .drop("_fp", "_ri", "_off"))
-        return out, ck
+        # metrics get a summary only — the full file list (potentially
+        # 10^5+ paths) stays in the checkpoint file, not in meta.json
+        return out, {"done": True, "secs": ck.get("secs", 0.0),
+                     "n_files": len(ck["files"]),
+                     "n_rows": sum(n for _, n in ck["files"])}
 
     # -- build --------------------------------------------------------------
     def build(
@@ -1491,6 +1514,7 @@ class IndexBuilder:
                       meta.max_doc_id if meta.max_doc_id is not None else -1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
 
+        append_staged = None
         if id_col is None:
             if self.durable_ids:
                 # fixed name, overwrite-per-append; must outlive this
@@ -1500,8 +1524,17 @@ class IndexBuilder:
                     df, order_cols or self.config.columns, presort,
                     base_id=base)
             else:
-                df = assign_doc_ids(df, order_cols or self.config.columns,
-                                    base_id=base)
+                # pin the assigned ids before the two consuming jobs
+                # below (docs write, segments write): an unpinned plan
+                # recomputes per job, and duplicate sort keys (or any
+                # nondeterministic input) could then assign DIFFERENT
+                # ids in each — docs and postings silently disagreeing
+                append_staged = os.path.join(self.index_path,
+                                             "_append_staged")
+                assign_doc_ids(df, order_cols or self.config.columns,
+                               base_id=base).write.mode(
+                    "overwrite").parquet(append_staged)
+                df = self.spark.read.parquet(append_staged)
         else:
             if id_col != "doc_id":
                 df = df.withColumnRenamed(id_col, "doc_id")
@@ -1594,6 +1627,8 @@ class IndexBuilder:
             max_doc_id=meta.max_doc_id,
         )
         new_meta.save(self.index_path)  # <- the commit point
+        if append_staged is not None:
+            shutil.rmtree(append_staged, ignore_errors=True)
         # bookkeeping AFTER the commit: a crash before meta.save leaves
         # no append checkpoint, so the retried append reuses the same
         # chunk id (repair() removes the orphan artifacts anyway)
