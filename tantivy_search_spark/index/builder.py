@@ -49,6 +49,7 @@ from tantivy_search_spark.index.layout import (
     BITMAPS_DIR,
     CHECKPOINTS_DIR,
     DOCS_DIR,
+    DOCS_VIEW_FILE,
     POSTINGS_DIR,
     SEGMENTS_DIR,
     STATS_DIR,
@@ -744,6 +745,27 @@ class IndexBuilder:
                      "n_files": len(ck["files"]),
                      "n_rows": sum(n for _, n in ck["files"])}
 
+    def _write_docs_view(self, source_cols: list[str]) -> None:
+        """docs_mode='view': persist the pinned source snapshot spec
+        (file list + per-file doc-id offsets + column layout) that
+        ``SearchIndex.docs`` reconstructs rows from.  The file list
+        comes from the position_ids checkpoint, which the build already
+        verified against the live snapshot."""
+        ck = self._ckpt_done("position_ids")
+        if ck is None:  # unreachable from build(); defensive
+            raise RuntimeError("docs view requires a position_ids checkpoint")
+        files, acc = [], 0
+        for fp, n in ck["files"]:
+            files.append([fp, acc, int(n)])
+            acc += int(n)
+        spec = {"files": files, "source_cols": source_cols,
+                "store_doc": bool(self.config.store_doc),
+                "index_cols": list(self.config.columns)}
+        tmp = os.path.join(self.index_path, DOCS_VIEW_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(spec, f)
+        os.replace(tmp, os.path.join(self.index_path, DOCS_VIEW_FILE))
+
     # -- build --------------------------------------------------------------
     def build(
         self,
@@ -753,6 +775,7 @@ class IndexBuilder:
         overwrite: bool = False,
         n_chunks: int = 1,
         position_ids: bool = False,
+        docs_mode: str = "copy",
     ) -> IndexMeta:
         """Build the full index; resumable at chunk granularity.
 
@@ -761,17 +784,43 @@ class IndexBuilder:
         staging a sorted id assignment — the fastest id mode when no
         semantic sort order is required.  Mutually exclusive with
         ``id_col`` / ``order_cols``.
+
+        ``docs_mode``:
+          * ``'copy'`` (default): the docs table is a full rewrite of the
+            source rows plus per-column sha256 audit columns — the
+            reference's stored-field model.
+          * ``'view'``: requires ``position_ids=True``.  The index does
+            NOT copy the corpus: doc ids are a pure function of the
+            pinned source-parquet snapshot, so ``SearchIndex.docs``
+            reconstructs the docs table lazily from the source files
+            (``_metadata.row_index`` + per-file offsets) and only a slim
+            ``(doc_id, sha256_<col>...)`` audit sidecar is written at
+            build time (freezing the content hashes the build saw).  At
+            corpus scale this removes the single largest build write —
+            the engine indexes 100 TB without re-writing 100 TB.
+            ``append``/``compact(purge_deletes=True)`` are rejected on a
+            view index (they would have to rewrite source files the
+            index does not own); deletes/tombstones work unchanged.
         """
+        if docs_mode not in ("copy", "view"):
+            raise ValueError(f"docs_mode must be 'copy' or 'view', got {docs_mode!r}")
+        if docs_mode == "view" and not position_ids:
+            raise ValueError(
+                "docs_mode='view' requires position_ids=True: doc ids must "
+                "be a pure function of the source snapshot for the lazy "
+                "docs view to be stable")
         t_all = time.time()
         if overwrite and os.path.exists(self.index_path):
             shutil.rmtree(self.index_path)
         os.makedirs(self.index_path, exist_ok=True)
 
         staged_ck: dict | None = None
+        source_cols: list[str] | None = None
         if position_ids:
             if id_col is not None or order_cols is not None:
                 raise ValueError(
                     "position_ids is mutually exclusive with id_col/order_cols")
+            source_cols = [c for c in df.columns if c != "doc_id"]
             df, staged_ck = self._position_ids(df)
             id_col = "doc_id"
         elif id_col is None:
@@ -811,20 +860,49 @@ class IndexBuilder:
                 F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
                 for c in self.config.columns
             ]
-            keep = [c for c in src.columns if c != "part_id"] if self.config.store_doc \
-                else [c for c in src.columns
-                      if c not in self.config.columns and c != "part_id"]
-            src.select(*keep, *sha_cols).write.mode("overwrite").parquet(
-                os.path.join(self.index_path, DOCS_DIR)
-            )
-            r = self.spark.read.parquet(
-                os.path.join(self.index_path, DOCS_DIR)).agg(
-                F.count("*").alias("n"), F.min("doc_id").alias("lo"),
-                F.max("doc_id").alias("hi")).collect()[0]
-            docs_ck = {"total_docs": int(r["n"]), "secs": time.time() - t0,
-                       "docs_per_sec": int(r["n"]) / max(time.time() - t0, 1e-9),
-                       "min_doc": int(r["lo"] or 0), "max_doc": int(r["hi"] or 0)}
+            if docs_mode == "view":
+                # slim audit sidecar only: the corpus itself is never
+                # rewritten; SearchIndex.docs reconstructs rows from the
+                # pinned source snapshot (see _write_docs_view below)
+                src.select("doc_id", *sha_cols).write.mode(
+                    "overwrite").parquet(os.path.join(self.index_path, DOCS_DIR))
+                self._write_docs_view(source_cols or [])
+            else:
+                keep = [c for c in src.columns if c != "part_id"] if self.config.store_doc \
+                    else [c for c in src.columns
+                          if c not in self.config.columns and c != "part_id"]
+                src.select(*keep, *sha_cols).write.mode("overwrite").parquet(
+                    os.path.join(self.index_path, DOCS_DIR)
+                )
+            # one read-back job doubles as the part-range scan: per-part
+            # bounds here make the later meta part_ranges job unnecessary
+            pr = [
+                [int(r["part_id"]), int(r["first"]), int(r["last"]),
+                 int(r["rows"])]
+                for r in self.spark.read.parquet(
+                    os.path.join(self.index_path, DOCS_DIR))
+                .select("doc_id")
+                .withColumn("part_id", (F.col("doc_id")
+                                        / F.lit(self.rows_per_part)).cast("int"))
+                .groupBy("part_id").agg(
+                    F.min("doc_id").alias("first"),
+                    F.max("doc_id").alias("last"),
+                    F.count("*").alias("rows")).collect()
+            ]
+            n = sum(x[3] for x in pr)
+            docs_ck = {"total_docs": n, "secs": time.time() - t0,
+                       "docs_per_sec": n / max(time.time() - t0, 1e-9),
+                       "min_doc": min((x[1] for x in pr), default=0),
+                       "max_doc": max((x[2] for x in pr), default=0),
+                       "part_ranges": sorted(pr),
+                       "rows_per_part": self.rows_per_part,
+                       "docs_mode": docs_mode}
             self._ckpt_write("docs", docs_ck)
+        elif docs_ck.get("docs_mode", "copy") != docs_mode:
+            raise ValueError(
+                f"resume: this build was checkpointed with docs_mode="
+                f"{docs_ck.get('docs_mode', 'copy')!r}; restart with "
+                f"overwrite=True to change it")
         total_docs = docs_ck["total_docs"]
         metrics["stages"]["docs"] = docs_ck
 
@@ -910,13 +988,16 @@ class IndexBuilder:
             frags.write.mode("overwrite").parquet(
                 os.path.join(seg_path, f"chunk={ci}")
             )
-            # lineage: per-part doc ranges + token mass from the fragments
+            # lineage: per-(part, col) doc ranges + token mass from the
+            # fragments — the col split lets meta's total_tokens fold
+            # from lineage with no extra segments job
             lineage = [
-                {"part_id": r["part_id"], "terms": r["terms"],
+                {"part_id": r["part_id"], "col": r["col"],
+                 "terms": r["terms"],
                  "postings": r["postings"], "tokens": r["tokens"]}
                 for r in self.spark.read.parquet(
                     os.path.join(seg_path, f"chunk={ci}")
-                ).groupBy("part_id").agg(
+                ).groupBy("part_id", "col").agg(
                     F.count("*").alias("terms"),
                     F.sum("df").alias("postings"),
                     F.sum("sum_tf").alias("tokens"),
@@ -977,20 +1058,38 @@ class IndexBuilder:
 
         # ---- meta ----------------------------------------------------------
         total_tokens = {c: 0 for c in self.config.columns}
-        # token totals come from chunk lineage (col-level split not retained
-        # per part; recompute per col from segments for exactness)
-        segs = self.spark.read.parquet(os.path.join(seg_path, "chunk=*"))
-        for r in segs.groupBy("col").agg(F.sum("sum_tf").alias("n")).collect():
-            total_tokens[r["col"]] = int(r["n"])
-        part_ranges = [
-            [int(r["part_id"]), int(r["first"]), int(r["last"]), int(r["rows"])]
-            for r in self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
-            .withColumn("part_id",
-                        (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
-            .groupBy("part_id").agg(
-                F.min("doc_id").alias("first"), F.max("doc_id").alias("last"),
-                F.count("*").alias("rows")).collect()
-        ]
+        # token totals fold from the per-(part, col) chunk lineage when
+        # available (no extra job); older checkpoints lack the col split
+        # and recompute per col from segments
+        lineage_entries = [e for c in seg_metrics for e in c.get("lineage", [])]
+        if lineage_entries and all("col" in e for e in lineage_entries):
+            for e in lineage_entries:
+                if e["col"] in total_tokens:
+                    total_tokens[e["col"]] += int(e["tokens"])
+        else:
+            segs = self.spark.read.parquet(os.path.join(seg_path, "chunk=*"))
+            for r in segs.groupBy("col").agg(F.sum("sum_tf").alias("n")).collect():
+                total_tokens[r["col"]] = int(r["n"])
+        # part ranges fold from the docs stage's read-back when it was
+        # recorded at this rows_per_part (one job saved); resume from an
+        # older docs checkpoint falls back to the scan
+        if docs_ck.get("part_ranges") is not None \
+                and docs_ck.get("rows_per_part") == self.rows_per_part:
+            part_ranges = [list(map(int, x)) for x in docs_ck["part_ranges"]]
+            # the ranges live in meta.part_ranges below — don't duplicate
+            # the (potentially long) list inside build_metrics too
+            metrics["stages"]["docs"] = {
+                k: v for k, v in docs_ck.items() if k != "part_ranges"}
+        else:
+            part_ranges = [
+                [int(r["part_id"]), int(r["first"]), int(r["last"]), int(r["rows"])]
+                for r in self.spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
+                .withColumn("part_id",
+                            (F.col("doc_id") / F.lit(self.rows_per_part)).cast("int"))
+                .groupBy("part_id").agg(
+                    F.min("doc_id").alias("first"), F.max("doc_id").alias("last"),
+                    F.count("*").alias("rows")).collect()
+            ]
         metrics["total_secs"] = time.time() - t_all
         metrics["docs_per_sec"] = total_docs / max(metrics["total_secs"], 1e-9)
         meta = IndexMeta(
@@ -1001,6 +1100,7 @@ class IndexBuilder:
             part_ranges=sorted(part_ranges),
             build_metrics=metrics,
             committed_fence=self._data_fence(),
+            docs_mode=docs_mode if docs_mode != "copy" else None,
         )
         meta.save(self.index_path)
         return meta
@@ -1085,6 +1185,15 @@ class IndexBuilder:
         """
         spark = self.spark
         cfg_json = self.config.to_json()
+        if purge_deletes and getattr(
+                IndexMeta.load(self.index_path), "docs_mode", None) == "view":
+            raise ValueError(
+                "compact(purge_deletes=True) is not supported on a "
+                "docs_mode='view' index: the docs table is the source "
+                "snapshot itself and cannot be rewritten. Tombstoned "
+                "docs stay masked at serve time; rebuild from a pruned "
+                "source snapshot to drop them physically (plain "
+                "compact() without purge_deletes works normally)")
         layout.recover_swaps(self.index_path, drop_stray=True)
         postings_dir = os.path.join(self.index_path, POSTINGS_DIR)
         postings = spark.read.parquet(postings_dir)
@@ -1510,6 +1619,14 @@ class IndexBuilder:
         if repaired["docs"] or repaired["postings"]:
             self._ckpt_write(f"repair{int(time.time())}", repaired)
         meta = IndexMeta.load(self.index_path)
+        if getattr(meta, "docs_mode", None) == "view":
+            raise ValueError(
+                "append() is not supported on a docs_mode='view' index: "
+                "doc ids are a pure function of the pinned source "
+                "snapshot and the docs table is not owned by the index. "
+                "Rebuild over the grown source snapshot (position_ids "
+                "builds are cheap — no corpus copy), or build with "
+                "docs_mode='copy' if incremental appends are required")
         old_max = max(max((r[2] for r in meta.part_ranges or []), default=-1),
                       meta.max_doc_id if meta.max_doc_id is not None else -1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part

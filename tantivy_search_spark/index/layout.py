@@ -42,6 +42,7 @@ SEGMENTS_DIR = "segments"
 POSTINGS_DIR = "postings"
 STATS_DIR = "stats"
 TOMBSTONES_DIR = "tombstones"
+DOCS_VIEW_FILE = "docs_view.json"  # docs_mode='view': source snapshot spec
 BITMAPS_DIR = "bitmaps"
 CHECKPOINTS_DIR = "_checkpoints"
 
@@ -327,6 +328,11 @@ class IndexMeta:
     #: removing the max-id docs, so append() never reissues a purged id
     #: (None on pre-purge metas: part_ranges max is then exact)
     max_doc_id: int | None = None
+    #: 'view' when the docs table is a lazy reconstruction over the
+    #: pinned source-parquet snapshot (docs_view.json holds the file
+    #: list + offsets) instead of a build-time corpus copy; None/absent
+    #: means the classic copied docs table
+    docs_mode: str | None = None
 
     def save(self, index_path: str) -> None:
         with open(os.path.join(index_path, META_FILE), "w") as f:

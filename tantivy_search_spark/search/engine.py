@@ -706,7 +706,35 @@ class SearchIndex:
 
     @property
     def docs(self) -> DataFrame:
-        return self._require_spark().read.parquet(os.path.join(self.index_path, DOCS_DIR))
+        """The docs table.  docs_mode='view' indexes reconstruct it
+        lazily from the pinned source-parquet snapshot (doc_id =
+        per-file offset + ``_metadata.row_index``, sha256 audit columns
+        computed on read) — row- and schema-identical to what a
+        docs_mode='copy' build would have written, without the build
+        ever copying the corpus."""
+        spark = self._require_spark()
+        if getattr(self.meta, "docs_mode", None) == "view":
+            import json as _json
+            with open(os.path.join(self.index_path,
+                                   layout.DOCS_VIEW_FILE)) as f:
+                spec = _json.load(f)
+            offs_df = spark.createDataFrame(
+                [(fp, int(off)) for fp, off, _n in spec["files"]],
+                "_fp string, _off long")
+            src = spark.read.parquet(*[fp for fp, _o, _n in spec["files"]])
+            keep = list(spec["source_cols"]) if spec["store_doc"] else [
+                c for c in spec["source_cols"]
+                if c not in spec["index_cols"]]
+            sha_cols = [
+                F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
+                for c in spec["index_cols"]
+            ]
+            return (src.withColumn("_fp", F.col("_metadata.file_path"))
+                    .withColumn("_ri", F.col("_metadata.row_index"))
+                    .join(F.broadcast(offs_df), "_fp")
+                    .withColumn("doc_id", F.col("_off") + F.col("_ri"))
+                    .select(*keep, "doc_id", *sha_cols))
+        return spark.read.parquet(os.path.join(self.index_path, DOCS_DIR))
 
     def _tombstone_df(self) -> DataFrame | None:
         """Raw tombstones table (may contain duplicates) or None."""

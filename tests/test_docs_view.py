@@ -1,0 +1,165 @@
+"""docs_mode='view': the index never copies the corpus — the docs
+table is reconstructed lazily from the pinned source-parquet snapshot
+(doc_id = per-file offset + _metadata.row_index), with only a slim
+(doc_id, sha256) audit sidecar written at build time.
+
+Pinned here: view docs ≡ copy docs (rows and schema), with_docs joins
+identical, the audit sidecar matches on-read hashes, deletes mask in
+view mode, and append/purge are rejected with clear errors.
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tantivy_search_spark.config import IndexConfig
+from tantivy_search_spark.index.builder import IndexBuilder
+from tantivy_search_spark.search.engine import SearchIndex
+
+
+def _cfg(store_doc=True):
+    import json
+    spec = {"col1": {"tokenizer": {"type": "default", "store_doc": store_doc}}}
+    cfg = IndexConfig.from_json(["col1"], json.dumps(spec))
+    cfg.n_buckets = 4
+    cfg.parts_per_shard = 2
+    return cfg
+
+
+@pytest.fixture()
+def corpus_parquet(spark, tmp_path):
+    from corpora import corpus_a_rows
+
+    rows = [{"tag": f"t{r['doc_id']:03d}", "col1": r["col1"]}
+            for r in corpus_a_rows()]
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(rows).repartition(3).write.parquet(path)
+    return path
+
+
+def _build(spark, tmp_path, corpus_parquet, name, **kw):
+    path = str(tmp_path / name)
+    src = spark.read.parquet(corpus_parquet)
+    IndexBuilder(spark, path, _cfg(kw.pop("store_doc", True)),
+                 rows_per_part=2).build(src, position_ids=True, **kw)
+    return SearchIndex(spark, path)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestDocsView:
+    def test_view_equals_copy(self, spark, tmp_path, corpus_parquet):
+        ix_c = _build(spark, tmp_path, corpus_parquet, "copy",
+                      docs_mode="copy")
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view",
+                      docs_mode="view")
+        assert ix_v.meta.docs_mode == "view"
+        assert ix_c.docs.columns == ix_v.docs.columns
+        assert _rows(ix_c.docs) == _rows(ix_v.docs)
+
+    def test_view_equals_copy_no_store_doc(self, spark, tmp_path,
+                                           corpus_parquet):
+        ix_c = _build(spark, tmp_path, corpus_parquet, "copy",
+                      docs_mode="copy", store_doc=False)
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view",
+                      docs_mode="view", store_doc=False)
+        assert ix_c.docs.columns == ix_v.docs.columns
+        assert "col1" not in ix_v.docs.columns  # content not stored
+        assert _rows(ix_c.docs) == _rows(ix_v.docs)
+
+    def test_sidecar_matches_on_read_hashes(self, spark, tmp_path,
+                                            corpus_parquet):
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view2",
+                      docs_mode="view")
+        side = spark.read.parquet(os.path.join(ix_v.index_path, "docs"))
+        assert set(side.columns) == {"doc_id", "sha256_col1"}
+        assert _rows(side) == _rows(ix_v.docs.select("doc_id", "sha256_col1"))
+
+    def test_with_docs_identical(self, spark, tmp_path, corpus_parquet):
+        ix_c = _build(spark, tmp_path, corpus_parquet, "copy3",
+                      docs_mode="copy")
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view3",
+                      docs_mode="view")
+        q = ("ancient", True)
+        a = ix_c.bm25_search(q[0], top_k=10, operator_or=q[1], with_docs=True)
+        b = ix_v.bm25_search(q[0], top_k=10, operator_or=q[1], with_docs=True)
+        assert a.columns == b.columns
+        ra = [(r["row_id"], round(r["score"], 6), r["tag"]) for r in a.collect()]
+        rb = [(r["row_id"], round(r["score"], 6), r["tag"]) for r in b.collect()]
+        assert ra == rb
+
+    def test_scores_match_copy_build(self, spark, tmp_path, corpus_parquet):
+        ix_c = _build(spark, tmp_path, corpus_parquet, "copy4",
+                      docs_mode="copy")
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view4",
+                      docs_mode="view")
+        for q, op in [("Ancient empires rise and fall", True),
+                      ("ancient", True), ("ancient wisdom", False)]:
+            a = [(r["row_id"], round(r["score"], 6)) for r in
+                 ix_c.bm25_search(q, top_k=10, operator_or=op).collect()]
+            b = [(r["row_id"], round(r["score"], 6)) for r in
+                 ix_v.bm25_search(q, top_k=10, operator_or=op).collect()]
+            assert a == b
+
+    def test_delete_masks_in_view_mode(self, spark, tmp_path, corpus_parquet):
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view5",
+                      docs_mode="view")
+        before = {r["row_id"] for r in
+                  ix_v.bm25_search("ancient", top_k=10,
+                                   operator_or=True).collect()}
+        victim = min(before)
+        ix_v.delete_row_ids([victim])
+        after = {r["row_id"] for r in
+                 ix_v.bm25_search("ancient", top_k=10,
+                                  operator_or=True).collect()}
+        assert victim not in after
+        assert after == before - {victim}
+
+    def test_append_rejected(self, spark, tmp_path, corpus_parquet):
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view6",
+                      docs_mode="view")
+        b = IndexBuilder(spark, ix_v.index_path, _cfg(), rows_per_part=2)
+        with pytest.raises(ValueError, match="docs_mode='view'"):
+            b.append(spark.read.parquet(corpus_parquet))
+
+    def test_purge_rejected(self, spark, tmp_path, corpus_parquet):
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view7",
+                      docs_mode="view")
+        ix_v.delete_row_ids([0])
+        b = IndexBuilder(spark, ix_v.index_path, _cfg(), rows_per_part=2)
+        with pytest.raises(ValueError, match="purge_deletes"):
+            b.compact(purge_deletes=True)
+
+    def test_view_requires_position_ids(self, spark, tmp_path,
+                                        corpus_parquet):
+        src = spark.read.parquet(corpus_parquet)
+        b = IndexBuilder(spark, str(tmp_path / "bad"), _cfg(),
+                         rows_per_part=2)
+        with pytest.raises(ValueError, match="position_ids"):
+            b.build(src, docs_mode="view")
+
+    def test_part_ranges_and_tokens_match_copy(self, spark, tmp_path,
+                                               corpus_parquet):
+        """The folded meta jobs (part_ranges from the docs read-back,
+        total_tokens from per-col lineage) must equal the scan-derived
+        values of a copy build."""
+        ix_c = _build(spark, tmp_path, corpus_parquet, "copy8",
+                      docs_mode="copy")
+        ix_v = _build(spark, tmp_path, corpus_parquet, "view8",
+                      docs_mode="view")
+        assert ix_c.meta.part_ranges == ix_v.meta.part_ranges
+        assert ix_c.meta.total_tokens == ix_v.meta.total_tokens
+        assert ix_c.meta.total_docs == ix_v.meta.total_docs
+        # and against a direct recompute from the docs table
+        pr = sorted(
+            [int(r["pid"]), int(r["lo"]), int(r["hi"]), int(r["n"])]
+            for r in ix_v.docs.withColumn(
+                "pid", (F.col("doc_id") / F.lit(2)).cast("int"))
+            .groupBy("pid").agg(F.min("doc_id").alias("lo"),
+                                F.max("doc_id").alias("hi"),
+                                F.count("*").alias("n")).collect())
+        assert [list(map(int, x)) for x in ix_v.meta.part_ranges] == pr
