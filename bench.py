@@ -172,9 +172,24 @@ def main() -> None:
                      rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
             raw_docs, position_ids=True)
         pos_secs = min(pos_secs, time.time() - t0)
+    timings["index_build_position_ids"] = round(pos_secs, 3)
+
+    # ---- docs-view build (zero-copy docs table) ---------------------------
+    # position ids + docs_mode='view': the corpus is never rewritten —
+    # only postings/stats plus the (doc_id, sha256) audit sidecar.
+    # The build line that matters at 100 TB: index writes scale with
+    # the INDEX, not with a second copy of the corpus.
+    view_secs = float("inf")
+    for _ in range(2):
+        shutil.rmtree(pos_idx, ignore_errors=True)
+        t0 = time.time()
+        IndexBuilder(spark, pos_idx, pcfg2,
+                     rows_per_part=max(n_docs // (CPUS * 2), 64)).build(
+            raw_docs, position_ids=True, docs_mode="view")
+        view_secs = min(view_secs, time.time() - t0)
     shutil.rmtree(pos_idx, ignore_errors=True)
     shutil.rmtree(raw_path, ignore_errors=True)  # free the tmpfs copy
-    timings["index_build_position_ids"] = round(pos_secs, 3)
+    timings["index_build_docs_view"] = round(view_secs, 3)
 
     ix = SearchIndex(spark, idx_path)
     ix.enable_stats_cache()  # small vocab: one Spark job per query, not two

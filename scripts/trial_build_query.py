@@ -25,7 +25,10 @@ ROWS_PER_PART = 4096  # constant across trials: identical task DAG
 def main() -> None:
     corpus_path, index_path, n_queries = (
         sys.argv[1], sys.argv[2], int(sys.argv[3]))
-    position = len(sys.argv) > 4 and sys.argv[4] == "position"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "sorted"
+    position = mode in ("position", "view", "viewlite")
+    view = mode in ("view", "viewlite")  # position ids + zero-copy docs
+    defer_sha = mode == "viewlite"       # ...and no audit sidecar either
 
     from pyspark.sql import SparkSession
 
@@ -46,7 +49,9 @@ def main() -> None:
     t0 = time.time()
     builder = IndexBuilder(spark, index_path, cfg, rows_per_part=ROWS_PER_PART)
     if position:
-        meta = builder.build(corpus, position_ids=True)
+        meta = builder.build(corpus, position_ids=True,
+                             docs_mode="view" if view else "copy",
+                             docs_sha="defer" if defer_sha else "sidecar")
     else:
         meta = builder.build(corpus, order_cols=["repo", "path", "commit"])
     build_secs = time.time() - t0
@@ -97,6 +102,7 @@ def main() -> None:
 
     print(json.dumps({
         "cores": cores,
+        "mode": mode,
         "n_docs": n_docs,
         "build_secs": round(build_secs, 3),
         "build_stage_secs": stage_secs,

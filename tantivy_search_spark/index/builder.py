@@ -776,6 +776,7 @@ class IndexBuilder:
         n_chunks: int = 1,
         position_ids: bool = False,
         docs_mode: str = "copy",
+        docs_sha: str = "sidecar",
     ) -> IndexMeta:
         """Build the full index; resumable at chunk granularity.
 
@@ -801,14 +802,34 @@ class IndexBuilder:
             ``append``/``compact(purge_deletes=True)`` are rejected on a
             view index (they would have to rewrite source files the
             index does not own); deletes/tombstones work unchanged.
+
+        ``docs_sha`` (view mode only):
+          * ``'sidecar'`` (default): the build scans the corpus once to
+            write the ``(doc_id, sha256_<col>)`` audit sidecar — the
+            hashes the build actually saw, detectable against later
+            source bit-rot.
+          * ``'defer'``: no sidecar, no docs write AT ALL — the docs
+            stage reduces to writing ``docs_view.json`` (part ranges are
+            derived arithmetically: position ids are dense 0..N-1 over
+            the snapshot).  sha256 columns still appear on every
+            ``SearchIndex.docs`` read, computed from the source rows —
+            the per-row content-sha equality invariant is definitionally
+            preserved (docs ARE the source rows).  The minimal-write
+            build: segments + merge + stats only.
         """
         if docs_mode not in ("copy", "view"):
             raise ValueError(f"docs_mode must be 'copy' or 'view', got {docs_mode!r}")
+        if docs_sha not in ("sidecar", "defer"):
+            raise ValueError(f"docs_sha must be 'sidecar' or 'defer', got {docs_sha!r}")
         if docs_mode == "view" and not position_ids:
             raise ValueError(
                 "docs_mode='view' requires position_ids=True: doc ids must "
                 "be a pure function of the source snapshot for the lazy "
                 "docs view to be stable")
+        if docs_sha == "defer" and docs_mode != "view":
+            raise ValueError(
+                "docs_sha='defer' only applies to docs_mode='view' "
+                "(copy mode always writes the docs table with sha columns)")
         t_all = time.time()
         if overwrite and os.path.exists(self.index_path):
             shutil.rmtree(self.index_path)
@@ -860,7 +881,23 @@ class IndexBuilder:
                 F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
                 for c in self.config.columns
             ]
-            if docs_mode == "view":
+            if docs_mode == "view" and docs_sha == "defer":
+                # minimal-write path: no docs table at all.  Position
+                # ids are dense 0..N-1 over the pinned snapshot, so the
+                # part ranges are pure arithmetic — no scan, no job.
+                self._write_docs_view(source_cols or [])
+                n = int(staged_ck["n_rows"]) if staged_ck else 0
+                rpp = self.rows_per_part
+                pr = [[k, k * rpp, min((k + 1) * rpp, n) - 1,
+                       min(rpp, n - k * rpp)]
+                      for k in range((n + rpp - 1) // rpp)]
+                docs_ck = {"total_docs": n, "secs": time.time() - t0,
+                           "docs_per_sec": n / max(time.time() - t0, 1e-9),
+                           "min_doc": 0, "max_doc": max(n - 1, 0),
+                           "part_ranges": pr, "rows_per_part": rpp,
+                           "docs_mode": docs_mode, "docs_sha": docs_sha}
+                self._ckpt_write("docs", docs_ck)
+            elif docs_mode == "view":
                 # slim audit sidecar only: the corpus itself is never
                 # rewritten; SearchIndex.docs reconstructs rows from the
                 # pinned source snapshot (see _write_docs_view below)
@@ -874,30 +911,32 @@ class IndexBuilder:
                 src.select(*keep, *sha_cols).write.mode("overwrite").parquet(
                     os.path.join(self.index_path, DOCS_DIR)
                 )
-            # one read-back job doubles as the part-range scan: per-part
-            # bounds here make the later meta part_ranges job unnecessary
-            pr = [
-                [int(r["part_id"]), int(r["first"]), int(r["last"]),
-                 int(r["rows"])]
-                for r in self.spark.read.parquet(
-                    os.path.join(self.index_path, DOCS_DIR))
-                .select("doc_id")
-                .withColumn("part_id", (F.col("doc_id")
-                                        / F.lit(self.rows_per_part)).cast("int"))
-                .groupBy("part_id").agg(
-                    F.min("doc_id").alias("first"),
-                    F.max("doc_id").alias("last"),
-                    F.count("*").alias("rows")).collect()
-            ]
-            n = sum(x[3] for x in pr)
-            docs_ck = {"total_docs": n, "secs": time.time() - t0,
-                       "docs_per_sec": n / max(time.time() - t0, 1e-9),
-                       "min_doc": min((x[1] for x in pr), default=0),
-                       "max_doc": max((x[2] for x in pr), default=0),
-                       "part_ranges": sorted(pr),
-                       "rows_per_part": self.rows_per_part,
-                       "docs_mode": docs_mode}
-            self._ckpt_write("docs", docs_ck)
+            if docs_ck is None:  # defer path built its checkpoint above
+                # one read-back job doubles as the part-range scan:
+                # per-part bounds here make the later meta part_ranges
+                # job unnecessary
+                pr = [
+                    [int(r["part_id"]), int(r["first"]), int(r["last"]),
+                     int(r["rows"])]
+                    for r in self.spark.read.parquet(
+                        os.path.join(self.index_path, DOCS_DIR))
+                    .select("doc_id")
+                    .withColumn("part_id", (F.col("doc_id")
+                                            / F.lit(self.rows_per_part)).cast("int"))
+                    .groupBy("part_id").agg(
+                        F.min("doc_id").alias("first"),
+                        F.max("doc_id").alias("last"),
+                        F.count("*").alias("rows")).collect()
+                ]
+                n = sum(x[3] for x in pr)
+                docs_ck = {"total_docs": n, "secs": time.time() - t0,
+                           "docs_per_sec": n / max(time.time() - t0, 1e-9),
+                           "min_doc": min((x[1] for x in pr), default=0),
+                           "max_doc": max((x[2] for x in pr), default=0),
+                           "part_ranges": sorted(pr),
+                           "rows_per_part": self.rows_per_part,
+                           "docs_mode": docs_mode}
+                self._ckpt_write("docs", docs_ck)
         elif docs_ck.get("docs_mode", "copy") != docs_mode:
             raise ValueError(
                 f"resume: this build was checkpointed with docs_mode="
@@ -932,6 +971,7 @@ class IndexBuilder:
                 part_ranges=[],
                 build_metrics=metrics,
                 committed_fence=self._data_fence(),
+                docs_mode=docs_mode if docs_mode != "copy" else None,
             )
             meta.save(self.index_path)
             return meta

@@ -134,6 +134,30 @@ class TestDocsView:
         with pytest.raises(ValueError, match="purge_deletes"):
             b.compact(purge_deletes=True)
 
+    def test_defer_equals_sidecar(self, spark, tmp_path, corpus_parquet):
+        """docs_sha='defer' writes NO docs table at all; docs rows,
+        meta, and scores still match the sidecar view build."""
+        ix_s = _build(spark, tmp_path, corpus_parquet, "side9",
+                      docs_mode="view")
+        ix_d = _build(spark, tmp_path, corpus_parquet, "defer9",
+                      docs_mode="view", docs_sha="defer")
+        assert not os.path.exists(os.path.join(ix_d.index_path, "docs"))
+        assert _rows(ix_s.docs) == _rows(ix_d.docs)
+        assert ix_s.meta.part_ranges == ix_d.meta.part_ranges
+        assert ix_s.meta.total_tokens == ix_d.meta.total_tokens
+        a = [(r["row_id"], round(r["score"], 6)) for r in
+             ix_s.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        b = [(r["row_id"], round(r["score"], 6)) for r in
+             ix_d.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        assert a == b
+
+    def test_defer_requires_view(self, spark, tmp_path, corpus_parquet):
+        src = spark.read.parquet(corpus_parquet)
+        b = IndexBuilder(spark, str(tmp_path / "bad2"), _cfg(),
+                         rows_per_part=2)
+        with pytest.raises(ValueError, match="docs_sha"):
+            b.build(src, position_ids=True, docs_sha="defer")
+
     def test_view_requires_position_ids(self, spark, tmp_path,
                                         corpus_parquet):
         src = spark.read.parquet(corpus_parquet)
