@@ -1182,8 +1182,19 @@ class IndexBuilder:
         post_cols = [f.name for f in layout.POSTINGS_SCHEMA.fields]
         passthrough = small.withColumn(
             "sub", (F.col("part_id") % pps).cast("int")).select(*post_cols)
-        merged = big.groupBy("col", "term", "shard").applyInPandas(
-            _merger(cfg_json), layout.POSTINGS_SCHEMA)
+        # pin the grouped-map exchange width: encoded fragment blobs are
+        # small ON THE WIRE but each row costs a decode+concat+re-encode
+        # pass in pandas, so AQE's byte-based coalescing (1-2 MB shuffle
+        # partitions -> ~3 tasks) serializes the CPU-heaviest part of the
+        # merge.  repartition(n, keys) is REPARTITION_BY_NUM — AQE leaves
+        # it alone — and HashPartitioning on the group keys satisfies the
+        # grouped-map's distribution, so no second exchange appears.
+        # (Same failure class as the batch scorer's pinned exchanges,
+        # search/engine.py _batch pinning.)
+        n_merge = self.spark.sparkContext.defaultParallelism * 2
+        merged = (big.repartition(n_merge, "col", "term", "shard")
+                  .groupBy("col", "term", "shard").applyInPandas(
+                      _merger(cfg_json), layout.POSTINGS_SCHEMA))
         return merged.unionByName(passthrough)
 
     # -- compaction (reference B8, LogMergePolicy analog) ---------------------
@@ -1282,8 +1293,14 @@ class IndexBuilder:
 
         n_frag_rows = frag.count()
         t0 = time.time()
-        compacted = frag.groupBy("col", "term", "shard").applyInPandas(
-            _compactor(cfg_json, purge_bc=purge_bc), layout.POSTINGS_SCHEMA)
+        # pinned exchange width — same rationale as _merge_fragments:
+        # heavy pandas work per byte-light shuffled row; don't let AQE
+        # byte-coalesce the rewrite down to a few tasks
+        n_cpt = self.spark.sparkContext.defaultParallelism * 2
+        compacted = (frag.repartition(n_cpt, "col", "term", "shard")
+                     .groupBy("col", "term", "shard").applyInPandas(
+                         _compactor(cfg_json, purge_bc=purge_bc),
+                         layout.POSTINGS_SCHEMA))
         out = intact.select(*[f.name for f in layout.POSTINGS_SCHEMA.fields]) \
             .unionByName(compacted)
         new_dir = postings_dir + "_compacting"
@@ -1473,9 +1490,15 @@ class IndexBuilder:
         if n_hot:
             postings = spark.read.parquet(
                 os.path.join(self.index_path, POSTINGS_DIR))
+            # pinned exchange width (REPARTITION_BY_NUM): the packer is
+            # decode+scatter CPU-heavy per row while the shuffled blobs
+            # are byte-light — AQE's byte-based coalescing would
+            # serialize it (same class as the _merge_fragments pin)
+            n_pack = spark.sparkContext.defaultParallelism * 2
             (postings
              .join(F.broadcast(hot), ["col", "term"], "left_semi")
              .select("col", "term", "block_first", "deltas")
+             .repartition(n_pack, "col", "term")
              .groupBy("col", "term")
              .applyInPandas(
                  _bitmap_packer(self.config.block_size, chunk_bytes),
