@@ -166,6 +166,42 @@ class TestDocsView:
         with pytest.raises(ValueError, match="position_ids"):
             b.build(src, docs_mode="view")
 
+    def test_viewlite_resume_after_crash(self, spark, tmp_path,
+                                         corpus_parquet):
+        """Kill a viewlite build after the docs checkpoint -> restart
+        completes with the arithmetic part ranges intact and answers
+        match an uninterrupted build."""
+        path = str(tmp_path / "resume_v")
+        src = spark.read.parquet(corpus_parquet)
+        b = IndexBuilder(spark, path, _cfg(), rows_per_part=2)
+        orig = b._ckpt_write
+
+        def bomb(name, payload):
+            orig(name, payload)
+            if name == "docs":
+                raise RuntimeError("injected crash after docs stage")
+
+        b._ckpt_write = bomb
+        with pytest.raises(RuntimeError, match="injected"):
+            b.build(src, position_ids=True, docs_mode="view",
+                    docs_sha="defer")
+        assert not os.path.exists(
+            os.path.join(path, "_index_meta.json"))
+
+        b2 = IndexBuilder(spark, path, _cfg(), rows_per_part=2)
+        meta = b2.build(src, position_ids=True, docs_mode="view",
+                        docs_sha="defer")
+        ix = SearchIndex(spark, path)
+        ref = _build(spark, tmp_path, corpus_parquet, "resume_ref",
+                     docs_mode="view", docs_sha="defer")
+        assert meta.part_ranges == ref.meta.part_ranges
+        assert meta.total_tokens == ref.meta.total_tokens
+        a = [(r["row_id"], round(r["score"], 6)) for r in
+             ix.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        c = [(r["row_id"], round(r["score"], 6)) for r in
+             ref.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        assert a == c
+
     def test_part_ranges_and_tokens_match_copy(self, spark, tmp_path,
                                                corpus_parquet):
         """The folded meta jobs (part_ranges from the docs read-back,
