@@ -97,3 +97,35 @@ class TestPlans:
         assert m, p[:800]
         rs = m.group(1)
         assert "deltas" in rs and "tfs" not in rs and "norms" not in rs, rs
+
+    def test_merge_grouped_map_exchange_pinned(self, spark, tmp_path):
+        """The merge stage's grouped-map shuffle carries byte-light
+        encoded blobs but CPU-heavy pandas work per row — its exchange
+        must be REPARTITION_BY_NUM (AQE byte-coalescing serialized it
+        to ~3 tasks on the 960k cluster builds) and the pinned
+        repartition must satisfy the grouped-map's distribution, i.e.
+        exactly ONE exchange in the merged branch."""
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from corpora import corpus_a_rows
+
+        cfg = IndexConfig.from_json(["col1"], "{}")
+        b = IndexBuilder(spark, str(tmp_path / "m"), cfg, rows_per_part=2)
+        b.merge_hot_df = 0  # every term routes through the pandas merge
+        df = spark.createDataFrame(corpus_a_rows())
+        from tantivy_search_spark.udfs import term_doc_tf
+        from tantivy_search_spark.index import layout
+        import pandas as pd  # noqa: F401
+        # a minimal fragments frame through the real segment builder
+        from tantivy_search_spark.index.builder import _segment_builder
+        segs = (df.withColumn("part_id", (df.doc_id / 2).cast("int"))
+                .select("part_id", "doc_id", "col1")
+                .groupBy("part_id")
+                .applyInPandas(_segment_builder(cfg.to_json()),
+                               layout.SEGMENTS_SCHEMA))
+        merged = b._merge_fragments(segs, cfg.to_json())
+        p = _plan(merged)
+        n = spark.sparkContext.defaultParallelism * 2
+        assert re.search(
+            rf"hashpartitioning\(col#\d+, term#\d+, shard#\d+, {n}\), "
+            r"REPARTITION_BY_NUM", p), p[:2000]
