@@ -884,17 +884,17 @@ class IndexBuilder:
             if docs_mode == "view" and docs_sha == "defer":
                 # minimal-write path: no docs table at all.  Position
                 # ids are dense 0..N-1 over the pinned snapshot, so the
-                # part ranges are pure arithmetic — no scan, no job.
+                # part ranges are pure arithmetic — no scan, no job,
+                # and meta stores the O(1) dense descriptor instead of
+                # one part_ranges entry per part (at 10^12 docs the
+                # explicit list alone would be gigabytes of JSON)
                 self._write_docs_view(source_cols or [])
                 n = int(staged_ck["n_rows"]) if staged_ck else 0
                 rpp = self.rows_per_part
-                pr = [[k, k * rpp, min((k + 1) * rpp, n) - 1,
-                       min(rpp, n - k * rpp)]
-                      for k in range((n + rpp - 1) // rpp)]
                 docs_ck = {"total_docs": n, "secs": time.time() - t0,
                            "docs_per_sec": n / max(time.time() - t0, 1e-9),
                            "min_doc": 0, "max_doc": max(n - 1, 0),
-                           "part_ranges": pr, "rows_per_part": rpp,
+                           "dense": [n, rpp], "rows_per_part": rpp,
                            "docs_mode": docs_mode, "docs_sha": docs_sha}
                 self._ckpt_write("docs", docs_ck)
             elif docs_mode == "view":
@@ -1113,7 +1113,12 @@ class IndexBuilder:
         # part ranges fold from the docs stage's read-back when it was
         # recorded at this rows_per_part (one job saved); resume from an
         # older docs checkpoint falls back to the scan
-        if docs_ck.get("part_ranges") is not None \
+        dense_ranges = None
+        if docs_ck.get("dense") is not None \
+                and docs_ck.get("rows_per_part") == self.rows_per_part:
+            dense_ranges = [int(x) for x in docs_ck["dense"]]
+            part_ranges = None
+        elif docs_ck.get("part_ranges") is not None \
                 and docs_ck.get("rows_per_part") == self.rows_per_part:
             part_ranges = [list(map(int, x)) for x in docs_ck["part_ranges"]]
             # the ranges live in meta.part_ranges below — don't duplicate
@@ -1137,10 +1142,11 @@ class IndexBuilder:
             num_parts=num_parts,
             total_docs=total_docs,
             total_tokens=total_tokens,
-            part_ranges=sorted(part_ranges),
+            part_ranges=sorted(part_ranges) if part_ranges is not None else None,
             build_metrics=metrics,
             committed_fence=self._data_fence(),
             docs_mode=docs_mode if docs_mode != "copy" else None,
+            dense_ranges=dense_ranges,
         )
         meta.save(self.index_path)
         return meta
@@ -1395,7 +1401,8 @@ class IndexBuilder:
             # pre-purge id high-water mark: append() must never reissue
             # a purged id to a new doc
             max_doc_id=max(
-                max((r[2] for r in meta.part_ranges or []), default=-1),
+                max((r[2] for r in layout.part_bounds(meta) or []),
+                    default=-1),
                 meta.max_doc_id if meta.max_doc_id is not None else -1),
         ).save(self.index_path)
         return {"purged_docs": int(n_purged), "total_docs": int(total_docs)}
@@ -1560,8 +1567,8 @@ class IndexBuilder:
         import pyarrow.parquet as pq
 
         meta = IndexMeta.load(self.index_path)
-        max_committed = max((r[2] for r in meta.part_ranges or []),
-                            default=-1)
+        bounds = layout.part_bounds(meta) or []
+        max_committed = max((r[2] for r in bounds), default=-1)
         removed = {"docs": 0, "postings": 0, "stats_rebuilt": False}
 
         # short-circuit: meta.committed_fence is the max data-file mtime
@@ -1620,7 +1627,7 @@ class IndexBuilder:
         # meta commit): every fragment in them belongs to uncommitted
         # parts, and meta total_tokens is recomputed from segments —
         # leaving them would double-count the retried append's tokens
-        max_part = max((r[0] for r in meta.part_ranges or []), default=-1)
+        max_part = max((r[0] for r in bounds), default=-1)
         seg_dir = os.path.join(self.index_path, SEGMENTS_DIR)
         removed["segment_chunks"] = 0
         if os.path.exists(seg_dir):
@@ -1690,8 +1697,9 @@ class IndexBuilder:
                 "Rebuild over the grown source snapshot (position_ids "
                 "builds are cheap — no corpus copy), or build with "
                 "docs_mode='copy' if incremental appends are required")
-        old_max = max(max((r[2] for r in meta.part_ranges or []), default=-1),
-                      meta.max_doc_id if meta.max_doc_id is not None else -1)
+        old_max = max(
+            max((r[2] for r in layout.part_bounds(meta) or []), default=-1),
+            meta.max_doc_id if meta.max_doc_id is not None else -1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
 
         append_staged = None

@@ -333,6 +333,12 @@ class IndexMeta:
     #: list + offsets) instead of a build-time corpus copy; None/absent
     #: means the classic copied docs table
     docs_mode: str | None = None
+    #: [total_docs, rows_per_part] when doc ids are dense 0..N-1
+    #: (position-id builds): part ranges are pure arithmetic, so meta
+    #: stays O(1) bytes instead of one part_ranges entry per part —
+    #: at 10^12 docs an explicit list would make meta.json gigabytes.
+    #: When set, part_ranges may be None; use part_bounds(meta).
+    dense_ranges: list | None = None
 
     def save(self, index_path: str) -> None:
         with open(os.path.join(index_path, META_FILE), "w") as f:
@@ -342,3 +348,21 @@ class IndexMeta:
     def load(cls, index_path: str) -> "IndexMeta":
         with open(os.path.join(index_path, META_FILE)) as f:
             return cls(**json.load(f))
+
+
+def part_bounds(meta: "IndexMeta") -> list | None:
+    """[(part_id, first_doc, last_doc, rows)] for every part — the
+    explicit ``part_ranges`` list, or the arithmetic expansion of a
+    ``dense_ranges`` descriptor (ids dense 0..N-1).  None only on
+    legacy metas that recorded neither.  Callers that merely need a
+    doc→part mapping on a dense index should use the arithmetic
+    directly (``doc_id // rows_per_part``) instead of expanding."""
+    if meta.part_ranges:
+        return meta.part_ranges
+    dense = getattr(meta, "dense_ranges", None)
+    if dense:
+        n, rpp = int(dense[0]), int(dense[1])
+        return [[k, k * rpp, min((k + 1) * rpp, n) - 1,
+                 min(rpp, n - k * rpp)]
+                for k in range((n + rpp - 1) // rpp)]
+    return meta.part_ranges

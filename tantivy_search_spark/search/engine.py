@@ -1957,11 +1957,23 @@ class SearchIndex:
         materialization and no full-set broadcast, so WAND stays active
         under delete sets of any size."""
         tomb = self._tombstone_df().select("doc_id").distinct()
+        pps = self.config.parts_per_shard
+        dense = getattr(self.meta, "dense_ranges", None)
+        if dense and not self.meta.part_ranges:
+            # dense ids (position builds): doc -> shard is arithmetic,
+            # no ranges broadcast at all — O(1) regardless of part count
+            n, rpp = int(dense[0]), int(dense[1])
+            return (
+                tomb.where(F.col("doc_id") < F.lit(n))
+                .select(
+                    (F.floor(F.col("doc_id") / F.lit(rpp)) / F.lit(pps))
+                    .cast("int").alias("shard"),
+                    "doc_id")
+            )
         ranges = self._require_spark().createDataFrame(
             [(int(p), int(lo), int(hi))
              for p, lo, hi, _ in self.meta.part_ranges],
             "part_id int, min_doc long, max_doc long")
-        pps = self.config.parts_per_shard
         return (
             tomb.join(
                 F.broadcast(ranges),
@@ -2025,7 +2037,8 @@ class SearchIndex:
                   "block_max_tf", "block_min_norm", "deltas", "tfs", "norms")
 
         tomb = self._tombstone_small_array()
-        if tomb is None and self.meta.part_ranges is None:
+        if tomb is None and self.meta.part_ranges is None \
+                and not getattr(self.meta, "dense_ranges", None):
             # pre-part_ranges meta (older index layout): the cogrouped
             # tier can't map tombstones to shards without doc-range
             # bounds — ship the full array instead of raising (ADVICE

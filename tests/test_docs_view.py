@@ -143,13 +143,55 @@ class TestDocsView:
                       docs_mode="view", docs_sha="defer")
         assert not os.path.exists(os.path.join(ix_d.index_path, "docs"))
         assert _rows(ix_s.docs) == _rows(ix_d.docs)
-        assert ix_s.meta.part_ranges == ix_d.meta.part_ranges
+        from tantivy_search_spark.index import layout as L
+        assert [list(map(int, x)) for x in L.part_bounds(ix_s.meta)] \
+            == [list(map(int, x)) for x in L.part_bounds(ix_d.meta)]
         assert ix_s.meta.total_tokens == ix_d.meta.total_tokens
         a = [(r["row_id"], round(r["score"], 6)) for r in
              ix_s.bm25_search("ancient", top_k=10, operator_or=True).collect()]
         b = [(r["row_id"], round(r["score"], 6)) for r in
              ix_d.bm25_search("ancient", top_k=10, operator_or=True).collect()]
         assert a == b
+
+    def test_defer_meta_is_dense(self, spark, tmp_path, corpus_parquet):
+        """defer metas carry the O(1) dense descriptor instead of one
+        part_ranges entry per part; part_bounds() expands identically
+        to a sidecar build's explicit list."""
+        from tantivy_search_spark.index import layout as L
+        ix_s = _build(spark, tmp_path, corpus_parquet, "sideA",
+                      docs_mode="view")
+        ix_d = _build(spark, tmp_path, corpus_parquet, "deferA",
+                      docs_mode="view", docs_sha="defer")
+        assert ix_d.meta.part_ranges is None
+        assert ix_d.meta.dense_ranges == [ix_d.meta.total_docs, 2]
+        assert [list(map(int, x)) for x in L.part_bounds(ix_d.meta)] \
+            == [list(map(int, x)) for x in L.part_bounds(ix_s.meta)]
+
+    def test_defer_wand_cogrouped_deletes(self, spark, tmp_path,
+                                          corpus_parquet, monkeypatch):
+        """Over-cap delete sets route WAND through the cogrouped
+        tombstone tier; on a dense meta the doc->shard mapping is pure
+        arithmetic (no ranges broadcast).  Results must equal the
+        broadcast tier's."""
+        from tantivy_search_spark.search.engine import SearchIndex as SI
+        ix = _build(spark, tmp_path, corpus_parquet, "deferB",
+                    docs_mode="view", docs_sha="defer")
+        baseline = [(r["row_id"], round(r["score"], 6)) for r in
+                    ix.bm25_search("ancient", top_k=10, operator_or=True,
+                                   use_wand=True).collect()]
+        victim = baseline[0][0]
+        ix.delete_row_ids([victim])
+        bcast = [(r["row_id"], round(r["score"], 6)) for r in
+                 ix.bm25_search("ancient", top_k=10, operator_or=True,
+                                use_wand=True).collect()]
+        monkeypatch.setattr(type(ix), "TOMBSTONE_BROADCAST_MAX", 0)
+        ix2 = SI(spark, ix.index_path)
+        ix2.enable_stats_cache()
+        cogrp = [(r["row_id"], round(r["score"], 6)) for r in
+                 ix2.bm25_search("ancient", top_k=10, operator_or=True,
+                                 use_wand=True).collect()]
+        assert victim not in [r for r, _ in cogrp]
+        assert cogrp == bcast
 
     def test_defer_requires_view(self, spark, tmp_path, corpus_parquet):
         src = spark.read.parquet(corpus_parquet)
@@ -195,6 +237,7 @@ class TestDocsView:
         ref = _build(spark, tmp_path, corpus_parquet, "resume_ref",
                      docs_mode="view", docs_sha="defer")
         assert meta.part_ranges == ref.meta.part_ranges
+        assert meta.dense_ranges == ref.meta.dense_ranges
         assert meta.total_tokens == ref.meta.total_tokens
         a = [(r["row_id"], round(r["score"], 6)) for r in
              ix.bm25_search("ancient", top_k=10, operator_or=True).collect()]
