@@ -109,6 +109,14 @@ class TestNlqFuzz:
         finally:
             loc.close()
 
+        # WAND tier: use_wand routes WAND-able trees through the
+        # block-max path and must fall back transparently elsewhere
+        for q in queries[::4]:  # every 4th — keeps CI time bounded
+            got = _key([(r["row_id"], r["score"]) for r in
+                        ix.bm25_search(q, top_k=5, enable_nlq=True,
+                                       use_wand=True).collect()])
+            assert got == seq[q], f"wand != sequential: {q!r}"
+
     def test_some_queries_nonempty(self, corpus_a_index, queries):
         # the fuzz is vacuous if the grammar only produces no-hit
         # queries; corpus A is tiny, so most must match something
