@@ -496,3 +496,46 @@ class TestSynthCorpusDocIds:
             rngs.append((p[0], p[-1]))
         rngs.sort()
         assert all(r1[1] < r2[0] for r1, r2 in zip(rngs, rngs[1:]))
+
+
+class TestPartBounds:
+    """layout.part_bounds: dense-descriptor expansion edge cases."""
+
+    def _meta(self, **kw):
+        from tantivy_search_spark.index.layout import IndexMeta
+        return IndexMeta(config_json="{}", **kw)
+
+    def test_explicit_list_passthrough(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        pr = [[0, 0, 4, 5], [1, 5, 9, 5]]
+        assert part_bounds(self._meta(part_ranges=pr)) == pr
+
+    def test_dense_exact_multiple(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        m = self._meta(part_ranges=None, dense_ranges=[10, 5])
+        assert part_bounds(m) == [[0, 0, 4, 5], [1, 5, 9, 5]]
+
+    def test_dense_ragged_tail(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        m = self._meta(part_ranges=None, dense_ranges=[7, 3])
+        assert part_bounds(m) == [[0, 0, 2, 3], [1, 3, 5, 3], [2, 6, 6, 1]]
+
+    def test_dense_single_short_part(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        m = self._meta(part_ranges=None, dense_ranges=[2, 100])
+        assert part_bounds(m) == [[0, 0, 1, 2]]
+
+    def test_dense_zero_docs(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        m = self._meta(part_ranges=None, dense_ranges=[0, 100])
+        assert part_bounds(m) == []
+
+    def test_legacy_meta_none(self):
+        from tantivy_search_spark.index.layout import part_bounds
+        assert part_bounds(self._meta(part_ranges=None)) is None
+
+    def test_empty_list_stays_empty(self):
+        # zero-doc copy builds record [] (not None) — must not be
+        # mistaken for a legacy meta
+        from tantivy_search_spark.index.layout import part_bounds
+        assert part_bounds(self._meta(part_ranges=[])) == []
