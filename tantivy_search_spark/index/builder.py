@@ -1547,6 +1547,40 @@ class IndexBuilder:
                     pass
         return fence
 
+    def vacuum_segments(self) -> dict:
+        """Drop the intermediate segments table of a COMMITTED index.
+
+        Segments exist as merge input and lineage source; at corpus
+        scale they cost about as many bytes as the postings themselves
+        (measured 160 MB segments vs 199 MB postings at 960k docs — a
+        100 TB build would leave ~index-sized dead weight).  Once meta
+        carries total_tokens (every modern build) nothing reads them
+        outside a resumed build: append() totals are additive off the
+        prior meta and read only their own new chunk, repair() treats
+        a missing segments dir as empty, and queries never touch them.
+        Runs repair() first so a crashed append's orphan chunks are
+        adjudicated before the evidence is dropped.  Refuses on a
+        legacy meta without total_tokens (there, segments are still
+        the recompute source).  Idempotent."""
+        meta = IndexMeta.load(self.index_path)  # raises if uncommitted
+        if meta.total_tokens is None:
+            raise ValueError(
+                "vacuum_segments: legacy meta has no total_tokens — "
+                "segments are still the recompute source of truth; "
+                "run one append() (which backfills totals) first")
+        self.repair()
+        seg_dir = os.path.join(self.index_path, SEGMENTS_DIR)
+        freed = 0
+        if os.path.isdir(seg_dir):
+            for root, _, files in os.walk(seg_dir):
+                for f in files:
+                    try:
+                        freed += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            shutil.rmtree(seg_dir)
+        return {"freed_bytes": freed}
+
     # -- crash repair ---------------------------------------------------------
     def repair(self) -> dict:
         """Remove the artifacts of a crashed append().
