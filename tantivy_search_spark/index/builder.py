@@ -582,6 +582,17 @@ def _concat_rows_to_subs(pdf: pd.DataFrame, bs: int,
         out["positions"].append(
             pos_flat[int(cum_tf[s]) * 4: int(cum_tf[e]) * 4]
             if pos_flat else b"")
+    if not out["col"]:
+        # a purge can drop every posting of a group (a term whose only
+        # docs in this shard are all tombstoned).  pd.DataFrame of empty
+        # lists defaults every column to float64, which Arrow refuses to
+        # convert to the schema's list<int64>/binary columns — give the
+        # zero-row frame explicit object/int dtypes instead
+        return pd.DataFrame({
+            k: pd.Series([], dtype=(
+                "int64" if k in ("bucket", "shard", "sub", "df")
+                else "object"))
+            for k in out})
     return pd.DataFrame(out)
 
 

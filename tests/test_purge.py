@@ -184,3 +184,33 @@ class TestPurgeLifecycle:
         new_ids = {r["row_id"] for r in ixb.bm25_search(
             "appended", top_k=10, operator_or=True).collect()}
         assert len(new_ids) == 3 and min(new_ids) > N - 1
+
+
+class TestPurgeEmptyGroup:
+    def test_term_with_all_postings_tombstoned(self, spark, tmp_path):
+        """A term whose ONLY docs in a shard are all deleted: the purge
+        rewrite of that group produces zero rows — the compactor must
+        emit a correctly-typed empty frame (regression: pandas gave the
+        empty columns float64 dtype and Arrow refused the list<int64>
+        conversion, aborting the whole purge job)."""
+        path = str(tmp_path / "empty_grp")
+        cfg = IndexConfig.from_json(["col1"], "{}")
+        cfg.n_buckets = 4
+        cfg.parts_per_shard = 2
+        rows = [
+            {"doc_id": 0, "col1": "unique_term_xyz shared"},
+            {"doc_id": 1, "col1": "shared other words"},
+            {"doc_id": 2, "col1": "shared more words"},
+        ]
+        b = IndexBuilder(spark, path, cfg, rows_per_part=2)
+        b.build(spark.createDataFrame(rows), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        ix.delete_row_ids([0])
+        b.compact(min_rows_per_group=2, purge_deletes=True)
+        ix.reload()
+        assert ix.bm25_search("unique_term_xyz", top_k=10,
+                              operator_or=True).count() == 0
+        assert {r["row_id"] for r in
+                ix.bm25_search("shared", top_k=10,
+                               operator_or=True).collect()} == {1, 2}
+        assert ix.get_indexed_doc_counts() == 2
