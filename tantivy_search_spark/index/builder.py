@@ -1323,6 +1323,7 @@ class IndexBuilder:
         new_dir = postings_dir + "_compacting"
         shutil.rmtree(new_dir, ignore_errors=True)
         out.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+        self._ensure_readable(new_dir, layout.POSTINGS_SCHEMA)
         # swap (same pattern as stats swap in append())
         old_dir = postings_dir + "_old"
         shutil.rmtree(old_dir, ignore_errors=True)
@@ -1353,8 +1354,10 @@ class IndexBuilder:
 
         # docs table: drop tombstoned rows (anti-join — no broadcast cap)
         docs_dir = os.path.join(self.index_path, DOCS_DIR)
-        spark.read.parquet(docs_dir).join(tombs_df, "doc_id", "left_anti") \
+        docs_src = spark.read.parquet(docs_dir)
+        docs_src.join(tombs_df, "doc_id", "left_anti") \
             .write.mode("overwrite").parquet(docs_dir + "_new")
+        self._ensure_readable(docs_dir + "_new", docs_src.schema)
         os.rename(docs_dir, docs_dir + "_old")
         os.rename(docs_dir + "_new", docs_dir)
         shutil.rmtree(docs_dir + "_old")
@@ -1367,6 +1370,7 @@ class IndexBuilder:
             F.sum("df").alias("df"), F.first("bucket").alias("bucket"),
         ).write.mode("overwrite").partitionBy("bucket").parquet(
             stats_dir + "_new")
+        self._ensure_readable(stats_dir + "_new", layout.STATS_SCHEMA)
         os.rename(stats_dir, stats_dir + "_old")
         os.rename(stats_dir + "_new", stats_dir)
         shutil.rmtree(stats_dir + "_old")
@@ -1557,6 +1561,18 @@ class IndexBuilder:
                 except OSError:
                     pass
         return fence
+
+    def _ensure_readable(self, out_dir: str, schema) -> None:
+        """A parquet write of 0 rows (dynamic-partition or all-empty
+        tasks) can leave a directory with no data file — unreadable
+        (UNABLE_TO_INFER_SCHEMA) for every later open.  Reachable when
+        a purge removes EVERY doc.  Rewrite a schema-bearing empty
+        table then, same pattern as the zero-doc build path."""
+        has = any(f.endswith(".parquet")
+                  for _, _, fs in os.walk(out_dir) for f in fs)
+        if not has:
+            self.spark.createDataFrame([], schema).coalesce(1) \
+                .write.mode("overwrite").parquet(out_dir)
 
     def vacuum_segments(self) -> dict:
         """Drop the intermediate segments table of a COMMITTED index.

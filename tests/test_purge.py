@@ -214,3 +214,34 @@ class TestPurgeEmptyGroup:
                 ix.bm25_search("shared", top_k=10,
                                operator_or=True).collect()} == {1, 2}
         assert ix.get_indexed_doc_counts() == 2
+
+
+class TestPurgeEverything:
+    def test_all_docs_deleted_then_purged(self, spark, tmp_path):
+        """Delete EVERY doc, purge: zero-row dynamic-partition writes
+        must still leave readable (schema-bearing) postings/stats/docs
+        tables — regression: the swapped dirs had no data files and
+        every later open died with UNABLE_TO_INFER_SCHEMA."""
+        path = str(tmp_path / "purge_all")
+        cfg = IndexConfig.from_json(["col1"], "{}")
+        cfg.n_buckets = 4
+        cfg.parts_per_shard = 2
+        rows = [{"doc_id": i, "col1": f"alpha beta gamma{i}"}
+                for i in range(5)]
+        b = IndexBuilder(spark, path, cfg, rows_per_part=2)
+        b.build(spark.createDataFrame(rows), id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        ix.delete_row_ids(list(range(5)))
+        b.compact(min_rows_per_group=2, purge_deletes=True)
+        ix.reload()
+        assert ix.bm25_search("alpha", top_k=10,
+                              operator_or=True).count() == 0
+        assert ix.get_indexed_doc_counts() == 0
+        assert ix.get_total_num_docs() == 0
+        # the index is still a working writer target: append revives it
+        meta = b.append(spark.createDataFrame(
+            [{"col1": "alpha fresh start"}]))
+        assert meta.total_docs == 1
+        ix.reload()
+        got = ix.bm25_search("alpha", top_k=10, operator_or=True).collect()
+        assert len(got) == 1
