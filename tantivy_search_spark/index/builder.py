@@ -756,12 +756,16 @@ class IndexBuilder:
                      "n_files": len(ck["files"]),
                      "n_rows": sum(n for _, n in ck["files"])}
 
-    def _write_docs_view(self, source_cols: list[str]) -> None:
+    def _write_docs_view(self, source_cols: list[str],
+                         source_schema: dict | None = None) -> None:
         """docs_mode='view': persist the pinned source snapshot spec
         (file list + per-file doc-id offsets + column layout) that
         ``SearchIndex.docs`` reconstructs rows from.  The file list
         comes from the position_ids checkpoint, which the build already
-        verified against the live snapshot."""
+        verified against the live snapshot.  ``source_schema`` (col →
+        Spark simpleString type) lets a zero-doc view index serve a
+        typed empty docs table (ADVICE r4: spark.read.parquet of an
+        empty file list cannot infer a schema)."""
         ck = self._ckpt_done("position_ids")
         if ck is None:  # unreachable from build(); defensive
             raise RuntimeError("docs view requires a position_ids checkpoint")
@@ -771,7 +775,8 @@ class IndexBuilder:
             acc += int(n)
         spec = {"files": files, "source_cols": source_cols,
                 "store_doc": bool(self.config.store_doc),
-                "index_cols": list(self.config.columns)}
+                "index_cols": list(self.config.columns),
+                "source_schema": source_schema or {}}
         tmp = os.path.join(self.index_path, DOCS_VIEW_FILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(spec, f)
@@ -892,6 +897,8 @@ class IndexBuilder:
                 F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
                 for c in self.config.columns
             ]
+            _src_schema = {f.name: f.dataType.simpleString()
+                           for f in df.schema.fields if f.name != "doc_id"}
             if docs_mode == "view" and docs_sha == "defer":
                 # minimal-write path: no docs table at all.  Position
                 # ids are dense 0..N-1 over the pinned snapshot, so the
@@ -899,7 +906,7 @@ class IndexBuilder:
                 # and meta stores the O(1) dense descriptor instead of
                 # one part_ranges entry per part (at 10^12 docs the
                 # explicit list alone would be gigabytes of JSON)
-                self._write_docs_view(source_cols or [])
+                self._write_docs_view(source_cols or [], _src_schema)
                 n = int(staged_ck["n_rows"]) if staged_ck else 0
                 rpp = self.rows_per_part
                 docs_ck = {"total_docs": n, "secs": time.time() - t0,
@@ -914,7 +921,7 @@ class IndexBuilder:
                 # pinned source snapshot (see _write_docs_view below)
                 src.select("doc_id", *sha_cols).write.mode(
                     "overwrite").parquet(os.path.join(self.index_path, DOCS_DIR))
-                self._write_docs_view(source_cols or [])
+                self._write_docs_view(source_cols or [], _src_schema)
             else:
                 keep = [c for c in src.columns if c != "part_id"] if self.config.store_doc \
                     else [c for c in src.columns
@@ -946,12 +953,21 @@ class IndexBuilder:
                            "max_doc": max((x[2] for x in pr), default=0),
                            "part_ranges": sorted(pr),
                            "rows_per_part": self.rows_per_part,
-                           "docs_mode": docs_mode}
+                           "docs_mode": docs_mode, "docs_sha": docs_sha}
                 self._ckpt_write("docs", docs_ck)
         elif docs_ck.get("docs_mode", "copy") != docs_mode:
             raise ValueError(
                 f"resume: this build was checkpointed with docs_mode="
                 f"{docs_ck.get('docs_mode', 'copy')!r}; restart with "
+                f"overwrite=True to change it")
+        elif (docs_mode == "view"
+              and docs_ck.get("docs_sha", "sidecar") != docs_sha):
+            # ADVICE r4: without this a crashed view+sidecar build
+            # resumed with docs_sha='defer' (or vice versa) silently
+            # kept the checkpointed variant
+            raise ValueError(
+                f"resume: this build was checkpointed with docs_sha="
+                f"{docs_ck.get('docs_sha', 'sidecar')!r}; restart with "
                 f"overwrite=True to change it")
         total_docs = docs_ck["total_docs"]
         metrics["stages"]["docs"] = docs_ck
@@ -1057,6 +1073,13 @@ class IndexBuilder:
             secs = time.time() - t0
             if n_chunks == 1:
                 chunk_docs = total_docs  # single chunk covers everything
+            elif "dense" in docs_ck:
+                # defer builds write no docs table at all — but ids are
+                # dense 0..N-1 by construction, so the chunk's doc count
+                # is pure arithmetic (ADVICE r4: scanning DOCS_DIR here
+                # crashed defer+chunked builds with PATH_NOT_FOUND)
+                dn, drpp = int(docs_ck["dense"][0]), int(docs_ck["dense"][1])
+                chunk_docs = max(0, min(hi * drpp, dn) - min(lo * drpp, dn))
             else:
                 chunk_docs = self.spark.read.parquet(
                     os.path.join(self.index_path, DOCS_DIR)
@@ -1416,8 +1439,7 @@ class IndexBuilder:
             # pre-purge id high-water mark: append() must never reissue
             # a purged id to a new doc
             max_doc_id=max(
-                max((r[2] for r in layout.part_bounds(meta) or []),
-                    default=-1),
+                layout.max_doc_bound(meta),
                 meta.max_doc_id if meta.max_doc_id is not None else -1),
         ).save(self.index_path)
         return {"purged_docs": int(n_purged), "total_docs": int(total_docs)}
@@ -1628,8 +1650,7 @@ class IndexBuilder:
         import pyarrow.parquet as pq
 
         meta = IndexMeta.load(self.index_path)
-        bounds = layout.part_bounds(meta) or []
-        max_committed = max((r[2] for r in bounds), default=-1)
+        max_committed = layout.max_doc_bound(meta)
         removed = {"docs": 0, "postings": 0, "stats_rebuilt": False}
 
         # short-circuit: meta.committed_fence is the max data-file mtime
@@ -1688,7 +1709,7 @@ class IndexBuilder:
         # meta commit): every fragment in them belongs to uncommitted
         # parts, and meta total_tokens is recomputed from segments —
         # leaving them would double-count the retried append's tokens
-        max_part = max((r[0] for r in bounds), default=-1)
+        max_part = layout.max_part_bound(meta)
         seg_dir = os.path.join(self.index_path, SEGMENTS_DIR)
         removed["segment_chunks"] = 0
         if os.path.exists(seg_dir):
@@ -1759,7 +1780,7 @@ class IndexBuilder:
                 "builds are cheap — no corpus copy), or build with "
                 "docs_mode='copy' if incremental appends are required")
         old_max = max(
-            max((r[2] for r in layout.part_bounds(meta) or []), default=-1),
+            layout.max_doc_bound(meta),
             meta.max_doc_id if meta.max_doc_id is not None else -1)
         base = (old_max // self.rows_per_part + 1) * self.rows_per_part
 

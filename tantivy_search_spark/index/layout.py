@@ -366,3 +366,25 @@ def part_bounds(meta: "IndexMeta") -> list | None:
                  min(rpp, n - k * rpp)]
                 for k in range((n + rpp - 1) // rpp)]
     return meta.part_ranges
+
+
+def max_doc_bound(meta: "IndexMeta") -> int:
+    """Largest committed doc id, or -1 on an empty index — O(1) even on
+    a dense descriptor (ADVICE r4: repair()/append()/purge only ever
+    needed this max, but reached it by expanding part_bounds() into a
+    per-part list, ~10^7+ elements at the 10^12-doc scale dense_ranges
+    exists for)."""
+    dense = getattr(meta, "dense_ranges", None)
+    if not meta.part_ranges and dense:
+        return int(dense[0]) - 1
+    return max((r[2] for r in meta.part_ranges or []), default=-1)
+
+
+def max_part_bound(meta: "IndexMeta") -> int:
+    """Largest committed part id, or -1 on an empty index — O(1) on a
+    dense descriptor (companion of :func:`max_doc_bound`)."""
+    dense = getattr(meta, "dense_ranges", None)
+    if not meta.part_ranges and dense:
+        n, rpp = int(dense[0]), int(dense[1])
+        return (n - 1) // rpp if n > 0 else -1
+    return max((r[0] for r in meta.part_ranges or []), default=-1)

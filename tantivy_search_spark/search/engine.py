@@ -718,13 +718,27 @@ class SearchIndex:
             with open(os.path.join(self.index_path,
                                    layout.DOCS_VIEW_FILE)) as f:
                 spec = _json.load(f)
+            keep = list(spec["source_cols"]) if spec["store_doc"] else [
+                c for c in spec["source_cols"]
+                if c not in spec["index_cols"]]
+            if not spec["files"]:
+                # zero-doc view build: there are no source files to
+                # read, so serve a typed empty docs table (ADVICE r4 —
+                # spark.read.parquet(*[]) cannot infer a schema; copy
+                # mode already served empty-index reads fine).  Types
+                # come from the source schema the build recorded;
+                # legacy specs without it fall back to string.
+                types = spec.get("source_schema", {})
+                ddl = ", ".join(
+                    [f"`{c}` {types.get(c, 'string')}" for c in keep]
+                    + ["`doc_id` bigint"]
+                    + [f"`sha256_{c}` string"
+                       for c in spec["index_cols"]])
+                return spark.createDataFrame([], ddl)
             offs_df = spark.createDataFrame(
                 [(fp, int(off)) for fp, off, _n in spec["files"]],
                 "_fp string, _off long")
             src = spark.read.parquet(*[fp for fp, _o, _n in spec["files"]])
-            keep = list(spec["source_cols"]) if spec["store_doc"] else [
-                c for c in spec["source_cols"]
-                if c not in spec["index_cols"]]
             sha_cols = [
                 F.sha2(F.coalesce(F.col(c), F.lit("")), 256).alias(f"sha256_{c}")
                 for c in spec["index_cols"]

@@ -266,3 +266,93 @@ class TestDocsView:
                                 F.max("doc_id").alias("hi"),
                                 F.count("*").alias("n")).collect())
         assert [list(map(int, x)) for x in ix_v.meta.part_ranges] == pr
+
+    def test_defer_chunked_build(self, spark, tmp_path, corpus_parquet):
+        """ADVICE r4: defer + n_chunks>1 used to crash PATH_NOT_FOUND —
+        the chunked segments stage counted chunk docs by scanning the
+        docs table defer mode never writes.  Now arithmetic; a chunked
+        defer build must equal the single-chunk one, including the
+        per-chunk doc counts in the build metrics."""
+        ix_1 = _build(spark, tmp_path, corpus_parquet, "defer_c1",
+                      docs_mode="view", docs_sha="defer")
+        path = str(tmp_path / "defer_c3")
+        src = spark.read.parquet(corpus_parquet)
+        meta = IndexBuilder(spark, path, _cfg(), rows_per_part=2).build(
+            src, position_ids=True, docs_mode="view", docs_sha="defer",
+            n_chunks=3)
+        ix_3 = SearchIndex(spark, path)
+        assert meta.dense_ranges == ix_1.meta.dense_ranges
+        assert meta.total_tokens == ix_1.meta.total_tokens
+        chunks = meta.build_metrics["stages"]["segments"]["chunks"]
+        assert sum(c["docs"] for c in chunks) == meta.total_docs
+        a = [(r["row_id"], round(r["score"], 6)) for r in
+             ix_1.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        b = [(r["row_id"], round(r["score"], 6)) for r in
+             ix_3.bm25_search("ancient", top_k=10, operator_or=True).collect()]
+        assert a == b
+
+    def test_resume_docs_sha_mismatch_raises(self, spark, tmp_path,
+                                             corpus_parquet):
+        """ADVICE r4: a crashed view+sidecar build resumed with
+        docs_sha='defer' silently kept the checkpointed variant."""
+        path = str(tmp_path / "resume_sha")
+        src = spark.read.parquet(corpus_parquet)
+        b = IndexBuilder(spark, path, _cfg(), rows_per_part=2)
+        orig = b._ckpt_write
+
+        def bomb(name, payload):
+            orig(name, payload)
+            if name == "docs":
+                raise RuntimeError("injected crash after docs stage")
+
+        b._ckpt_write = bomb
+        with pytest.raises(RuntimeError, match="injected"):
+            b.build(src, position_ids=True, docs_mode="view")
+        b2 = IndexBuilder(spark, path, _cfg(), rows_per_part=2)
+        with pytest.raises(ValueError, match="docs_sha"):
+            b2.build(src, position_ids=True, docs_mode="view",
+                     docs_sha="defer")
+        # resuming with the SAME variant completes fine
+        meta = b2.build(src, position_ids=True, docs_mode="view")
+        assert meta.total_docs > 0
+
+    def test_zero_doc_view_docs_readable(self, spark, tmp_path):
+        """ADVICE r4: a zero-doc view build committed fine but
+        SearchIndex.docs raised UNABLE_TO_INFER_SCHEMA (empty file
+        list).  It must serve a typed empty docs table with the same
+        schema a copy-mode zero-doc index serves."""
+        src_path = str(tmp_path / "empty_src")
+        spark.createDataFrame(
+            [], "tag string, col1 string").write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        pv = str(tmp_path / "empty_view")
+        IndexBuilder(spark, pv, _cfg(), rows_per_part=2).build(
+            src, position_ids=True, docs_mode="view")
+        pc = str(tmp_path / "empty_copy")
+        IndexBuilder(spark, pc, _cfg(), rows_per_part=2).build(
+            src, position_ids=True, docs_mode="copy")
+        dv = SearchIndex(spark, pv).docs
+        dc = SearchIndex(spark, pc).docs
+        assert dv.count() == 0
+        assert sorted(dv.columns) == sorted(dc.columns)
+        assert dict(dv.dtypes) == dict(dc.dtypes)
+
+    def test_max_bounds_o1_helpers(self, spark, tmp_path, corpus_parquet):
+        """layout.max_doc_bound / max_part_bound equal the part_bounds
+        expansion on both explicit and dense metas (ADVICE r4: the
+        callers only needed the max but expanded the full list)."""
+        from tantivy_search_spark.index import layout as L
+        ix_s = _build(spark, tmp_path, corpus_parquet, "mb_side",
+                      docs_mode="view")
+        ix_d = _build(spark, tmp_path, corpus_parquet, "mb_defer",
+                      docs_mode="view", docs_sha="defer")
+        for meta in (ix_s.meta, ix_d.meta):
+            pb = L.part_bounds(meta)
+            assert L.max_doc_bound(meta) == max(r[2] for r in pb)
+            assert L.max_part_bound(meta) == max(r[0] for r in pb)
+        # empty meta
+        empty = L.IndexMeta(config_json="{}", num_parts=0, total_docs=0,
+                            total_tokens={}, part_ranges=[],
+                            dense_ranges=[0, 64])
+        assert L.max_doc_bound(empty) == -1
+        assert L.max_part_bound(empty) == -1
