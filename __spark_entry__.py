@@ -298,8 +298,12 @@ def _q_minhash_sigs(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
+    # expansion='full' pins the literal all-pairs surface against the
+    # oracle; the engine default is the linear 'star' output (same
+    # clusters), which the dedup_components/dedup_assign keys exercise
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), w=3, n_perm=8, bands=2, threshold=0.01
+        _docs(spark, sf_dir), w=3, n_perm=8, bands=2, threshold=0.01,
+        expansion="full",
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -322,8 +326,11 @@ def _q_simhash_sigs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    # expansion='full': literal all-pairs surface for oracle parity
+    # (engine default is the linear 'star' output, same clusters)
     return dedup.simhash_pairs(
-        _docs(spark, sf_dir), bits=60, max_hamming=16, chunks=4)
+        _docs(spark, sf_dir), bits=60, max_hamming=16, chunks=4,
+        expansion="full")
 
 
 def _q_cosine_knn(spark, sf_dir):

@@ -210,7 +210,24 @@ def main() -> None:
             latw.append(time.time() - t0)
     timings["bm25_top10_p50"] = round(statistics.median(lat10), 3)
     timings["bm25_top100_p50"] = round(statistics.median(lat100), 3)
-    timings["bm25_top10_wand_p50"] = round(statistics.median(latw), 3)
+    # distributed WAND plan, forced (at this corpus size there is
+    # nothing for block-max skipping to save, so this is a floor
+    # check, not the user's strategy)
+    timings["bm25_top10_wand_dist_p50"] = round(statistics.median(latw), 3)
+    # the headline: auto-tier routing with WAND enabled — the strategy
+    # a user actually gets from one entry point (VERDICT r4 item 4);
+    # at bench scale auto serves from the in-process tier
+    lata = []
+    for sentence, op_or in BM25_QUERIES:  # warm the routed tier
+        ix.bm25_search_auto(sentence, top_k=10, operator_or=op_or,
+                            use_wand=True)
+    for rep in range(3):
+        for sentence, op_or in BM25_QUERIES:
+            t0 = time.time()
+            ix.bm25_search_auto(sentence, top_k=10, operator_or=op_or,
+                                use_wand=True)
+            lata.append(time.time() - t0)
+    timings["bm25_top10_wand_p50"] = round(statistics.median(lata), 3)
 
     # ---- in-process hot path (reference deployment shape) -----------------
     ix.enable_local_cache()

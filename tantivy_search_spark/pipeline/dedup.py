@@ -457,6 +457,7 @@ def minhash_lsh_pairs(
     family: str = "md5",
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
     collapse_exact: bool = True,
+    expansion: str = "star",
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
@@ -466,24 +467,40 @@ def minhash_lsh_pairs(
     shingle Jaccard >= threshold.
 
     ``collapse_exact`` (default): exact-content groups are collapsed to
-    one representative BEFORE signature banding, and group membership is
-    re-expanded into the result afterwards.  Identical docs have
+    one representative BEFORE signature banding.  Identical docs have
     identical signatures, so without this every band bucket holds the
     whole duplicate cluster and the self-join plus two shingle-array
     verification joins process m(m-1)/2 candidate rows per m-member
     cluster — quadratic *intermediate* work at 100 TB (boilerplate
-    clusters run 10^6 docs).  Collapsed, the expensive stages are linear
-    in distinct contents; only the final (spec-mandated) pair output
-    re-materializes within-cluster pairs, as cheap literal rows:
-    members of one exact group pair at jaccard 1.0 exactly, and a
-    member-pair across two groups has the representatives' jaccard
-    (identical normalized text => identical shingle sets).
+    clusters run 10^6 docs).  Collapsed, the expensive stages are
+    linear in distinct contents.
+
+    ``expansion`` controls how exact-group membership re-enters the
+    PAIR OUTPUT (collapse_exact only):
+
+    * ``'star'`` (default): linear, connectivity-equivalent output —
+      rep-level near-dup pairs as-is (reps are real doc ids), plus one
+      (rep, member, 1.0) edge per non-rep member.  Connected
+      components / dedup_assign / any clustering consumer get exactly
+      the same clusters as the full pair set, in O(members + rep
+      pairs) rows.  This is the 100 TB-safe default: the full
+      expansion materializes m(m-1)/2 rows per m-member exact cluster
+      (a 10^6-member boilerplate cluster alone is ~5*10^11 rows).
+    * ``'full'``: every member-level pair, the literal all-pairs
+      surface — members of one exact group pair at jaccard 1.0
+      exactly, and a member-pair across two groups has the
+      representatives' jaccard (identical normalized text => identical
+      shingle sets).  Only for consumers that need the exhaustive pair
+      list at bounded cluster sizes.
 
     ``max_band_bucket`` caps distinct contents per band bucket (see
     DEFAULT_MAX_BAND_BUCKET; audit drops with :func:`hot_band_buckets`,
     disable with None).
     """
     assert n_perm % bands == 0
+    if expansion not in ("star", "full"):
+        raise ValueError(
+            f"expansion must be 'star' or 'full', got {expansion!r}")
     _swap_persisted_pool()
     base = df.select("doc_id", text_col)
     if not collapse_exact:
@@ -500,6 +517,16 @@ def minhash_lsh_pairs(
         "doc_id")
     rep_pairs = _lsh_rep_pairs(src, text_col, w, n_perm, bands, threshold,
                                family, max_band_bucket)
+    if expansion == "star":
+        if threshold <= 1.0:
+            # rep = min(group) so rep < member: a < b holds by
+            # construction on the star edges
+            within = (members.where(F.col("doc_id") != F.col("rep"))
+                      .select(F.col("rep").alias("a"),
+                              F.col("doc_id").alias("b"),
+                              F.lit(1.0).alias("jaccard")))
+            return rep_pairs.unionByName(within)
+        return rep_pairs
     ma = members.select(F.col("rep").alias("a"), F.col("doc_id").alias("_da"))
     mb = members.select(F.col("rep").alias("b"), F.col("doc_id").alias("_db"))
     cross = (rep_pairs.join(ma, "a").join(mb, "b")
@@ -553,6 +580,7 @@ def simhash_pairs(
     max_hamming: int = 3, chunks: int = 4,
     max_bucket: int | None = None,
     collapse_exact: bool = True,
+    expansion: str = "star",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -574,9 +602,17 @@ def simhash_pairs(
     ``_norm_text`` normalization, so exact-content groups share one
     signature; collapsing them to a representative before the chunk
     self-join keeps the expensive stages linear in distinct contents.
-    Within-group pairs re-expand at hamming 0 (identical signatures),
-    cross-group member pairs inherit the representatives' hamming —
-    output is row-identical to the uncollapsed join."""
+
+    ``expansion``: same contract as :func:`minhash_lsh_pairs` —
+    ``'star'`` (default) emits rep-level pairs plus one (rep, member,
+    hamming 0) edge per non-rep member (connectivity-equivalent,
+    linear output); ``'full'`` re-expands every member-level pair
+    (within-group pairs at hamming 0, cross-group member pairs at the
+    representatives' hamming — row-identical to the uncollapsed
+    join)."""
+    if expansion not in ("star", "full"):
+        raise ValueError(
+            f"expansion must be 'star' or 'full', got {expansion!r}")
     if collapse_exact:
         base = df.select("doc_id", text_col)
         _swap_persisted_pool()
@@ -586,6 +622,12 @@ def simhash_pairs(
             "doc_id")
         rep_pairs = simhash_pairs(src, text_col, bits, max_hamming,
                                   chunks, max_bucket, collapse_exact=False)
+        if expansion == "star":
+            within = (members.where(F.col("doc_id") != F.col("rep"))
+                      .select(F.col("rep").alias("a"),
+                              F.col("doc_id").alias("b"),
+                              F.lit(0).cast("int").alias("hamming")))
+            return rep_pairs.unionByName(within)
         ma = members.select(F.col("rep").alias("a"),
                             F.col("doc_id").alias("_da"))
         mb = members.select(F.col("rep").alias("b"),

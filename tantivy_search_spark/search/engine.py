@@ -1255,33 +1255,63 @@ class SearchIndex:
         n_subs: int = 1,
         offsets: tuple | None = None,
     ) -> DataFrame:
-        """Position-verified phrase scoring -> (doc_id, atom, score),
+        """Single phrase atom — thin wrapper over the multi-atom pass."""
+        return self._scored_phrases_df(
+            [(atom_id, col, list(terms), int(slop),
+              tuple(offsets) if offsets else None)],
+            stats, alive_bitmap, packed=packed, n_subs=n_subs)
+
+    def _scored_phrases_df(
+        self,
+        phrase_plans: list,
+        stats: Statistics | None,
+        alive_bitmap: bytes | None,
+        packed: bool = False,
+        n_subs: int = 1,
+    ) -> DataFrame:
+        """Position-verified phrase scoring for EVERY phrase atom of a
+        query/batch in ONE grouped-map pass -> (doc_id, atom, score),
         or packed (shard, sub, atom, doc_ids, scores) blob rows when
         ``packed=True`` (unioned with ``_scored_atoms_packed`` output
         so phrase-containing batches ride the packed kernel; requires
         the broadcast tombstone tier).
 
+        ``phrase_plans``: [(atom_id, col, terms, slop, offsets|None)].
+
         Shards are disjoint doc ranges, so grouping candidate posting
         rows by shard co-locates every phrase term's postings for the
-        same documents in one applyInPandas group: decode, intersect the
-        doc sets, verify adjacency on the stored positions, and score
-        surviving docs as the sum of member term BM25 scores.  Scales
-        like the WAND path — work is per-shard, no driver round-trip.
+        same documents in one applyInPandas group: decode each (col,
+        term) once (shared across atoms that repeat a term), intersect
+        the doc sets per atom, verify adjacency on the stored
+        positions, and score surviving docs as the sum of member term
+        BM25 scores.  Scales like the WAND path — work is per-shard,
+        no driver round-trip.  One plan regardless of atom count: the
+        per-atom union of grouped-maps this replaces cost ~70 s of
+        driver-side Catalyst/janino on a 200-phrase batch (round-4
+        fuzz observation) while this plans in constant time.
         """
         if not self.config.with_positions:
             raise ValueError(
                 "phrase query requires an index built with "
                 "IndexConfig.with_positions=True")
-        local = self.local_statistics({col: list(terms)})
+        cols_terms: dict[str, set] = {}
+        for (_aid, col, terms, _slop, _offs) in phrase_plans:
+            cols_terms.setdefault(col, set()).update(terms)
+        local = self.local_statistics(
+            {c: sorted(ts) for c, ts in cols_terms.items()})
         use = stats if stats is not None and stats.docs_freq else local
         n_docs = use.total_num_docs or 1
-        df_map = {t: d for (t, c, d) in use.docs_freq if c == col}
+        df_map = {(c, t): d for (t, c, d) in use.docs_freq}
         for (t, c, d) in local.docs_freq:
-            if c == col:
-                df_map.setdefault(t, d)
-        idf_map = {t: float(bm25.idf(df_map.get(t, 0), n_docs))
-                   for t in terms}
-        avgdl = use.total_num_tokens.get(col, 0) / n_docs if n_docs else 1.0
+            df_map.setdefault((c, t), d)
+        plans = []
+        for (aid, col, terms, slop, offs) in phrase_plans:
+            idf_map = {t: float(bm25.idf(df_map.get((col, t), 0), n_docs))
+                       for t in terms}
+            avgdl = (use.total_num_tokens.get(col, 0) / n_docs
+                     if n_docs else 1.0)
+            plans.append((int(aid), col, list(terms), idf_map, avgdl,
+                          int(slop), tuple(offs) if offs else None))
         k1, b = self.config.k1, self.config.b
         bs = self.config.block_size
         tomb = self._tombstone_small_array()
@@ -1289,94 +1319,109 @@ class SearchIndex:
         if packed and anti_join_tombs:
             raise ValueError("packed phrase scoring requires the "
                              "broadcast tombstone tier")  # caller gates
-        b_env = self._bcast((list(terms), idf_map, avgdl,
+        b_env = self._bcast((plans,
                              np.empty(0, np.int64) if anti_join_tombs
-                             else tomb, alive_bitmap, int(slop),
-                             tuple(offsets) if offsets else None))
+                             else tomb, alive_bitmap))
 
         def phrase_docs_scores(pdf: pd.DataFrame):
-            (terms_l, idf_m, avgdl_l, tombs, alive, slop_l,
-             offs_l) = b_env.value
-            per_term = {}
-            for t in terms_l:
-                sub = pdf[pdf["term"] == t]
-                if not len(sub):
-                    return None  # AND semantics: term absent in shard
-                runs = []
-                for r in sub.itertuples(index=False):
-                    d, tf, nm = layout.decode_blocks(
-                        r.block_first, r.deltas, r.tfs, r.norms, bs)
-                    flat, _ = layout.decode_positions(
-                        r.positions, np.frombuffer(r.tfs, np.uint32))
-                    runs.append((d, tf, nm, flat))
-                per_term[t] = _assemble_phrase_runs(runs)
-
-            docs, scores = _eval_phrase(terms_l, per_term, idf_m,
-                                        avgdl_l, k1, b, slop_l, offs_l)
-            if docs.size and tombs.size:
-                keep = ~np.isin(docs, tombs)
-                docs, scores = docs[keep], scores[keep]
-            if docs.size and alive is not None:
-                keep = mask_for_row_ids(docs, alive)
-                docs, scores = docs[keep], scores[keep]
-            if not docs.size:
-                return None
-            return docs, scores
+            """[(atom_id, docs, scores)] for atoms matching this shard."""
+            plans_l, tombs, alive = b_env.value
+            groups = {k: g for k, g in
+                      pdf.groupby(["col", "term"], sort=False)}
+            decoded: dict = {}
+            results = []
+            for (aid, col, terms_l, idf_m, avgdl_l, slop_l,
+                 offs_l) in plans_l:
+                per_term = {}
+                for t in terms_l:
+                    key = (col, t)
+                    if key not in decoded:
+                        sub = groups.get(key)
+                        if sub is None or not len(sub):
+                            decoded[key] = None
+                        else:
+                            runs = []
+                            for r in sub.itertuples(index=False):
+                                d, tf, nm = layout.decode_blocks(
+                                    r.block_first, r.deltas, r.tfs,
+                                    r.norms, bs)
+                                flat, _ = layout.decode_positions(
+                                    r.positions,
+                                    np.frombuffer(r.tfs, np.uint32))
+                                runs.append((d, tf, nm, flat))
+                            decoded[key] = _assemble_phrase_runs(runs)
+                    if decoded[key] is None:
+                        per_term = None  # AND: term absent in shard
+                        break
+                    per_term[t] = decoded[key]
+                if per_term is None:
+                    continue
+                docs, scores = _eval_phrase(terms_l, per_term, idf_m,
+                                            avgdl_l, k1, b, slop_l,
+                                            offs_l)
+                if docs.size and tombs.size:
+                    keep = ~np.isin(docs, tombs)
+                    docs, scores = docs[keep], scores[keep]
+                if docs.size and alive is not None:
+                    keep = mask_for_row_ids(docs, alive)
+                    docs, scores = docs[keep], scores[keep]
+                if docs.size:
+                    results.append((aid, docs, scores))
+            return results
 
         def phrase_score(pdf: pd.DataFrame) -> pd.DataFrame:
-            got = phrase_docs_scores(pdf)
-            if got is None:
+            results = phrase_docs_scores(pdf)
+            if not results:
                 return pd.DataFrame({"doc_id": np.empty(0, np.int64),
                                      "atom": np.empty(0, np.int32),
                                      "score": np.empty(0, np.float64)})
-            docs, scores = got
             return pd.DataFrame({
-                "doc_id": docs,
-                "atom": np.full(docs.size, atom_id, dtype=np.int32),
-                "score": scores,
+                "doc_id": np.concatenate([d for _, d, _ in results]),
+                "atom": np.concatenate(
+                    [np.full(d.size, aid, dtype=np.int32)
+                     for aid, d, _ in results]),
+                "score": np.concatenate([s for _, _, s in results]),
             })
 
         def phrase_pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({
-                "shard": pd.Series([], dtype="int32"),
-                "sub": pd.Series([], dtype="int32"),
-                "atom": pd.Series([], dtype="int32"),
-                "doc_ids": pd.Series([], dtype=object),
-                "scores": pd.Series([], dtype=object),
-            })
-            got = phrase_docs_scores(pdf)
-            if got is None:
-                return empty
-            docs, scores = got
-            shard = int(pdf["shard"].iloc[0])
-            o_sub, o_docs, o_scores = [], [], []
-            if n_subs <= 1:
-                o_sub, o_docs, o_scores = ([0], [docs.tobytes()],
-                                           [scores.tobytes()])
-            else:
-                sub_of = docs % n_subs
-                for sub in range(n_subs):
-                    m = sub_of == sub
-                    if m.any():
-                        o_sub.append(sub)
-                        o_docs.append(docs[m].tobytes())
-                        o_scores.append(scores[m].tobytes())
+            results = phrase_docs_scores(pdf)
+            o_shard, o_sub, o_atom, o_docs, o_scores = [], [], [], [], []
+            shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+            for aid, docs, scores in results:
+                if n_subs <= 1:
+                    o_shard.append(shard)
+                    o_sub.append(0)
+                    o_atom.append(aid)
+                    o_docs.append(docs.tobytes())
+                    o_scores.append(scores.tobytes())
+                else:
+                    sub_of = docs % n_subs
+                    for sub in range(n_subs):
+                        m = sub_of == sub
+                        if m.any():
+                            o_shard.append(shard)
+                            o_sub.append(sub)
+                            o_atom.append(aid)
+                            o_docs.append(docs[m].tobytes())
+                            o_scores.append(scores[m].tobytes())
             return pd.DataFrame({
-                "shard": pd.Series([shard] * len(o_sub), dtype="int32"),
+                "shard": pd.Series(o_shard, dtype="int32"),
                 "sub": pd.Series(o_sub, dtype="int32"),
-                "atom": pd.Series([atom_id] * len(o_sub), dtype="int32"),
-                "doc_ids": o_docs,
-                "scores": o_scores,
+                "atom": pd.Series(o_atom, dtype="int32"),
+                "doc_ids": pd.Series(o_docs, dtype=object),
+                "scores": pd.Series(o_scores, dtype=object),
             })
 
         buckets = sorted({term_bucket(t, self.config.n_buckets)
-                          for t in terms})
+                          for ts in cols_terms.values() for t in ts})
+        col_cond = None
+        for c, ts in cols_terms.items():
+            cc = (F.col("col") == c) & F.col("term").isin(sorted(ts))
+            col_cond = cc if col_cond is None else (col_cond | cc)
         cand_rows = self._postings.where(
-            F.col("bucket").isin(buckets)
-            & F.col("term").isin(sorted(set(terms)))
-            & (F.col("col") == col)
-        ).select("shard", "term", "block_first", "deltas", "tfs", "norms",
-                 "positions")
+            F.col("bucket").isin(buckets) & col_cond
+        ).select("shard", "col", "term", "block_first", "deltas", "tfs",
+                 "norms", "positions")
         if packed:
             return cand_rows.groupBy("shard").applyInPandas(
                 phrase_pack,
@@ -1469,10 +1514,11 @@ class SearchIndex:
             parts.append(self._scored_atoms_df(
                 term_keys, statistics, alive_bitmap,
                 atom_ids=[atom_index[a] for a in term_keys]))
-        for a in phrase_keys:
-            parts.append(self._scored_phrase_df(
-                a[1], list(a[2]), atom_index[a], statistics, alive_bitmap,
-                slop=a[3], offsets=a[4]))
+        if phrase_keys:
+            parts.append(self._scored_phrases_df(
+                [(atom_index[a], a[1], list(a[2]), a[3], a[4])
+                 for a in phrase_keys],
+                statistics, alive_bitmap))
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)
@@ -1602,11 +1648,12 @@ class SearchIndex:
                     term_keys, statistics, alive_bitmap,
                     atom_ids=[atom_index[a] for a in term_keys],
                     n_subs=n_subs))
-            for a in phrase_keys:
-                parts.append(self._scored_phrase_df(
-                    a[1], list(a[2]), atom_index[a], statistics,
-                    alive_bitmap, slop=a[3], packed=True, n_subs=n_subs,
-                    offsets=a[4]))
+            if phrase_keys:
+                parts.append(self._scored_phrases_df(
+                    [(atom_index[a], a[1], list(a[2]), a[3], a[4])
+                     for a in phrase_keys],
+                    statistics, alive_bitmap, packed=True,
+                    n_subs=n_subs))
             packed = parts[0]
             for p in parts[1:]:
                 packed = packed.unionByName(p)
@@ -1619,10 +1666,11 @@ class SearchIndex:
                 parts.append(self._scored_atoms_df(
                     term_keys, statistics, alive_bitmap,
                     atom_ids=[atom_index[a] for a in term_keys]))
-            for a in phrase_keys:
-                parts.append(self._scored_phrase_df(
-                    a[1], list(a[2]), atom_index[a], statistics,
-                    alive_bitmap, slop=a[3], offsets=a[4]))
+            if phrase_keys:
+                parts.append(self._scored_phrases_df(
+                    [(atom_index[a], a[1], list(a[2]), a[3], a[4])
+                     for a in phrase_keys],
+                    statistics, alive_bitmap))
             scored = parts[0]
             for p in parts[1:]:
                 scored = scored.unionByName(p)

@@ -81,7 +81,8 @@ class TestDedup:
     def test_minhash_lsh_finds_dups(self, docs):
         from tantivy_search_spark.pipeline.dedup import minhash_lsh_pairs
         pairs = minhash_lsh_pairs(
-            docs, w=3, n_perm=16, bands=8, threshold=0.4).toPandas()
+            docs, w=3, n_perm=16, bands=8, threshold=0.4,
+            expansion="full").toPandas()
         keys = set(zip(pairs["a"], pairs["b"]))
         assert (0, 100) in keys and (0, 101) in keys and (100, 101) in keys
         assert (1, 102) in keys  # near dup caught by banding
@@ -367,7 +368,7 @@ class TestExactClusterCollapse:
         # the public result still carries the full spec-mandated pair
         # set: all within-cluster pairs at jaccard exactly 1.0
         out = dedup.minhash_lsh_pairs(df, w=3, n_perm=8, bands=2,
-                                      threshold=0.2)
+                                      threshold=0.2, expansion="full")
         within = out.where((F.col("a") < m) & (F.col("b") < m))
         assert within.count() == m * (m - 1) // 2
         assert within.where(F.col("jaccard") != 1.0).count() == 0
@@ -385,7 +386,7 @@ class TestExactClusterCollapse:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         kw = dict(w=3, n_perm=8, bands=4, threshold=0.2)
         a = sorted(map(tuple, dedup.minhash_lsh_pairs(
-            df, collapse_exact=True, **kw).collect()))
+            df, collapse_exact=True, expansion="full", **kw).collect()))
         b = sorted(map(tuple, dedup.minhash_lsh_pairs(
             df, collapse_exact=False, **kw).collect()))
         assert a == b and len(a) >= 4
@@ -403,7 +404,7 @@ class TestExactClusterCollapse:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         kw = dict(bits=60, max_hamming=16, chunks=4)
         a = sorted(map(tuple, dedup.simhash_pairs(
-            df, collapse_exact=True, **kw).collect()))
+            df, collapse_exact=True, expansion="full", **kw).collect()))
         b = sorted(map(tuple, dedup.simhash_pairs(
             df, collapse_exact=False, **kw).collect()))
         assert a == b and len(a) >= 4
@@ -455,3 +456,67 @@ class TestExactClusterCollapse:
         slow = {r["doc_id"] for r in comp.where(
             F.col("component_id") != F.col("doc_id")).collect()}
         assert fast == slow == {1, 2, 4}
+
+
+class TestStarExpansionBounded:
+    """VERDICT r4 item 5: the default pair OUTPUT must be linear in
+    exact-cluster size — 'full' member-level expansion is opt-in."""
+
+    def test_10k_member_cluster_bounded_default(self, spark):
+        from pyspark.sql import functions as F
+        from tantivy_search_spark.pipeline import dedup
+
+        m = 10_000
+        rows = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(m)]
+        rows += [(m, "the quick brown fox jumps over the lazy dog !!"),
+                 (m + 1, "entirely different content about spark plans")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.minhash_lsh_pairs(df, w=3, n_perm=8, bands=2,
+                                      threshold=0.2).toPandas()
+        # star default: m-1 within edges + rep-level cross pairs — NOT
+        # the ~5*10^7 rows the full expansion would materialize
+        assert len(out) <= m + 5
+        star = out[(out["a"] == 0) & (out["b"] < m)]
+        assert len(star) == m - 1  # every member reaches the rep
+        assert (star["jaccard"] == 1.0).all()
+        # cross near-dup pair surfaces at rep level (real doc ids)
+        assert ((out["a"] == 0) & (out["b"] == m)).any()
+
+    def test_star_and_full_same_components(self, spark):
+        from tantivy_search_spark.pipeline import dedup
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha  beta gamma delta epsilon zeta "),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "one two three four five six seven"),
+            (5, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(w=3, n_perm=8, bands=4, threshold=0.2)
+        comp_star = sorted(map(tuple, dedup.connected_components(
+            dedup.minhash_lsh_pairs(df, expansion="star", **kw)).collect()))
+        comp_full = sorted(map(tuple, dedup.connected_components(
+            dedup.minhash_lsh_pairs(df, expansion="full", **kw)).collect()))
+        assert comp_star == comp_full
+        # simhash star/full agree on components too
+        skw = dict(bits=60, max_hamming=16, chunks=4)
+        s_star = sorted(map(tuple, dedup.connected_components(
+            dedup.simhash_pairs(df, expansion="star", **skw)
+            .select("a", "b")).collect()))
+        s_full = sorted(map(tuple, dedup.connected_components(
+            dedup.simhash_pairs(df, expansion="full", **skw)
+            .select("a", "b")).collect()))
+        assert s_star == s_full
+
+    def test_bad_expansion_raises(self, spark):
+        import pytest as _pytest
+        from tantivy_search_spark.pipeline import dedup
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="expansion"):
+            dedup.minhash_lsh_pairs(df, expansion="pairs")
+        with _pytest.raises(ValueError, match="expansion"):
+            dedup.simhash_pairs(df, expansion="pairs")
