@@ -681,7 +681,7 @@ class SearchIndex:
             self._bitmap_cache.clear()
         for attr in ("_local_cache", "_local_raw_cache",
                      "_local_score_cache", "_local_pos_cache",
-                     "_local_ids_cache"):
+                     "_local_ids_cache", "_local_dense_cache"):
             if hasattr(self, attr):
                 getattr(self, attr).clear()
         self._sidecar = None  # re-validate the fence on next bitmap query
@@ -699,7 +699,8 @@ class SearchIndex:
         self._postings_bytes_cache = None
         for attr in ("_local_cache", "_local_raw_cache",
                      "_local_score_cache", "_local_pos_cache",
-                     "_local_ids_cache", "_bitmap_cache"):
+                     "_local_ids_cache", "_bitmap_cache",
+                     "_local_dense_cache"):
             if hasattr(self, attr):
                 getattr(self, attr).clear()
         self._sidecar = None
@@ -2349,6 +2350,69 @@ class SearchIndex:
                             avgdl.get(col, 1.0), self.config.k1,
                             self.config.b, slop, offsets)
 
+    #: dense-lookup eligibility: a term qualifies when its (post-
+    #: tombstone) posting count covers at least this fraction of the
+    #: corpus — below it the sparse searchsorted gather is already
+    #: cheap and the dense array would waste memory
+    LOCAL_DENSE_MIN_FRAC = 0.25
+    #: byte cap on the dense-lookup LRU (uint32 per corpus doc per
+    #: cached term; only terms the workload actually queries fill it)
+    LOCAL_DENSE_MAX_BYTES = 2 << 30
+    #: posting-count floor below which the sparse gather is trivially
+    #: cheap and a dense array is pointless
+    LOCAL_DENSE_MIN_DOCS = 32
+
+    def _dense_pos_for(self, key: tuple, d: np.ndarray) -> np.ndarray | None:
+        """doc_id -> (sparse index + 1) dense uint32 lookup for a
+        high-df ('hot') term, or None when the term doesn't qualify.
+
+        Hot+tail queries spend their time gathering a few thousand tail
+        candidates out of the hot term's multi-100k sorted doc array:
+        np.searchsorted is O(|tail| log |hot|) with cache-hostile
+        probes and measured ~0.2 ms/query at 480k docs (round-5
+        profile).  A doc-indexed position array turns that into ONE
+        vectorized fancy-index (0 = absent, else sparse position + 1),
+        exact to the bit because scores are still read from the sparse
+        float64 vector.  Built once per (col, term) at first use;
+        invalidated with the other local caches (reload/free) and
+        keyed on the identity of the cached doc vector so a refilled
+        score-cache entry rebuilds it.
+        """
+        total = self.meta.total_docs or 0
+        if d.size < self.LOCAL_DENSE_MIN_DOCS \
+                or d.size < total * self.LOCAL_DENSE_MIN_FRAC:
+            return None
+        if not hasattr(self, "_local_dense_cache"):
+            from collections import OrderedDict
+            self._local_dense_cache: "OrderedDict" = OrderedDict()
+        cache = self._local_dense_cache
+        ent = cache.get(key)
+        if ent is not None and ent[1] is d:
+            cache.move_to_end(key)
+            return ent[0]
+        pos = np.zeros(int(d[-1]) + 1, dtype=np.uint32)
+        pos[d] = np.arange(1, d.size + 1, dtype=np.uint32)
+        cache[key] = (pos, d)
+        while len(cache) > 1 and sum(
+                e[0].nbytes for e in cache.values()) \
+                > self.LOCAL_DENSE_MAX_BYTES:
+            cache.popitem(last=False)
+        return pos
+
+    @staticmethod
+    def _dense_gather(pos: np.ndarray, s: np.ndarray,
+                      cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit_mask, contributions) of a dense-eligible term at the
+        candidate doc ids (exact float64 scores from the sparse
+        vector)."""
+        p = np.zeros(cand.size, dtype=np.int64)
+        m = cand < pos.size
+        p[m] = pos[cand[m]]
+        hit = p > 0
+        contrib = np.zeros(cand.size, dtype=np.float64)
+        contrib[hit] = s[p[hit] - 1]
+        return hit, contrib
+
     def _bm25_local_taat(
         self, tokens: list[str], col: str, top_k: int, operator_or: bool,
         statistics: Statistics | None,
@@ -2439,14 +2503,20 @@ class SearchIndex:
         theta = kth(total) if operator_or else 0.0
         for t in order[1:]:
             d, s = per_term[t]
+            dense = self._dense_pos_for((col, t), d) if cacheable else None
             if not operator_or:
                 # intersection gather
-                pos = np.searchsorted(d, cand)
-                pos_c = np.minimum(pos, max(d.size - 1, 0))
-                hit = (pos < d.size) & (d[pos_c] == cand) if d.size \
-                    else np.zeros(cand.size, dtype=bool)
-                cand = cand[hit]
-                total = total[hit] + s[pos_c[hit]]
+                if dense is not None:
+                    hit, contrib = self._dense_gather(dense, s, cand)
+                    cand = cand[hit]
+                    total = total[hit] + contrib[hit]
+                else:
+                    pos = np.searchsorted(d, cand)
+                    pos_c = np.minimum(pos, max(d.size - 1, 0))
+                    hit = (pos < d.size) & (d[pos_c] == cand) if d.size \
+                        else np.zeros(cand.size, dtype=bool)
+                    cand = cand[hit]
+                    total = total[hit] + s[pos_c[hit]]
                 if cand.size == 0:
                     return []
                 continue
@@ -2461,10 +2531,14 @@ class SearchIndex:
             else:
                 # hot term: gather onto existing candidates only —
                 # skipped docs are bounded below theta (see wand.py)
-                pos = np.searchsorted(d, cand)
-                pos_c = np.minimum(pos, max(d.size - 1, 0))
-                hit = (pos < d.size) & (d[pos_c] == cand)
-                total[hit] += s[pos_c[hit]]
+                if dense is not None:
+                    hit, contrib = self._dense_gather(dense, s, cand)
+                    total += contrib
+                else:
+                    pos = np.searchsorted(d, cand)
+                    pos_c = np.minimum(pos, max(d.size - 1, 0))
+                    hit = (pos < d.size) & (d[pos_c] == cand)
+                    total[hit] += s[pos_c[hit]]
             theta = max(theta, kth(total))
         idx = np.lexsort((cand, -total))[:top_k]
         return [(int(cand[i]), float(total[i])) for i in idx]

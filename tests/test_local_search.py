@@ -212,3 +212,96 @@ class TestLocalTreeEvaluator:
                    local.bm25_search_local(q, top_k=5, enable_nlq=True)]
             want = _dist(ix, q, False, enable_nlq=True)
             assert got == want, q
+
+
+class TestDenseHotTermGather:
+    """High-df terms ride a doc-indexed dense position lookup in the
+    TAAT/WAND local path (round-5: replaces the per-query searchsorted
+    gather that dominated hot+tail latency).  Scores must stay
+    bit-identical to the sparse path and to the distributed tier."""
+
+    def test_dense_path_triggers_and_matches(self, corpus_a_index,
+                                             monkeypatch):
+        ix = corpus_a_index
+        ix.enable_stats_cache()
+        ix.enable_local_cache()
+        # corpus a is tiny, so drop the posting-count floor to let the
+        # dense path trigger ('the' covers >= 25% of col3 docs)
+        monkeypatch.setattr(type(ix), "LOCAL_DENSE_MIN_DOCS", 1)
+        if hasattr(ix, "_local_dense_cache"):
+            ix._local_dense_cache.clear()
+        # single column: the TAAT/WAND local shortcut (where the
+        # dense gather lives) only runs for one-column queries
+        for s, op in [("the ancient", False), ("the ancient", True),
+                      ("the moral", False), ("the rise fall", True)]:
+            got = [(rid, round(sc, 6)) for rid, sc in
+                   ix.bm25_search_local(s, top_k=5, operator_or=op,
+                                        column_names=["col3"],
+                                        use_wand=True)]
+            want = [(r["row_id"], round(r["score"], 6)) for r in
+                    ix.bm25_search(s, top_k=5, operator_or=op,
+                                   column_names=["col3"]).collect()]
+            assert got == want, (s, op)
+        # the dense cache actually filled (the path ran, not skipped)
+        cache = getattr(ix, "_local_dense_cache", {})
+        assert any(k[1] == "the" for k in cache), list(cache)
+
+    def test_dense_matches_sparse_forced(self, corpus_a_index,
+                                         monkeypatch):
+        """Same query answered with the dense path disabled (fraction
+        raised) must be identical — pins the equivalence directly."""
+        ix = corpus_a_index
+        ix.enable_local_cache()
+        monkeypatch.setattr(type(ix), "LOCAL_DENSE_MIN_DOCS", 1)
+        if hasattr(ix, "_local_dense_cache"):
+            ix._local_dense_cache.clear()
+        q, op = "the ancient empires", True
+        dense = ix.bm25_search_local(q, top_k=10, operator_or=op,
+                                     column_names=["col3"],
+                                     use_wand=True)
+        old = type(ix).LOCAL_DENSE_MIN_FRAC
+        try:
+            type(ix).LOCAL_DENSE_MIN_FRAC = 2.0  # nothing qualifies
+            if hasattr(ix, "_local_dense_cache"):
+                ix._local_dense_cache.clear()
+            sparse = ix.bm25_search_local(q, top_k=10, operator_or=op,
+                                          column_names=["col3"],
+                                          use_wand=True)
+        finally:
+            type(ix).LOCAL_DENSE_MIN_FRAC = old
+        assert dense == sparse
+
+    def test_dense_survives_delete_and_reload(self, spark, tmp_path):
+        import json
+
+        from corpora import corpus_a_rows
+        from tantivy_search_spark.config import IndexConfig
+        from tantivy_search_spark.index.builder import IndexBuilder
+        from tantivy_search_spark.search.engine import SearchIndex
+
+        spec = {"col1": {"tokenizer": {"type": "default"}}}
+        cfg = IndexConfig.from_json(["col1"], json.dumps(spec))
+        cfg.n_buckets = 4
+        cfg.parts_per_shard = 2
+        path = str(tmp_path / "dense_del")
+        src = spark.createDataFrame(
+            [{"doc_id": r["doc_id"], "col1": r["col1"]}
+             for r in corpus_a_rows()])
+        IndexBuilder(spark, path, cfg, rows_per_part=2).build(
+            src, id_col="doc_id")
+        ix = SearchIndex(spark, path)
+        ix.enable_local_cache()
+        before = ix.bm25_search_local("the ancient", top_k=10,
+                                      operator_or=True, use_wand=True)
+        assert before
+        victim = before[0][0]
+        ix.delete_row_ids([victim])
+        ix.reload()
+        assert not getattr(ix, "_local_dense_cache", {})  # invalidated
+        after = ix.bm25_search_local("the ancient", top_k=10,
+                                     operator_or=True, use_wand=True)
+        assert victim not in [r for r, _ in after]
+        want = [(r["row_id"], round(r["score"], 6)) for r in
+                ix.bm25_search("the ancient", top_k=10,
+                               operator_or=True).collect()]
+        assert [(r, round(s, 6)) for r, s in after] == want
