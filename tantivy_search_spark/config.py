@@ -45,7 +45,7 @@ _FIELDS_BY_TYPE: dict[str, set[str]] = {
     "chinese": _COMMON | {"jieba", "mode", "hmm", "hmm_model",
                           "case_sensitive"},
     "icu": _COMMON | {"mode", "stop_word_filters", "stem_languages",
-                      "case_sensitive", "cjk_dict"},
+                      "case_sensitive", "cjk_dict", "suppressions"},
 }
 
 _CHINESE_JIEBA = {"default", "empty"}
@@ -99,6 +99,10 @@ def _validate_tokenizer(tok: dict) -> None:
             raise TokenizerError(
                 "icu: cjk_dict must be a path to a frequency-dictionary "
                 "file (word freq per line)")
+        sup = str(tok.get("suppressions", "")).lower()
+        if sup not in ("", "en", "english"):
+            raise TokenizerError(
+                "icu: suppressions must be '' or 'english'")
 
 
 def verify_index_parameter(index_json_parameter: str) -> bool:

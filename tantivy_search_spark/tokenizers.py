@@ -549,7 +549,33 @@ _STERM = set("!?‼⁇⁈⁉。！？｡…")
 _CLOSERS = set("\"'’”』」)]}»›")
 
 
-def _icu_sentences(text: str) -> list[str]:
+#: English sentence-break suppressions - abbreviations after which a
+#: '.' is not a sentence terminator.  Transcribed from the published
+#: CLDR segmentation suppressions for English (common/segments/en.xml,
+#: Unicode CLDR, public data), reduced to the everyday members; the
+#: full CLDR list also carries rarer honorifics and month forms.
+#: Matching is case-sensitive, like CLDR's exact-string suppressions.
+_EN_SENTENCE_SUPPRESSIONS = frozenset({
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "Rev.", "Hon.", "Gov.",
+    "Gen.", "Capt.", "Col.", "Maj.", "Lt.", "Sgt.", "St.", "Jr.",
+    "Sr.", "Messrs.", "Mmes.", "Bros.", "Co.", "Corp.", "Inc.",
+    "Ltd.", "LLC.", "Ave.", "Blvd.", "Rd.", "Mt.", "Ft.", "vs.",
+    "etc.", "approx.", "appt.", "apt.", "dept.", "est.", "min.",
+    "max.", "misc.", "No.", "Nos.", "Ph.D.", "M.D.", "B.A.", "M.A.",
+    "B.S.", "M.S.", "U.S.", "U.K.", "U.N.", "D.C.", "a.m.", "p.m.",
+    "A.M.", "P.M.", "i.e.", "e.g.", "cf.", "al.", "Jan.", "Feb.",
+    "Mar.", "Apr.", "Jun.", "Jul.", "Aug.", "Sep.", "Sept.", "Oct.",
+    "Nov.", "Dec.", "Mon.", "Tue.", "Tues.", "Wed.", "Thu.", "Thur.",
+    "Thurs.", "Fri.", "Sat.", "Sun.", "Fig.", "fig.", "Vol.", "vol.",
+    "Ch.", "ch.", "pp.", "ed.", "eds.", "Univ.", "Assn.", "Est.",
+})
+
+_SUPPRESSION_LISTS = {"": frozenset(), "en": _EN_SENTENCE_SUPPRESSIONS,
+                      "english": _EN_SENTENCE_SUPPRESSIONS}
+
+
+def _icu_sentences(text: str,
+                   suppressions: frozenset = frozenset()) -> list[str]:
     """UAX#29-approximate sentence segmentation (the `sentence` mode of
     the reference's IcuTokenizer, icu/tokenizer.rs:42-45).  Matches
     ICU's SentenceSegmenter on the common rules: a sentence ends after a
@@ -558,8 +584,12 @@ def _icu_sentences(text: str) -> list[str]:
     segment, as in ICU); paragraph separators are mandatory breaks.
     DOCUMENTED APPROXIMATION: the suppression rules are the big ones
     only — '.' does not break before a lowercase continuation (SB8) or
-    inside a number like 3.4 (SB6/7); ICU's full abbreviation handling
-    (locale suppression lists) is absent."""
+    inside a number like 3.4 (SB6/7).  ``suppressions`` (opt-in via
+    the tokenizer's ``suppressions`` field) adds CLDR-style locale
+    abbreviation handling: a '.' ending a listed abbreviation never
+    breaks.  OFF by default because the reference's icu4x
+    ``SentenceSegmenter::new()`` runs root-locale rules without
+    suppression data - default output mirrors the reference."""
     out: list[str] = []
     i, start, n = 0, 0, len(text)
     while i < n:
@@ -590,6 +620,15 @@ def _icu_sentences(text: str) -> list[str]:
                 if k < n and text[k].islower():
                     i = k
                     continue
+                if suppressions:
+                    # trailing word incl. the dot ("Mr.", "Ph.D.")
+                    w = i
+                    while w > start and (text[w - 1].isalpha()
+                                         or text[w - 1] == '.'):
+                        w -= 1
+                    if text[w:i + 1] in suppressions:
+                        i = j
+                        continue
             out.append(text[start:k])
             start = i = k
             continue
@@ -657,27 +696,39 @@ _ICU_SEGMENTERS = {
 }
 
 
-def _resolve_icu_segment(mode: str, cjk_dict: str) -> Callable[[str], list[str]]:
+def _resolve_icu_segment(mode: str, cjk_dict: str,
+                         suppressions: str = "") -> Callable[[str], list[str]]:
     """Word-mode segmenter, optionally dictionary-backed: ``cjk_dict``
     (a jieba-format frequency dictionary file) routes Han/hiragana
     runs through the CjkBreakEngine-style best path instead of
-    per-char UAX#29 default."""
+    per-char UAX#29 default.  ``suppressions`` names a locale
+    abbreviation list for sentence mode ('english'/'en'; default none,
+    mirroring the reference's root-locale SentenceSegmenter)."""
     if cjk_dict and mode == "word":
         if cjk_dict not in _JIEBA_DICT_CACHE:
             _JIEBA_DICT_CACHE[cjk_dict] = _JiebaDict(cjk_dict)
         jd = _JIEBA_DICT_CACHE[cjk_dict]
         return lambda t: _icu_words(t, jd)
+    if mode == "sentence" and suppressions:
+        key = str(suppressions).lower()
+        if key not in _SUPPRESSION_LISTS:
+            raise TokenizerError(
+                f"icu: unknown suppressions list: {suppressions!r} "
+                f"(supported: english)")
+        sup = _SUPPRESSION_LISTS[key]
+        return lambda t: _icu_sentences(t, sup)
     return _ICU_SEGMENTERS[mode]
 
 
 def _icu_analyzer(mode: str, stop_word_filters, stem_languages,
                   case_sensitive: bool,
-                  cjk_dict: str = "") -> Callable[[str], list[str]]:
+                  cjk_dict: str = "",
+                  suppressions: str = "") -> Callable[[str], list[str]]:
     """Reference `icu` chain (parser.rs icu arm: IcuTokenizer +
     stop-word filters + stemmers + LowerCaser), with every segmenter
     mode approximated in pure Python (no PyICU in this environment; the
     approximation is documented per mode and in COVERAGE.md)."""
-    segment = _resolve_icu_segment(mode, cjk_dict)
+    segment = _resolve_icu_segment(mode, cjk_dict, suppressions)
     stop = _resolve_stop_set(stop_word_filters)
     stemmers = []
     for lang in stem_languages:
@@ -718,6 +769,7 @@ def build_analyzer(
     hmm: bool = False,
     hmm_model: str = "",
     cjk_dict: str = "",
+    suppressions: str = "",
 ) -> Callable[[str], list[str]]:
     """Return ``analyze(text) -> [token, ...]`` for one column config."""
     if type == "chinese":
@@ -725,7 +777,7 @@ def build_analyzer(
                                  hmm_model)
     if type == "icu":
         return _icu_analyzer(mode, stop_word_filters, stem_languages,
-                             case_sensitive, cjk_dict)
+                             case_sensitive, cjk_dict, suppressions)
     if type not in ("default", "raw", "simple", "stem", "whitespace", "ngram"):
         raise TokenizerError(f"Unknown tokenizer type: {type}")
     if type == "ngram":
@@ -801,6 +853,7 @@ def analyzer_from_config(cfg: dict) -> Callable[[str], list[str]]:
         hmm=bool(t.get("hmm", False)),
         hmm_model=str(t.get("hmm_model", "")),
         cjk_dict=str(t.get("cjk_dict", "")),
+        suppressions=str(t.get("suppressions", "")),
     )
 
 
@@ -820,6 +873,7 @@ def build_analyzer_pos(
     hmm: bool = False,
     hmm_model: str = "",
     cjk_dict: str = "",
+    suppressions: str = "",
 ) -> Callable[[str], tuple[list[str], list[int]]]:
     """Position-annotated twin of :func:`build_analyzer`:
     ``analyze_pos(text) -> (tokens, positions)``.
@@ -875,7 +929,7 @@ def build_analyzer_pos(
         return analyze_ngram_pos
 
     if type == "icu":
-        segment = _resolve_icu_segment(mode, cjk_dict)
+        segment = _resolve_icu_segment(mode, cjk_dict, suppressions)
         stop = _resolve_stop_set(stop_word_filters)
         from tantivy_search_spark.stemmers import get_stemmer
         stemmers = [get_stemmer(lang.lower()) for lang in stem_languages]
@@ -950,4 +1004,5 @@ def analyzer_pos_from_config(cfg: dict) -> Callable[
         hmm=bool(t.get("hmm", False)),
         hmm_model=str(t.get("hmm_model", "")),
         cjk_dict=str(t.get("cjk_dict", "")),
+        suppressions=str(t.get("suppressions", "")),
     )

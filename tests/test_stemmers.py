@@ -332,6 +332,104 @@ class TestIcuTokenizer:
         an = build_analyzer("icu", mode="line")
         assert an("Tidal-locking 月") == ["tidal-", "locking ", "月"]
 
+    def test_word_mode_language_goldens(self):
+        """icu/tokenizer.rs test_word_mode_with_{korea,french,german,
+        russia,spanish,portuguese,italian}: the full reference token
+        sequences for the 7 non-CJK-dictionary languages (CJ word
+        segmentation needs ICU's bundled dictionary/LSTM — the
+        documented divergence; cjk_dict closes it with user data)."""
+        from tantivy_search_spark.tokenizers import _icu_words
+        cases = {
+            "korea": (
+                "지구-달 조석 고정 시스템(타이달 록킹)에서 조석력은 달에 "
+                "조석 융기를 발생시킵니다.",
+                ["지구", "달", "조석", "고정", "시스템", "타이달", "록킹",
+                 "에서", "조석력은", "달에", "조석", "융기를",
+                 "발생시킵니다"]),
+            "french": (
+                "Dans le système de verrouillage gravitationnel "
+                "Terre-Lune (Tidal Locking), les forces de marée "
+                "provoquent des renflements de marée sur la Lune.",
+                ["Dans", "le", "système", "de", "verrouillage",
+                 "gravitationnel", "Terre", "Lune", "Tidal", "Locking",
+                 "les", "forces", "de", "marée", "provoquent", "des",
+                 "renflements", "de", "marée", "sur", "la", "Lune"]),
+            "german": (
+                "Im Erd-Mond-Gezeitenverriegelungssystem (Tidal "
+                "Locking) verursachen Gezeitenkräfte Gezeitenwölbungen "
+                "auf dem Mond.",
+                ["Im", "Erd", "Mond", "Gezeitenverriegelungssystem",
+                 "Tidal", "Locking", "verursachen", "Gezeitenkräfte",
+                 "Gezeitenwölbungen", "auf", "dem", "Mond"]),
+            "russia": (
+                "В системе приливного захвата Земля-Луна (Tidal "
+                "Locking) приливные силы вызывают приливные выпуклости "
+                "на Луне.",
+                ["В", "системе", "приливного", "захвата", "Земля",
+                 "Луна", "Tidal", "Locking", "приливные", "силы",
+                 "вызывают", "приливные", "выпуклости", "на", "Луне"]),
+            "spanish": (
+                "En el sistema de acoplamiento por marea Tierra-Luna "
+                "(Tidal Locking), las fuerzas de marea causan "
+                "abultamientos de marea en la Luna.",
+                ["En", "el", "sistema", "de", "acoplamiento", "por",
+                 "marea", "Tierra", "Luna", "Tidal", "Locking", "las",
+                 "fuerzas", "de", "marea", "causan", "abultamientos",
+                 "de", "marea", "en", "la", "Luna"]),
+            "portuguese": (
+                "No sistema de travamento por maré Terra-Lua (Tidal "
+                "Locking), as forças de maré causam protuberâncias de "
+                "maré na Lua.",
+                ["No", "sistema", "de", "travamento", "por", "maré",
+                 "Terra", "Lua", "Tidal", "Locking", "as", "forças",
+                 "de", "maré", "causam", "protuberâncias", "de",
+                 "maré", "na", "Lua"]),
+            "italian": (
+                "Nel sistema di bloccaggio mareale Terra-Luna (Tidal "
+                "Locking), le forze mareali causano rigonfiamenti "
+                "mareali sulla Luna.",
+                ["Nel", "sistema", "di", "bloccaggio", "mareale",
+                 "Terra", "Luna", "Tidal", "Locking", "le", "forze",
+                 "mareali", "causano", "rigonfiamenti", "mareali",
+                 "sulla", "Luna"]),
+        }
+        for lang, (text, want) in cases.items():
+            assert _icu_words(text) == want, lang
+
+    def test_sentence_suppressions_english(self):
+        """Opt-in CLDR English abbreviation suppressions: 'Mr.' no
+        longer terminates; default (reference root-locale) behavior
+        unchanged."""
+        from tantivy_search_spark.tokenizers import (
+            _EN_SENTENCE_SUPPRESSIONS, _icu_sentences)
+        t = "Mr. Smith went home. He left."
+        assert _icu_sentences(t) == ["Mr. ", "Smith went home. ",
+                                     "He left."]
+        assert _icu_sentences(t, _EN_SENTENCE_SUPPRESSIONS) == \
+            ["Mr. Smith went home. ", "He left."]
+        # multi-dot abbreviation
+        assert _icu_sentences("He has a Ph.D. In math.",
+                              _EN_SENTENCE_SUPPRESSIONS) == \
+            ["He has a Ph.D. In math."]
+        # a word merely ending in a listed suffix is NOT suppressed
+        # (match is on the whole trailing word)
+        assert _icu_sentences("It was warm. Sunny too.",
+                              _EN_SENTENCE_SUPPRESSIONS) == \
+            ["It was warm. ", "Sunny too."]
+
+    def test_sentence_suppressions_config(self):
+        from tantivy_search_spark.config import (IndexConfig,
+                                                 verify_index_parameter)
+        cfg = IndexConfig.from_json(
+            ["text"],
+            '{"text": {"tokenizer": {"type": "icu",'
+            ' "mode": "sentence", "suppressions": "english"}}}')
+        assert cfg.analyzer("text")("Mr. Smith went home. He left.") == \
+            ["mr. smith went home. ", "he left."]
+        assert not verify_index_parameter(
+            '{"text": {"tokenizer": {"type": "icu",'
+            ' "suppressions": "klingon"}}}')
+
     def test_config_level_icu_builds(self):
         from tantivy_search_spark.config import IndexConfig
         cfg = IndexConfig.from_json(
