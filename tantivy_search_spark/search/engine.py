@@ -2480,7 +2480,12 @@ class SearchIndex:
                 if per_term[t][1].size else 0.0
             if cacheable:
                 scache[(col, t)] = per_term[t] + (tmax[t],)
-                while len(scache) > 512:
+                # cap matches the decoded-postings LRU (4096): a 512
+                # cap thrashed on >512-distinct-term workloads, paying
+                # a per-query tail re-score; score vectors are the same
+                # order of bytes as the decoded postings they derive
+                # from, so the two caches grow together
+                while len(scache) > 4096:
                     scache.popitem(last=False)
 
         order = sorted(per_term, key=lambda t: per_term[t][0].size)
@@ -2791,7 +2796,8 @@ class SearchIndex:
                 if cacheable:
                     scache[a] = (d, s,
                                  float(s.max()) if s.size else 0.0)
-                    while len(scache) > 512:
+                    # same 4096 cap rationale as the TAAT site
+                    while len(scache) > 4096:
                         scache.popitem(last=False)
             if alive_bitmap is not None and d.size:
                 mask = mask_for_row_ids(d, alive_bitmap)
