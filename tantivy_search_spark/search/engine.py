@@ -2001,7 +2001,13 @@ class SearchIndex:
                 return None
             if len({c for c, _ in keys}) != 1:
                 return None  # multi-column AND: exact path
-            return list(dict.fromkeys(keys)), True
+            if len(set(keys)) != len(keys):
+                # duplicated atom (e.g. a repeated-word phrase degraded
+                # to AND on the positions-free layout) would score once
+                # here but per-occurrence on the exact path — fall back
+                # (round-5 fuzz: '"window window"' WAND halved scores)
+                return None
+            return keys, True
         if all(not is_and for _, is_and in groups):
             raw = [k for g, _ in groups for k in g]
             keys = [fix(k) for k in raw]

@@ -208,3 +208,20 @@ def test_wand_multicol_and_falls_back(two_col_index):
     exact, wand = both(two_col_index, "spark join",
                        top_k=10, operator_or=False)
     assert_topk_equal(exact, wand)
+
+
+def test_duplicate_atom_and_falls_back_to_exact(spark, corpus_a_index):
+    """Round-5 fuzz regression: a repeated-word phrase degraded to AND
+    on the positions-free layout carries the same (col, term) atom
+    twice; the exact path scores each occurrence, so the WAND plan must
+    fall back rather than dedup (which halved scores)."""
+    ix = corpus_a_index
+    ix.enable_stats_cache()
+    q = '"ancient ancient"'
+    seq = [(r["row_id"], round(r["score"], 6)) for r in
+           ix.bm25_search(q, top_k=5, enable_nlq=True).collect()]
+    wand = [(r["row_id"], round(r["score"], 6)) for r in
+            ix.bm25_search(q, top_k=5, enable_nlq=True,
+                           use_wand=True).collect()]
+    assert seq == wand
+    assert seq  # non-vacuous: 'ancient' matches docs
