@@ -271,8 +271,12 @@ class TestDenseHotTermGather:
             type(ix).LOCAL_DENSE_MIN_FRAC = old
         assert dense == sparse
 
-    def test_dense_survives_delete_and_reload(self, spark, tmp_path):
+    def test_dense_survives_delete_and_reload(self, spark, tmp_path,
+                                              monkeypatch):
         import json
+
+        from tantivy_search_spark.search.engine import SearchIndex as SI
+        monkeypatch.setattr(SI, "LOCAL_DENSE_MIN_DOCS", 1)
 
         from corpora import corpus_a_rows
         from tantivy_search_spark.config import IndexConfig
@@ -294,6 +298,7 @@ class TestDenseHotTermGather:
         before = ix.bm25_search_local("the ancient", top_k=10,
                                       operator_or=True, use_wand=True)
         assert before
+        assert getattr(ix, "_local_dense_cache", {})  # dense path ran
         victim = before[0][0]
         ix.delete_row_ids([victim])
         ix.reload()
