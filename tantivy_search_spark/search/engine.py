@@ -1693,6 +1693,44 @@ class SearchIndex:
             .orderBy("query_id", F.desc("score"), F.asc("row_id"))
         )
 
+    def bm25_search_batch_auto(
+        self,
+        sentences: list[tuple[str, bool]] | list[str],
+        column_names: list[str] | None = None,
+        top_k: int = 10,
+        enable_nlq: bool = False,
+        alive_bitmap: bytes | None = None,
+        statistics: Statistics | None = None,
+    ) -> DataFrame:
+        """Auto-tier twin of :meth:`bm25_search_batch` — same routing
+        heuristic as :meth:`bm25_search_auto`: while the postings fit
+        the driver (<= AUTO_LOCAL_MAX_BYTES), the batch is answered
+        from the warmed in-process tier (a 100-query batch costs
+        ~100 warm point lookups, far under one Spark job) and returned
+        as the same (query_id, row_id, score) DataFrame; past the
+        threshold the corpus belongs to the cluster and the one-job
+        packed-kernel plan runs.  Both tiers are row-identical (the
+        cross-tier fuzz pins local == batch)."""
+        spark = self._require_spark()
+        if self._postings_bytes() > self.AUTO_LOCAL_MAX_BYTES:
+            return self.bm25_search_batch(
+                sentences, column_names=column_names, top_k=top_k,
+                enable_nlq=enable_nlq, alive_bitmap=alive_bitmap,
+                statistics=statistics)
+        if not hasattr(self, "_local_cache"):
+            self.enable_local_cache()
+        norm = [(s, False) if isinstance(s, str) else (s[0], bool(s[1]))
+                for s in sentences]
+        rows = []
+        for qid, (sentence, op_or) in enumerate(norm):
+            for rid, score in self.bm25_search_local(
+                    sentence, column_names=column_names, top_k=top_k,
+                    operator_or=op_or, alive_bitmap=alive_bitmap,
+                    enable_nlq=enable_nlq, statistics=statistics):
+                rows.append((qid, rid, float(score)))
+        return spark.createDataFrame(
+            rows, "query_id int, row_id long, score double")
+
     def _batch_topk_flat(self, scored, trees, flats, excls, atom_index,
                          top_k, pre_agg=False):
         """Per-partition vectorized top-k for flat boolean trees.

@@ -304,3 +304,40 @@ class TestF32PrefilterTies:
             # ties broken by ascending row_id among the equal-score docs
             tie_rows = [rid for rid, _ in want if rid < 1000]
             assert tie_rows == sorted(tie_rows)
+
+
+class TestBatchAuto:
+    """bm25_search_batch_auto: one entry point that serves small
+    corpora from the in-process tier and routes big ones to the
+    packed-kernel Spark job — row-identical either way."""
+
+    QS = [("ancient empires", True), ("moral horizons", False),
+          ("ancient", True), ("nonexistent gibberish", True)]
+
+    def _rows(self, df):
+        return sorted((r["query_id"], r["row_id"], round(r["score"], 6))
+                      for r in df.collect())
+
+    def test_auto_equals_batch_small_corpus(self, corpus_a_index):
+        ix = corpus_a_index
+        auto = self._rows(ix.bm25_search_batch_auto(self.QS, top_k=5))
+        dist = self._rows(ix.bm25_search_batch(self.QS, top_k=5))
+        assert auto == dist and auto
+
+    def test_auto_routes_distributed_past_threshold(self, corpus_a_index,
+                                                    monkeypatch):
+        ix = corpus_a_index
+        monkeypatch.setattr(type(ix), "AUTO_LOCAL_MAX_BYTES", 0)
+        auto = self._rows(ix.bm25_search_batch_auto(self.QS, top_k=5))
+        dist = self._rows(ix.bm25_search_batch(self.QS, top_k=5))
+        assert auto == dist and auto
+
+    def test_auto_nlq(self, corpus_a_index):
+        ix = corpus_a_index
+        qs = [("col2:ancient OR (moral horizons)", False),
+              ('"ancient empires" -moral', False)]
+        auto = self._rows(ix.bm25_search_batch_auto(qs, top_k=5,
+                                                    enable_nlq=True))
+        dist = self._rows(ix.bm25_search_batch(qs, top_k=5,
+                                               enable_nlq=True))
+        assert auto == dist
