@@ -200,6 +200,17 @@ def _q_bm25_batch(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+def _q_bm25_batch_auto(spark, sf_dir):
+    """bm25_search_batch_auto: the one-entry-point batch router.  At
+    sf0.01 the postings fit the driver, so this exercises the
+    in-process serving tier against the same full-candidate BM25
+    oracle as bm25_batch (row-identical by contract)."""
+    out = _index(spark, sf_dir).bm25_search_batch_auto(
+        BM25_BATCH, top_k=1_000_000)
+    return out.select("query_id", "row_id",
+                      F.round("score", 4).alias("score"))
+
+
 def _q_bm25_wand(spark, sf_dir):
     """Block-max WAND path with top_k above every candidate count: the
     pruning threshold never trips, so the result set equals the exact
@@ -914,6 +925,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_bm25": _q_phrase_slop_bm25,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "bm25_batch_auto": _q_bm25_batch_auto,
     }
 
 
@@ -1665,4 +1677,8 @@ def oracle_sql() -> dict[str, str]:
 
 def extra_oracle_sql() -> dict[str, str]:
     all_sql = _oracle_sql_all()
-    return {k: all_sql[k] for k in extra_queries() if k in all_sql}
+    out = {k: all_sql[k] for k in extra_queries() if k in all_sql}
+    # the auto router is row-identical to the distributed batch by
+    # contract - same oracle
+    out["bm25_batch_auto"] = all_sql["bm25_batch"]
+    return out
